@@ -1,0 +1,230 @@
+package graft.kernel
+
+/** k-NN subsequence self-join over a (multivariate) time series.
+  *
+  * Semantics follow `/root/reference/claspy/nearest_neighbour.py`:
+  * _argkmin (:67-129, stable strict-< first-index-wins tie-break),
+  * _knn (:132-218: O(1) rolling dot update, exclusion-zone row-max masking,
+  * per-dimension z-normalisation of the distance rows, dimension averaging,
+  * per-temporal-constraint arg-k-min) and KSubsequenceNeighbours
+  * (:326-456: prange decomposition, fit, constrain).
+  *
+  * Differences from the reference (deliberate, engine-determinism):
+  *  - the sliding-dot seed row is computed by direct O(n·w) dot products
+  *    instead of FFT convolution (mathematically identical, numerically
+  *    cleaner; nearest_neighbour.py:12-64 uses rfft/irfft);
+  *  - the prange decomposition is a deterministic function of the series
+  *    length only (`nJobs` fixed at construction, default 1), never of the
+  *    machine's core count, so results are bit-identical at any Spark
+  *    parallelism level.
+  */
+final class KSubsequenceNeighbours(
+    val windowSize: Int = 10,
+    val kNeighbours: Int = 3,
+    val distanceName: String = "znormed_euclidean_distance",
+    val nJobs: Int = 1) extends Serializable {
+
+  private val dist = Distance.byName(distanceName)
+
+  /** Fit on a dim-major series (d arrays of length n). */
+  def fit(ts: Array[Array[Double]], temporalConstraints: Array[(Int, Int)] = null): KSNModel = {
+    val d = ts.length
+    val n = ts(0).length
+    require(n >= windowSize * kNeighbours,
+      "Time series must at least have k_neighbours*window_size data points.")
+    val tcs = if (temporalConstraints == null) Array((0, n)) else temporalConstraints
+
+    // prange decomposition (nearest_neighbour.py:389-400)
+    var jobs = nJobs
+    while (n / jobs < windowSize * kNeighbours && jobs != 1) jobs -= 1
+    val binSize = n / jobs
+    val pranges = (0 until jobs).flatMap { idx =>
+      val start = idx * binSize
+      val end = math.min((idx + 1) * binSize, n - windowSize + 1)
+      if (end > start) Some((start, end)) else None
+    }.toArray
+
+    val l = n - windowSize + 1
+    val k = kNeighbours
+    val knns = Array.ofDim[Int](l, tcs.length * k)
+    val dists = Array.ofDim[Double](l, tcs.length * k)
+
+    val dotRef = Array.tabulate(d)(dim => slidingDot(ts(dim), 0, windowSize))
+    val pre = Array.tabulate(d)(dim => dist.preprocess(ts(dim), windowSize))
+
+    for ((start, end) <- pranges) {
+      val dotFirst =
+        if (start == 0) dotRef.map(_.clone())
+        else Array.tabulate(d)(dim => slidingDot(ts(dim), start, windowSize))
+      knnRange(ts, start, end, tcs, dotFirst, dotRef, pre, dists, knns)
+    }
+    new KSNModel(windowSize, kNeighbours, distanceName, n, tcs, dists, knns)
+  }
+
+  /** Direct dot product of window at `qStart` against every window: out(j) = <ts[qStart,w), ts[j,w)>. */
+  private def slidingDot(ts: Array[Double], qStart: Int, w: Int): Array[Double] = {
+    val l = ts.length - w + 1
+    val out = new Array[Double](l)
+    var j = 0
+    while (j < l) {
+      var s = 0.0
+      var i = 0
+      while (i < w) { s += ts(qStart + i) * ts(j + i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    out
+  }
+
+  /** _knn over [start, end): rolling dot + per-dim distances + tc arg-k-min. */
+  private def knnRange(
+      ts: Array[Array[Double]], start: Int, end: Int, tcs: Array[(Int, Int)],
+      dotFirst: Array[Array[Double]], dotRef: Array[Array[Double]], pre: Array[AnyRef],
+      dists: Array[Array[Double]], knns: Array[Array[Int]]): Unit = {
+    val d = ts.length
+    val n = ts(0).length
+    val w = windowSize
+    val l = n - w + 1
+    val k = kNeighbours
+    val exclusionRadius = w / 2
+
+    val dotPrev = Array.ofDim[Double](d, l)
+    val dotRolled = dotFirst.map(_.clone())
+    val cdist = new Array[Double](l)
+    val acc = new Array[Double](l)
+
+    var order = start
+    while (order < end) {
+      java.util.Arrays.fill(acc, 0.0)
+      var dim = 0
+      while (dim < d) {
+        if (order > start) {
+          // nearest_neighbour.py:186-191 — O(1)/step rolling dot update
+          val t = ts(dim)
+          val dr = dotRolled(dim); val dp = dotPrev(dim)
+          val a = t(order + w - 1)
+          val b = t(order - 1)
+          var j = l - 1
+          while (j >= 1) {
+            dr(j) = dp(j - 1) + a * t(w - 1 + j) - b * t(j - 1)
+            j -= 1
+          }
+          dr(0) = dotRef(dim)(order)
+        }
+        val cd = dist.compute(order, dotRolled(dim), w, pre(dim))
+        // exclusion zone: mask trivial self-matches with the row max (:195-201)
+        var mx = Double.NegativeInfinity
+        var j = 0
+        while (j < l) { if (cd(j) > mx) mx = cd(j); j += 1 }
+        val lo = math.max(0, order - exclusionRadius)
+        val hi = math.min(order + exclusionRadius + 1, l)
+        j = lo
+        while (j < hi) { cd(j) = mx; j += 1 }
+        // per-dim z-normalisation of the distance row (:204-205)
+        var s = 0.0
+        j = 0
+        while (j < l) { s += cd(j); j += 1 }
+        val mean = s / l
+        var sq = 0.0
+        j = 0
+        while (j < l) { val e = cd(j) - mean; sq += e * e; j += 1 }
+        // guard: a constant distance row (degenerate/constant series) would be
+        // 0/0 = NaN in the reference and crash its argkmin with garbage
+        // indices; the zero-contribution limit keeps the engine total here.
+        val std = math.sqrt(sq / l)
+        if (std > 0) {
+          j = 0
+          while (j < l) { acc(j) += (cd(j) - mean) / std; j += 1 }
+        }
+        // stash rolled dot for next order
+        val tmp = dotPrev(dim); dotPrev(dim) = dotRolled(dim); dotRolled(dim) = tmp
+        dim += 1
+      }
+      var j = 0
+      while (j < l) { cdist(j) = acc(j) / d; j += 1 }
+
+      var kdx = 0
+      while (kdx < tcs.length) {
+        val (lb, ub) = tcs(kdx)
+        if (order >= lb && order < ub) {
+          val (args, vals) = ArgKMin(cdist, lb, ub - w + 1, k)
+          var i = 0
+          while (i < k) {
+            knns(order)(kdx * k + i) = args(i)
+            dists(order)(kdx * k + i) = vals(i)
+            i += 1
+          }
+        }
+        kdx += 1
+      }
+      order += 1
+    }
+    // dotPrev/dotRolled were swapped per dim; nothing to restore — each range re-seeds.
+  }
+}
+
+/** Stable arg-k-min: k smallest values, strict `<` so the first index wins ties
+  * (nearest_neighbour.py:107-129). Searches dist[lo, hi). */
+object ArgKMin {
+  def apply(dist: Array[Double], lo: Int, hi: Int, k: Int): (Array[Int], Array[Double]) = {
+    val args = new Array[Int](k)
+    val vals = new Array[Double](k)
+    val taken = new Array[Boolean](hi - lo)
+    var idx = 0
+    while (idx < k) {
+      var minArg = -1
+      var minVal = Double.PositiveInfinity
+      var j = lo
+      while (j < hi) {
+        if (!taken(j - lo)) {
+          val v = dist(j)
+          if (v < minVal) { minVal = v; minArg = j }
+        }
+        j += 1
+      }
+      args(idx) = minArg
+      vals(idx) = minVal
+      if (minArg >= 0) taken(minArg - lo) = true
+      idx += 1
+    }
+    (args, vals)
+  }
+}
+
+/** Fitted k-NN tables. `offsets` and `distances` are (l, m·k) with
+  * l = n - w + 1 and m temporal constraints (nearest_neighbour.py:251-254). */
+final class KSNModel(
+    val windowSize: Int,
+    val kNeighbours: Int,
+    val distanceName: String,
+    val nTimepoints: Int,
+    val temporalConstraints: Array[(Int, Int)],
+    val distances: Array[Array[Double]],
+    val offsets: Array[Array[Int]]) extends Serializable {
+
+  /** Re-slice to one temporal constraint, offsets rebased by -lbound
+    * (nearest_neighbour.py:412-456). */
+  def constrain(lbound: Int, ubound: Int): KSNModel = {
+    val tcIdx = temporalConstraints.indexWhere(tc => tc._1 == lbound && tc._2 == ubound)
+    require(tcIdx >= 0, s"($lbound,$ubound) is not a valid temporal constraint.")
+    val k = kNeighbours
+    val rows = ubound - windowSize + 1 - lbound
+    val d2 = new Array[Array[Double]](rows)
+    val o2 = new Array[Array[Int]](rows)
+    var i = 0
+    while (i < rows) {
+      val dRow = new Array[Double](k)
+      val oRow = new Array[Int](k)
+      var j = 0
+      while (j < k) {
+        dRow(j) = distances(lbound + i)(tcIdx * k + j)
+        oRow(j) = offsets(lbound + i)(tcIdx * k + j) - lbound
+        j += 1
+      }
+      d2(i) = dRow; o2(i) = oRow
+      i += 1
+    }
+    new KSNModel(windowSize, kNeighbours, distanceName, ubound - lbound,
+      Array((0, ubound - lbound)), d2, o2)
+  }
+}
