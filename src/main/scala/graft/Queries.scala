@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.{CrawlSignals, Rollup, SeriesPoint, SyntheticCrawl}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** All driver-facing queries. Each oracle-backed query has a DuckDB SQL twin
+  * in [[Queries.oracles]] with IDENTICAL output column names and rounding
+  * (driver hash-compares after sorting columns by name). Kernel/segmentation
+  * queries are not SQL-expressible and appear only in [[Queries.all]]. */
+object Queries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  private def eventPoints(s: SparkSession, dir: String) = {
+    import s.implicits._
+    events(s, dir)
+      // parquet TIMESTAMP loads as NTZ in Spark 4; session TZ is UTC so the
+      // cast is instant-preserving
+      .select(col("user_id").cast("string").as("url"),
+        unix_millis(col("ts").cast("timestamp")).as("ts"), col("value"))
+      .as[SeriesPoint]
+  }
+
+  private def rollupOut(df: DataFrame): DataFrame =
+    df.select(col("url").as("user_id"),
+      timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
+      col("cnt"), round(col("sum"), 6).as("sum_val"),
+      round(col("min"), 6).as("min_val"), round(col("max"), 6).as("max_val"),
+      round(col("mean"), 6).as("mean_val"))
+
+  // ------------------------------------------------------------- queries
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- continuous aggregates / tiers (oracle-backed)
+    "q01_rollup_1m" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id").cast("string").as("user_id"),
+          date_trunc("minute", col("ts")).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_val"),
+          round(min("value"), 6).as("min_val"), round(max("value"), 6).as("max_val"),
+          round(avg("value"), 6).as("mean_val"))),
+
+    "q02_rollup_1h_kernel" -> ((s, dir) =>
+      rollupOut(Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = false)
+        .filter(!_.gap_filled).toDF())),
+
+    "q03_rollup_1d_cascade" -> ((s, dir) =>
+      rollupOut(Rollup.cascade(
+        Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = false),
+        "1d").toDF())),
+
+    "q04_gapfill_1h" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(col("user_id").cast("string").as("key"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(avg("value").as("mean"))
+      Rollup.gapFillLocf(agg, 3600L)
+        .select(col("key"), col("bucket"), round(col("mean"), 6).as("mean"), col("gap_filled"))
+    }),
+
+    // --- dedup / text ops (oracle-backed)
+    "q05_dedup_exact" -> ((s, dir) =>
+      DedupOps.exact(documents(s, dir)).select("doc_id", "lang", "source")),
+
+    "q06_token_stats" -> ((s, dir) => TextOps.tokenStats(documents(s, dir))),
+
+    "q07_quality" -> ((s, dir) => TextOps.qualityScore(documents(s, dir))),
+
+    "q08_langid" -> ((s, dir) => TextOps.langId(documents(s, dir))),
+
+    // --- similarity search (oracle-backed)
+    "q09_topk_cosine" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 5)
+    }),
+
+    // --- window functions / anti-join / classic agg (oracle-backed)
+    "q10_type_churn" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(when(col("prev_type").isNotNull && col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L)).as("churn"))
+    }),
+
+    "q11_resume_antijoin" -> ((s, dir) => {
+      val done = events(s, dir).select("user_id").distinct()
+        .filter(pmod(col("user_id"), lit(3)) === 0)
+      events(s, dir).join(done, Seq("user_id"), "left_anti")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_val"))
+    }),
+
+    "q12_lineitem_agg" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))),
+
+    // --- kernel / segmentation queries (not SQL-expressible: rows-only)
+    "q13_epoch_rollup_1h" -> ((s, dir) =>
+      Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = true)
+        .toDF()
+        .select(col("url").as("user_id"), col("epoch"),
+          timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
+          col("cnt"), round(col("mean"), 6).as("mean_val"), col("gap_filled"))),
+
+    "q14_clasp_summary" -> ((s, dir) =>
+      Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = true)
+        .toDF()
+        .groupBy(col("url").as("user_id"))
+        .agg((max("epoch") + 1).as("n_epochs"), count(lit(1)).as("n_buckets"),
+          sum(when(col("gap_filled"), 1L).otherwise(0L)).as("n_gap_buckets"))),
+
+    "q15_gorilla_blobs" -> ((s, dir) =>
+      Rollup.epochBlobs(eventPoints(s, dir), 3600000L, segment = false)
+        .toDF()
+        .select(col("url").as("user_id"), col("epoch"), col("n_buckets"),
+          octet_length(col("gorilla")).as("blob_bytes"),
+          round(col("n_buckets") * 16.0 / greatest(octet_length(col("gorilla")), lit(1)), 3)
+            .as("compression"))),
+
+    "q16_minhash_pairs" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val clones = docs.select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+      DedupOps.minhashLshPairs(docs.union(clones), threshold = 0.5)
+    }),
+
+    "q17_simhash" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), DedupOps.simhash(col("text")).as("simhash64"))),
+
+    "q18_lsh_neardup_emb" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select("vec_id", "embedding")
+      val clones = emb.select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
+      SimilarityOps.lshNearDupPairs(emb.union(clones), threshold = 0.95)
+    }),
+
+    "q19_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5)
+    }),
+
+    "q20_media_meta" -> ((s, dir) =>
+      MultimodalOps.extractMeta(MultimodalOps.syntheticMedia(documents(s, dir))).toDF()),
+
+    "q21_frame_samples" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.extractMeta(MultimodalOps.syntheticMedia(documents(s, dir))), 30)),
+
+    "q22_fingerprint" -> ((s, dir) => TextOps.fingerprint(documents(s, dir))),
+
+    "q23_crawl_pipeline_1d" -> ((s, dir) => {
+      // full engine slice on the synthetic crawl table (input_hint shape)
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = 32, basePoints = 300)
+      Rollup.cascade(
+        Rollup.adaptiveRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true),
+        "1d").toDF()
+        .select(col("url"), col("epoch"), timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
+          col("cnt"), round(col("mean"), 6).as("mean_val"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private val tokExpr = "string_split_regex(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "q01_rollup_1m" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, date_trunc('minute', ts) AS bucket_start,
+        | count(*) AS cnt, round(sum(value),6) AS sum_val, round(min(value),6) AS min_val,
+        | round(max(value),6) AS max_val, round(avg(value),6) AS mean_val
+        |FROM events GROUP BY 1,2""".stripMargin,
+
+    "q02_rollup_1h_kernel" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, date_trunc('hour', ts) AS bucket_start,
+        | count(*) AS cnt, round(sum(value),6) AS sum_val, round(min(value),6) AS min_val,
+        | round(max(value),6) AS max_val, round(avg(value),6) AS mean_val
+        |FROM events GROUP BY 1,2""".stripMargin,
+
+    "q03_rollup_1d_cascade" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, date_trunc('day', ts) AS bucket_start,
+        | count(*) AS cnt, round(sum(value),6) AS sum_val, round(min(value),6) AS min_val,
+        | round(max(value),6) AS max_val, round(avg(value),6) AS mean_val
+        |FROM events GROUP BY 1,2""".stripMargin,
+
+    "q04_gapfill_1h" ->
+      """WITH agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('hour', ts) AS bucket,
+        |         avg(value) AS mean
+        |  FROM events GROUP BY 1,2),
+        |spans AS (
+        |  SELECT key, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM agg GROUP BY key)
+        |SELECT s.key, s.bucket,
+        |  round(last_value(a.mean IGNORE NULLS) OVER (
+        |    PARTITION BY s.key ORDER BY s.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS mean,
+        |  a.mean IS NULL AS gap_filled
+        |FROM spans s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket""".stripMargin,
+
+    "q05_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q06_token_stats" ->
+      s"""SELECT doc_id,
+         | len($tokExpr) AS n_tokens,
+         | CAST(list_sum(list_transform($tokExpr, t -> CAST(ceil(length(t)/4.0) AS BIGINT))) AS BIGINT) AS n_subtokens,
+         | length(text) AS n_chars
+         |FROM documents""".stripMargin,
+
+    "q07_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars, len($tokExpr) AS n_tokens,
+         | round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         | round(CAST(len(list_filter($tokExpr, t -> t IN ('the','a','of','to','and','in','is','it','that','for'))) AS DOUBLE) / greatest(len($tokExpr), 1), 6) AS stop_ratio,
+         | round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len($tokExpr), 1), 6) AS mean_word_len,
+         | (length(text) >= 100 AND len($tokExpr) >= 20
+         |   AND round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len($tokExpr), 1), 6) <= 15.0) AS keep
+         |FROM documents""".stripMargin,
+
+    "q08_langid" ->
+      s"""SELECT doc_id,
+         | len(list_filter($tokExpr, t -> t IN ('the','a','of','to','and','in','is','it','that','for'))) AS en_hits,
+         | len(list_filter($tokExpr, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS de_hits,
+         | len(list_filter($tokExpr, t -> t IN ('le','la','les','et','est','un','une','de','que','pour'))) AS fr_hits,
+         | CASE WHEN len(list_filter($tokExpr, t -> t IN ('the','a','of','to','and','in','is','it','that','for'))) >= len(list_filter($tokExpr, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','von')))
+         |       AND len(list_filter($tokExpr, t -> t IN ('the','a','of','to','and','in','is','it','that','for'))) >= len(list_filter($tokExpr, t -> t IN ('le','la','les','et','est','un','une','de','que','pour')))
+         |      THEN 'en'
+         |      WHEN len(list_filter($tokExpr, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) >= len(list_filter($tokExpr, t -> t IN ('le','la','les','et','est','un','une','de','que','pour')))
+         |      THEN 'de' ELSE 'fr' END AS lang_pred
+         |FROM documents""".stripMargin,
+
+    "q09_topk_cosine" ->
+      """SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q10_type_churn" ->
+      """SELECT user_id, date_trunc('day', ts) AS day,
+        | CAST(sum(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS churn
+        |FROM (SELECT user_id, ts, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |      FROM events)
+        |GROUP BY 1,2""".stripMargin,
+
+    "q11_resume_antijoin" ->
+      """SELECT user_id, count(*) AS cnt, round(sum(value),6) AS sum_val
+        |FROM events WHERE user_id % 3 <> 0 GROUP BY 1""".stripMargin,
+
+    "q12_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice * (1.0 - l_discount)),2) AS revenue, count(*) AS cnt
+        |FROM lineitem GROUP BY 1,2""".stripMargin
+  )
+}

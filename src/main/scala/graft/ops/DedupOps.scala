@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale training data. All set-similarity
+  * paths go shingles → MinHash → LSH band buckets → bucket-local candidate
+  * join → exact verification, so the shuffle is O(docs·bands), never the
+  * O(n²) cross join. */
+object DedupOps {
+
+  /** Exact dedup: first doc_id wins per byte-identical text. At scale this
+    * is one hash-shuffle on a 64-bit digest, never on the full text. */
+  def exact(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col("text"))).orderBy(col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Word k-shingles as a deduped array column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + lit(1), lit(k)))),
+        (s: Column) => size(split(s, " ")) === k))
+  }
+
+  /** MinHash signature: nPerms independent permutations simulated by
+    * xxhash64(shingle, seed) minima — one array column, no UDF. */
+  def minhashSignature(text: Column, k: Int = 3, nPerms: Int = 16): Column =
+    transform(
+      sequence(lit(0), lit(nPerms - 1)),
+      seed => array_min(transform(shingles(text, k), s => xxhash64(s, seed))))
+
+  /** LSH band keys: signature split into `bands` bands of `rows` hashes,
+    * each band hashed to one bucket key. */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * lit(rows) + lit(1), lit(rows))), b))
+
+  /** MinHash+LSH near-duplicate pairs verified with exact shingle Jaccard.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def minhashLshPairs(
+      documents: DataFrame,
+      k: Int = 3,
+      nPerms: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val withSig = documents
+      .select(col("doc_id"), col("text"), shingles(col("text"), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("text"), k, nPerms))
+      .withColumn("band", explode(lshBandKeys(col("sig"), bands, nPerms / bands)))
+      .select("doc_id", "sh", "band")
+    val a = withSig.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withSig.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash-64 over token hashes: sign-sum of each bit weighted by token
+    * frequency, as a pure Catalyst expression chain. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    // for each bit i: +1 if set else -1, summed over tokens; bit set if sum>0
+    val bitCols = (0 until 64).map { i =>
+      when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+          > 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup pairs: bucket on 16-bit chunks (hamming-distance <= 3
+    * pairs collide in >= 1 of 4 chunks by pigeonhole), verify with exact
+    * hamming distance. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withH = documents.select(col("doc_id"), simhash(col("text")).as("sim"))
+    val chunks = withH.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        concat_ws(":", lit(c), shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)))): _*))
+        .as("chunk"))
+    val a = chunks.select(col("chunk"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs from the MinHash LSH
+    * (exact verification happens there); exposed for direct pair scoring. */
+  def ngramJaccard(docs: DataFrame, k: Int = 3): DataFrame =
+    minhashLshPairs(docs, k = k, threshold = 0.0)
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  * Baseline: brute-force cosine top-k with the small query side broadcast.
+  * Scale path: random-hyperplane LSH bucketing so candidate generation is a
+  * bucket-local equi-join instead of a full cross join. */
+object SimilarityOps {
+
+  /** Cosine similarity of two float-array columns via zip_with + aggregate
+    * (codegen'd higher-order functions; doubles all the way). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Brute-force cosine top-k: queries × corpus with the query side
+    * broadcast (no shuffle of the corpus), ranked per query. */
+  def bruteForceTopK(
+      corpus: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (vec_id, embedding)
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * a fixed hash mapped to [-1, 1). */
+  private def plane(bit: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(bit), dim), lit(1000003L)).cast("double") / 500001.5) - 1.0
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long. */
+  def rhpSignature(emb: Column, nBits: Int = 16): Column = {
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (v, i) => v.cast("double") * plane(b, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** LSH-bucketed approximate near-duplicate pairs: same-signature vectors
+    * are candidates (multi-probe over 4-bit chunks), verified by exact
+    * cosine >= threshold. */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double = 0.9, nBits: Int = 16): DataFrame = {
+    val withSig = corpus.select(col("vec_id"), col("embedding"),
+      rhpSignature(col("embedding"), nBits).as("sig"))
+    val chunks = withSig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nBits / 4).map(c =>
+        concat_ws(":", lit(c), shiftright(col("sig"), c * 4).bitwiseAND(lit(0xfL)))): _*))
+        .as("chunk"))
+    val a = chunks.select(col("chunk"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = chunks.select(col("chunk"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("chunk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** IVF-flat style ANN: corpus assigned to the nearest of `nCentroids`
+    * deterministic seed centroids (drawn from the corpus by id hash); each
+    * query probes its own `nProbe` nearest centroids' inverted lists only. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // seed centroids: the nCentroids corpus vectors with smallest id-hash —
+    // deterministic, no iterative k-means (scale path would Lloyd-iterate)
+    val cents = corpus
+      .withColumn("h", pmod(xxhash64(col("vec_id")), lit(1000000007L)))
+      .orderBy("h").limit(nCentroids)
+      .select(monotonically_increasing_id().as("cent_tmp"), col("embedding").as("cent_emb"))
+      .withColumn("cent_id", row_number().over(Window.orderBy("cent_tmp")) - 1)
+      .select("cent_id", "cent_emb")
+    val centB = broadcast(cents)
+
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id"))
+      df.join(centB, lit(true))
+        .withColumn("csim", cosine(col(embCol), col("cent_emb")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cent_emb", "csim", "crank")
+    }
+
+    val corpusLists = assign(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+      "neighbor_id", "c_emb", 1)
+    val queryProbes = assign(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", nProbe)
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    corpusLists.join(broadcast(queryProbes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, all
+  * expressed with codegen'd built-in functions (no UDFs in the hot path).
+  * Inputs: the `documents(doc_id, text, lang, source, n_chars)` table. */
+object TextOps {
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")
+  val FrStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour")
+
+  private def inList(tok: Column, words: Seq[String]): Column =
+    tok.isin(words.map(w => lit(w)): _*)
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private def stopHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => inList(t, words)))
+
+  /** Whitespace + BPE-ish token counts. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      // BPE-ish: word pieces of <=4 chars — ceil(len/4) summed over words
+      aggregate(
+        transform(tokens(col("text")), t => ceil(length(t).cast("double") / 4.0).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_subtokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length; `keep` mirrors common crawl-cleaning heuristics. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    documents.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nTok.as("n_tokens"),
+        round(length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+          .cast("double") / greatest(length(col("text")), lit(1)), 6).as("punct_ratio"),
+        round(stopHits(col("text"), EnStop).cast("double") / greatest(nTok, lit(1)), 6)
+          .as("stop_ratio"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+          / greatest(nTok, lit(1)), 6).as("mean_word_len"))
+      .withColumn("keep",
+        col("n_chars") >= 100 && col("n_tokens") >= 20 && col("mean_word_len") <= 15.0)
+  }
+
+  /** Language-ID by stopword vote (n-gram-free heuristic; deterministic and
+    * SQL-expressible so the DuckDB oracle can replay it). */
+  def langId(documents: DataFrame): DataFrame = {
+    val en = stopHits(col("text"), EnStop)
+    val de = stopHits(col("text"), DeStop)
+    val fr = stopHits(col("text"), FrStop)
+    documents.select(
+      col("doc_id"), en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+      when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr").as("lang_pred"))
+  }
+
+  /** Document fingerprint: order-sensitive rolling combination of token
+    * hashes (Karp-Rabin flavoured), plus a winnowing-style min-hash of token
+    * 64-bit hashes. Content-defined, stable under re-partitioning. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      // shift-xor rolling combine: order-sensitive and ANSI-safe (shiftleft
+      // wraps modularly; `acc*31+h` would throw under Spark 4 ANSI overflow)
+      aggregate(transform(tokens(col("text")), t => xxhash64(t)),
+        lit(0L), (acc, h) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 2)).bitwiseXOR(h))
+        .as("rolling_fp"),
+      array_min(transform(tokens(col("text")), t => xxhash64(t))).as("min_token_hash"))
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition lineage + metrics checkpointing for exact resume (north
+  * rule). Work is sharded into `nBuckets` url-hash buckets; each completed
+  * bucket is recorded in a manifest with row counts + an order-independent
+  * content hash. Resume = anti-join pending buckets against the manifest and
+  * recompute only those, overwriting their partition dirs (dynamic partition
+  * overwrite), so a killed job restarts exactly where it left off and the
+  * final output is bit-identical to a single uninterrupted run. */
+object Checkpointing {
+
+  final case class BucketManifest(
+      bucket: Int, n_rows: Long, n_urls: Long, content_hash: Long, wall_ms: Long)
+
+  def manifestPath(outDir: String) = s"$outDir/_manifest"
+  def rollupPath(outDir: String) = s"$outDir/rollups"
+
+  /** Buckets already completed according to the manifest (empty on first run). */
+  def doneBuckets(spark: SparkSession, outDir: String): Set[Int] = {
+    import spark.implicits._
+    try spark.read.parquet(manifestPath(outDir)).select("bucket").as[Int].collect().toSet
+    catch { case _: Exception => Set.empty }
+  }
+
+  /** Order-independent content hash: sum of per-row xxhash64 over the given
+    * columns, accumulated in decimal space (ANSI-safe, no long overflow) and
+    * reduced mod 2^63. Commutative, so identical data hashes identically at
+    * any parallelism. */
+  def contentHashCol(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    pmod(sum(xxhash64(cols: _*).cast("decimal(38,0)")),
+      lit(new java.math.BigDecimal(Long.MaxValue))).cast("long")
+
+  def contentHash(df: DataFrame): Long = {
+    import df.sparkSession.implicits._
+    df.select(contentHashCol(df.columns.map(col).toIndexedSeq)).as[Long].head()
+  }
+
+  /** Run `points → adaptive 1m rollup` resumably. Returns the number of
+    * buckets actually computed this invocation (0 == nothing pending). */
+  def runResumable(
+      points: Dataset[SeriesPoint],
+      outDir: String,
+      nBuckets: Int = 64,
+      bucketMs: Long = 60000L,
+      segment: Boolean = true): Int = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val done = doneBuckets(spark, outDir)
+    val pendingPoints = points
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+      .filter(!col("bucket").isInCollection(if (done.isEmpty) Set(-1) else done))
+
+    if (pendingPoints.isEmpty) return 0
+
+    val t0 = System.nanoTime()
+    val rollups = Rollup.adaptiveRollup(
+        pendingPoints.select("url", "ts", "value").as[SeriesPoint], bucketMs, "1m", segment)
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+
+    rollups.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(rollupPath(outDir))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+
+    // lineage/metrics per bucket, computed from what was just written
+    val written = spark.read.parquet(rollupPath(outDir))
+      .filter(!col("bucket").isInCollection(if (done.isEmpty) Set(-1) else done))
+    val dataCols = written.columns.filter(_ != "bucket").map(col).toIndexedSeq
+    val manifest = written.groupBy("bucket").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("url")).as("n_urls"),
+        contentHashCol(dataCols).as("content_hash"))
+      .withColumn("wall_ms", lit(wallMs))
+      .as[BucketManifest]
+
+    val n = manifest.count().toInt
+    manifest.write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+    n
+  }
+}
+
+/** End-to-end batch pipeline: pages → signal → adaptive 1m rollup with
+  * ClaSP epochs → 1h/1d cascades → retention → parquet sinks + Gorilla
+  * blobs. One url shuffle feeds the kernel; the cascades are pure Catalyst
+  * hash-aggs over the (much smaller) 1m tier. */
+object Pipeline {
+
+  final case class Result(rows1m: Long, rows1h: Long, rows1d: Long, blobs: Long)
+
+  def run(
+      pages: DataFrame,
+      outDir: String,
+      signal: String = "page_size",
+      segment: Boolean = true,
+      retainDays: Map[String, Int] = Map.empty): Result = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    val points = signal match {
+      case "page_size" => CrawlSignals.pageSize(pages)
+      case "text_len" => CrawlSignals.textLen(pages)
+      case "lang_churn" => CrawlSignals.langChurn(pages)
+      case other => throw new IllegalArgumentException(s"unknown signal $other")
+    }
+
+    val r1m = Rollup.adaptiveRollup(points, 60000L, "1m", segment).cache()
+    val r1h = Rollup.cascade(r1m, "1h").cache()
+    val r1d = Rollup.cascade(r1h, "1d")
+    // blobs from the cached 1m tier — never re-runs the O(n²) kernel
+    val blobs = r1m.groupByKey(_.url)
+      .flatMapGroups((url, it) => Rollup.kernelBlobs(url, it.toArray).iterator)
+
+    def withRetention(ds: Dataset[RollupRow], tier: String): Dataset[RollupRow] =
+      retainDays.get(tier) match {
+        case Some(d) =>
+          val nowMs = ds.agg(max("bucket_start")).as[Long].head()
+          Rollup.retain(ds, nowMs, d.toLong * 86400000L)
+        case None => ds
+      }
+
+    val out1m = withRetention(r1m, "1m")
+    val out1h = withRetention(r1h, "1h")
+    val out1d = withRetention(r1d, "1d")
+
+    out1m.write.mode(SaveMode.Overwrite).parquet(s"$outDir/tier=1m")
+    out1h.write.mode(SaveMode.Overwrite).parquet(s"$outDir/tier=1h")
+    out1d.write.mode(SaveMode.Overwrite).parquet(s"$outDir/tier=1d")
+    val blobCount = blobs.count()
+    blobs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/blobs")
+
+    val res = Result(
+      spark.read.parquet(s"$outDir/tier=1m").count(),
+      spark.read.parquet(s"$outDir/tier=1h").count(),
+      spark.read.parquet(s"$outDir/tier=1d").count(),
+      blobCount)
+    r1m.unpersist(); r1h.unpersist()
+    res
+  }
+}
