@@ -161,6 +161,18 @@ object Queries {
 
     "q22_fingerprint" -> ((s, dir) => TextOps.fingerprint(documents(s, dir))),
 
+    "q24_stream_summary" -> ((s, dir) =>
+      graft.streaming.StreamStage.summarizeBatch(eventPoints(s, dir),
+        graft.streaming.StreamStage.Config(nTimepoints = 512, nWarmup = 64)).toDF()
+        .select(col("url").as("user_id"), col("n_points"), col("window_size"),
+          col("n_cps"), col("last_cp"))),
+
+    "q25_stream_cps" -> ((s, dir) => {
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = 24, basePoints = 900)
+      graft.streaming.StreamStage.detectBatch(CrawlSignals.pageSize(pages),
+        graft.streaming.StreamStage.Config(nTimepoints = 2048, nWarmup = 200)).toDF()
+    }),
+
     "q23_crawl_pipeline_1d" -> ((s, dir) => {
       // full engine slice on the synthetic crawl table (input_hint shape)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = 32, basePoints = 300)

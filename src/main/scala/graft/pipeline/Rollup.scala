@@ -100,22 +100,21 @@ object Rollup {
   }
 
   /** ClaSP change points over the bucket-mean series → dense epoch ids.
-    * Mega-series are segmented in overlapping chunks (overlap = one chunk's
-    * min_seg margin) and the cps merged, keeping total work near-linear. */
+    * Mega-series go through the streaming ClaSS detector — O(ring) per point
+    * instead of O(n²) total — mirroring the reference's own recommendation
+    * for very large archives (`claspy/notebooks/streaming_time_series.ipynb`). */
   def segmentEpochs(series: Array[Double]): Array[Int] = {
     val n = series.length
     val cps: Array[Int] =
       if (n <= MegaSeriesBuckets) segmentSafe(series, 0)
       else {
-        val chunk = MegaSeriesBuckets
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var lo = 0
-        while (lo < n) {
-          val hi = math.min(n, lo + chunk)
-          out ++= segmentSafe(java.util.Arrays.copyOfRange(series, lo, hi), lo)
-          lo = hi
-        }
-        out.distinct.sorted.toArray
+        val stream = new graft.kernel.streaming.StreamingClaSPSegmentation(
+          nTimepoints = MegaSeriesBuckets, nWarmupIn = MegaSeriesBuckets, logCps = true)
+        try {
+          var i = 0
+          while (i < n) { stream.update(series(i)); i += 1 }
+          stream.changePoints.filter(c => c > 0 && c < n).distinct.sorted.toArray
+        } catch { case _: Exception => Array.empty[Int] }
       }
     val epochs = new Array[Int](n)
     var e = 0; var next = 0; var i = 0

@@ -255,3 +255,66 @@ dump("fixed_window", {
     "cps": [int(c) for c in seg.change_points],
 })
 print("done")
+
+
+# 6. streaming: StreamingKSN internals + ClaSS profile + end-to-end streaming segmentation
+from claspy.streaming.nearest_neighbour import StreamingKSubsequenceNeighbours
+from claspy.streaming.clasp import ClaSS, _profile as class_profile
+from claspy.streaming.segmentation import StreamingClaSPSegmentation
+
+
+def sanitize(arr):
+    out = []
+    for v in np.asarray(arr, dtype=np.float64):
+        if math.isnan(v) or math.isinf(v):
+            out.append(None)
+        else:
+            out.append(float(v))
+    return out
+
+
+# 6a. StreamingKSN: small ring, feed a freq_shift series, dump knn tables
+ts_sksn, _ = gen_series("freq_shift", 400, 7)
+sksn = StreamingKSubsequenceNeighbours(n_timepoints=300, window_size=10, k_neighbours=3)
+for x in ts_sksn:
+    sksn.update(x)
+ksn_t = sksn.transform()
+dump("streaming_knn", {
+    "ts": [float(x) for x in ts_sksn],
+    "n_timepoints": 300, "window_size": 10, "k_neighbours": 3,
+    "lbound": int(sksn.lbound), "knn_filled": int(sksn.knn_filled),
+    "knn_insert_idx": int(sksn.knn_insert_idx),
+    "offsets": [[int(v) for v in row] for row in ksn_t.offsets],
+    "distances": [sanitize(row) for row in ksn_t.distances],
+})
+
+# 6b. ClaSS profile on a batch knn (fixed window)
+ts_class, cps_class = gen_series("freq_shift", 600, 11)
+clasz = ClaSS(window_size=12, k_neighbours=3)
+prof_class = clasz.fit_transform(ts_class)
+cp_class = clasz.split(validation="significance_test", threshold=1e-15)
+dump("streaming_class", {
+    "ts": [float(x) for x in ts_class],
+    "window_size": 12, "k_neighbours": 3,
+    "profile": sanitize(prof_class),
+    "cp": (int(cp_class) if cp_class is not None else None),
+})
+
+# 6c. end-to-end StreamingClaSPSegmentation with global cp log
+seg_cases = []
+for kind, n, seed, n_tp, n_wu in [("freq_shift", 2000, 3, 1000, 300),
+                                  ("amp_freq", 2500, 5, 1200, 400)]:
+    ts_s, cps_s = gen_series(kind, n, seed)
+    stream = StreamingClaSPSegmentation(n_timepoints=n_tp, n_warmup=n_wu,
+                                        window_size="suss", log_cps=True)
+    for x in ts_s:
+        stream.update(x)
+    seg_cases.append({
+        "kind": kind, "seed": seed, "n_timepoints": n_tp, "n_warmup": n_wu,
+        "ts": [float(x) for x in ts_s],
+        "window_size": int(stream.window_size),
+        "last_cp": int(stream.last_cp),
+        "change_points": [int(c) for c in stream.change_points],
+        "profile": sanitize(stream.profile),
+    })
+dump("streaming_segmentation", {"cases": seg_cases})
