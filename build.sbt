@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin + pre-touch the heap and use the throughput collector: G1's region
+  // uncommit/re-commit under allocation-heavy kernels showed up as >90%
+  // kernel time (page faults / zeroing) across all cores
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
 )

@@ -1,24 +1,89 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Checkpointing, CrawlSignals, Rollup, SyntheticCrawl}
+
+/** Driver-run benchmark: one JSON line on stdout.
+  *
+  * Sections:
+  *  - headline pipeline: synthetic crawl table (input_hint shape) → page-size
+  *    signal → ClaSP-adaptive rollup, ALL tiers from one kernel pass;
+  *    reports rolled-up points/sec (the BASELINE.json metric) and an
+  *    order-independent content hash (bit-for-bit evidence across
+  *    parallelism levels — run with SPARK_GRAFT_CPUS=8 vs 32).
+  *  - every SparkEntry query, timed individually.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× cores: the kernel stage is CPU-bound with heavy-tailed per-key
+      // cost (mega-series), so extra partitions let fast tasks drain while
+      // stragglers run
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // CRITICAL for the kernel stage: its shuffle is small in BYTES but
+      // enormous in CPU (O(n²) per series) — AQE's size-based coalescing
+      // would fold it into one task and serialize the whole job
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+
+    // ---- headline pipeline (scale with sf dir) ----------------------------
+    val nUrls = sys.env.get("SPARK_GRAFT_BENCH_URLS").map(_.toInt).getOrElse {
+      if (sfDir.contains("sf0.1")) 1000
+      else if (sfDir.contains("sf0.01")) 250
+      else 64
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def phase[T](label: String)(f: => T): T = {
+      val p0 = System.nanoTime(); val r = f
+      System.err.println(f"[bench] $label: ${(System.nanoTime() - p0) / 1e9}%.1f s"); r
+    }
+    val t0 = System.nanoTime()
+    val pages = SyntheticCrawl.pagesDF(spark, nUrls, basePoints = 300)
+    val points = CrawlSignals.pageSize(pages)
+    val allTiers = Rollup.scalableRollupAllTiers(points, 60000L, segment = true).toDF()
+    // ONE action computes per-tier counts and the order-independent content
+    // hash together — no persist (building the columnar cache of ~10M rows
+    // cost more than the second scan it saved)
+    val (tierCounts, hash) = phase("kernel+tiers+hash") {
+      val rows = allTiers
+        .groupBy("tier")
+        .agg(count(lit(1)).as("rows"),
+          sum(xxhash64(allTiers.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")).as("hsum"))
+        .collect()
+      val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = rows.map(r => BigDecimal(r.getDecimal(2))).sum
+      (counts, (total % BigDecimal(Long.MaxValue)).toLong)
+    }
+    val rolledRows = tierCounts.values.sum
+    val pipelineWall = (System.nanoTime() - t0) / 1e9
+    val nPoints = phase("points count")(points.count())
+    val pointsPerSec = rolledRows / pipelineWall
+
+    // ---- per-query timings (skippable for pure scaling runs) --------------
+    val results =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - q0) / 1e9
+      }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = pipelineWall + results.map(_._2).sum
+    val tiers = tierCounts.toSeq.sortBy(_._1)
+      .map { case (t, c) => "\"" + t + "\":" + c }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""parallelism":$cpus,"pipeline":{"n_urls":$nUrls,"n_points":$nPoints,""" +
+      s""""rolled_rows":$rolledRows,"tier_rows":$tiers,"wall_sec":$pipelineWall,""" +
+      s""""rolled_points_per_sec":$pointsPerSec,"rollup_hash":$hash}}""")
     spark.stop()
   }
 }

@@ -66,15 +66,20 @@ object ClaSP {
       else new KSubsequenceNeighbours(windowSize, kNeighbours, distanceName).fit(ts)
 
     val nOff = knn.offsets.length
-    val score = Scoring.byName(scoreName)
+    // allocation-free hot loop: labels + scorer scratch reused across the
+    // O(n) splits — the naive per-split allocations made the whole engine
+    // GC-bound at high task parallelism
+    val scorer = new Scoring.Scorer(scoreName, nOff)
+    val yTrue = new Array[Int](nOff)
+    val yPred = new Array[Int](nOff)
     val profile = Array.fill(nOff)(Double.NegativeInfinity)
     // single-prange decomposition (clasp.py:188-199 with n_jobs=1):
     val start = math.max(0, minSegSize)
     val end = math.min(nOff, nOff - minSegSize + windowSize)
     var split = start
     while (split < end) {
-      val (yTrue, yPred) = CrossVal.labels(knn.offsets, split, windowSize)
-      profile(split) = score(yTrue, yPred)
+      CrossVal.labelsInto(knn.offsets, split, windowSize, yTrue, yPred)
+      profile(split) = scorer(yTrue, yPred)
       split += 1
     }
     new ClaSPModel(windowSize, kNeighbours, scoreName, exclRadius, knn, profile, 0, n)

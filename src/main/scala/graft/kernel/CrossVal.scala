@@ -11,6 +11,32 @@ package graft.kernel
 object CrossVal {
 
   /** Returns (yTrue, yPred), each of length offsets.length. */
+  /** Allocation-free variant for the O(n) profile loop: fills the provided
+    * arrays (each sized offsets.length) instead of allocating. */
+  def labelsInto(offsets: Array[Array[Int]], splitIdx: Int, windowSize: Int,
+      yTrue: Array[Int], yPred: Array[Int]): Unit = {
+    val n = offsets.length
+    val k = offsets(0).length
+    var i = 0
+    while (i < splitIdx) { yTrue(i) = 0; i += 1 }
+    while (i < n) { yTrue(i) = 1; i += 1 }
+    i = 0
+    while (i < n) {
+      var ones = 0
+      val row = offsets(i)
+      var j = 0
+      while (j < k) { ones += yTrue(row(j)); j += 1 }
+      yPred(i) = if (ones > k - ones) 1 else 0
+      i += 1
+    }
+    i = splitIdx - windowSize
+    while (i < splitIdx) {
+      val idx = if (i < 0) n + i else i
+      if (idx >= 0 && idx < n) yPred(idx) = 1
+      i += 1
+    }
+  }
+
   def labels(offsets: Array[Array[Int]], splitIdx: Int, windowSize: Int): (Array[Int], Array[Int]) = {
     val n = offsets.length
     val k = offsets(0).length

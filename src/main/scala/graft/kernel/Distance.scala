@@ -15,54 +15,54 @@ sealed trait Distance extends Serializable {
   def name: String
   def preprocess(ts: Array[Double], w: Int): AnyRef
   /** Squared distance of subsequence `idx` to all subsequences, given dot products. */
-  def compute(idx: Int, dot: Array[Double], w: Int, pre: AnyRef): Array[Double]
+  def compute(idx: Int, dot: Array[Double], w: Int, pre: AnyRef): Array[Double] = {
+    val out = new Array[Double](dot.length)
+    computeInto(idx, dot, w, pre, out)
+    out
+  }
+  /** Allocation-free variant: writes into `out` (sized dot.length). */
+  def computeInto(idx: Int, dot: Array[Double], w: Int, pre: AnyRef, out: Array[Double]): Unit
 }
 
 object ZNormedEuclidean extends Distance {
   val name = "znormed_euclidean_distance"
   def preprocess(ts: Array[Double], w: Int): AnyRef = SlidingStats.slidingMeanStd(ts, w)
-  def compute(idx: Int, dot: Array[Double], w: Int, pre: AnyRef): Array[Double] = {
+  def computeInto(idx: Int, dot: Array[Double], w: Int, pre: AnyRef, out: Array[Double]): Unit = {
     val (means, stds) = pre.asInstanceOf[(Array[Double], Array[Double])]
     val mi = means(idx); val si = stds(idx)
-    val out = new Array[Double](dot.length)
     var j = 0
-    while (j < out.length) {
+    while (j < dot.length) {
       out(j) = 2.0 * w * (1.0 - (dot(j) - w * means(j) * mi) / (w * stds(j) * si))
       j += 1
     }
-    out
   }
 }
 
 object PlainEuclidean extends Distance {
   val name = "euclidean_distance"
   def preprocess(ts: Array[Double], w: Int): AnyRef = SlidingStats.slidingCsum(ts, w)
-  def compute(idx: Int, dot: Array[Double], w: Int, pre: AnyRef): Array[Double] = {
+  def computeInto(idx: Int, dot: Array[Double], w: Int, pre: AnyRef, out: Array[Double]): Unit = {
     val csumsq = pre.asInstanceOf[Array[Double]]
     val ci = csumsq(idx)
-    val out = new Array[Double](dot.length)
     var j = 0
-    while (j < out.length) { out(j) = -2.0 * dot(j) + csumsq(j) + ci; j += 1 }
-    out
+    while (j < dot.length) { out(j) = -2.0 * dot(j) + csumsq(j) + ci; j += 1 }
   }
 }
 
 object CInvariantEuclidean extends Distance {
   val name = "cinvariant_euclidean_distance"
   def preprocess(ts: Array[Double], w: Int): AnyRef = SlidingStats.slidingCsumDcsum(ts, w)
-  def compute(idx: Int, dot: Array[Double], w: Int, pre: AnyRef): Array[Double] = {
+  def computeInto(idx: Int, dot: Array[Double], w: Int, pre: AnyRef, out: Array[Double]): Unit = {
     val (csumsq, ce, _, _) =
       pre.asInstanceOf[(Array[Double], Array[Double], Array[Double], Array[Double])]
     val ci = csumsq(idx); val cei = ce(idx)
-    val out = new Array[Double](dot.length)
     var j = 0
-    while (j < out.length) {
+    while (j < dot.length) {
       val ed = -2.0 * dot(j) + csumsq(j) + ci
       val cf = math.max(ce(j), cei) / math.min(ce(j), cei)
       out(j) = ed * cf
       j += 1
     }
-    out
   }
 }
 

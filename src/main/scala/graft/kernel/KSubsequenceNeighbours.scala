@@ -92,6 +92,12 @@ final class KSubsequenceNeighbours(
     val dotRolled = dotFirst.map(_.clone())
     val cdist = new Array[Double](l)
     val acc = new Array[Double](l)
+    // scratch reused across orders — fresh O(l) allocations per order made
+    // the O(n^2) kernel GC-bound at high task parallelism
+    val cdWork = new Array[Double](l)
+    val argsBuf = new Array[Int](k)
+    val valsBuf = new Array[Double](k)
+    val takenBuf = new Array[Boolean](l)
 
     var order = start
     while (order < end) {
@@ -111,7 +117,8 @@ final class KSubsequenceNeighbours(
           }
           dr(0) = dotRef(dim)(order)
         }
-        val cd = dist.compute(order, dotRolled(dim), w, pre(dim))
+        val cd = cdWork
+        dist.computeInto(order, dotRolled(dim), w, pre(dim), cd)
         // exclusion zone: mask trivial self-matches with the row max (:195-201)
         var mx = Double.NegativeInfinity
         var j = 0
@@ -147,11 +154,11 @@ final class KSubsequenceNeighbours(
       while (kdx < tcs.length) {
         val (lb, ub) = tcs(kdx)
         if (order >= lb && order < ub) {
-          val (args, vals) = ArgKMin(cdist, lb, ub - w + 1, k)
+          ArgKMin.into(cdist, lb, ub - w + 1, k, argsBuf, valsBuf, takenBuf)
           var i = 0
           while (i < k) {
-            knns(order)(kdx * k + i) = args(i)
-            dists(order)(kdx * k + i) = vals(i)
+            knns(order)(kdx * k + i) = argsBuf(i)
+            dists(order)(kdx * k + i) = valsBuf(i)
             i += 1
           }
         }
@@ -169,25 +176,33 @@ object ArgKMin {
   def apply(dist: Array[Double], lo: Int, hi: Int, k: Int): (Array[Int], Array[Double]) = {
     val args = new Array[Int](k)
     val vals = new Array[Double](k)
-    val taken = new Array[Boolean](hi - lo)
-    var idx = 0
-    while (idx < k) {
-      var minArg = -1
-      var minVal = Double.PositiveInfinity
-      var j = lo
-      while (j < hi) {
-        if (!taken(j - lo)) {
-          val v = dist(j)
-          if (v < minVal) { minVal = v; minArg = j }
-        }
-        j += 1
-      }
-      args(idx) = minArg
-      vals(idx) = minVal
-      if (minArg >= 0) taken(minArg - lo) = true
-      idx += 1
-    }
+    into(dist, lo, hi, k, args, vals, new Array[Boolean](hi))
     (args, vals)
+  }
+
+  /** Allocation-free single-pass variant. `taken` is accepted for signature
+    * stability but unused: one streaming pass keeps the k smallest with a
+    * strict-< insertion, which reproduces the reference's k-pass ∞-masking
+    * EXACTLY — in both, ties go to the earliest index, and slots beyond the
+    * number of finite values stay (∞, -1). One pass instead of k makes the
+    * O(n²·m) ensemble kNN ~k× cheaper on its dominant loop. */
+  def into(dist: Array[Double], lo: Int, hi: Int, k: Int,
+      args: Array[Int], vals: Array[Double], taken: Array[Boolean]): Unit = {
+    var i = 0
+    while (i < k) { args(i) = -1; vals(i) = Double.PositiveInfinity; i += 1 }
+    var j = lo
+    while (j < hi) {
+      val v = dist(j)
+      if (v < vals(k - 1)) {
+        var p = k - 1
+        while (p > 0 && v < vals(p - 1)) {
+          vals(p) = vals(p - 1); args(p) = args(p - 1)
+          p -= 1
+        }
+        vals(p) = v; args(p) = j
+      }
+      j += 1
+    }
   }
 }
 

@@ -16,9 +16,26 @@ object Scoring {
 
   type Score = (Array[Int], Array[Int]) => Double
 
+  /** Allocation-free scorer for hot loops: scratch buffers sized once for
+    * series length `maxN`, reused across the O(n) profile splits. */
+  final class Scorer(name: String, maxN: Int) {
+    private val isF1 = name match {
+      case "f1" => true
+      case "roc_auc" => false
+      case other => throw new IllegalArgumentException(s"$other is not a valid score.")
+    }
+    private val th = new Array[Int](maxN + 1)
+    private val tps = new Array[Double](maxN + 2)
+    private val fps = new Array[Double](maxN + 2)
+    // same argument pass-through as byName: callers hand (y_true, y_pred)
+    // and roc_auc reads the sorted step function from its first argument
+    def apply(a: Array[Int], b: Array[Int]): Double =
+      if (isF1) f1Score(a, b) else rocAucScore(a, b, th, tps, fps)
+  }
+
   def byName(name: String): Score = name match {
     case "f1" => f1Score
-    case "roc_auc" => rocAucScore
+    case "roc_auc" => (a, b) => rocAucScore(a, b)
     case other => throw new IllegalArgumentException(
       s"$other is not a valid score. Implementations include: f1, roc_auc")
   }
@@ -48,22 +65,28 @@ object Scoring {
     total / 2.0
   }
 
-  /** ROC AUC — first arg is y_score, second y_true (scoring.py:60-139). */
-  def rocAucScore(yScoreIn: Array[Int], yTrueIn: Array[Int]): Double = {
+  /** ROC AUC — first arg is y_score, second y_true (scoring.py:60-139).
+    * Scratch arrays may be passed to avoid per-call allocation in the O(n²)
+    * profile loop (pass null to allocate). */
+  def rocAucScore(yScoreIn: Array[Int], yTrueIn: Array[Int],
+      thScratch: Array[Int] = null, tpsScratch: Array[Double] = null,
+      fpsScratch: Array[Double] = null): Double = {
     val n = yScoreIn.length
     // reversed views (desc_score_indices = arange(n)[::-1], scoring.py:99)
     @inline def yScore(i: Int): Int = yScoreIn(n - 1 - i)
     @inline def yTrue(i: Int): Boolean = yTrueIn(n - 1 - i) == 1
 
     // distinct-threshold indices: where diff(y_score) != 0, plus n-1 (scoring.py:107-111)
-    val thresholds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val thresholds = if (thScratch != null) thScratch else new Array[Int](n)
+    var m = 0
     var i = 0
-    while (i < n - 1) { if (yScore(i + 1) != yScore(i)) thresholds += i; i += 1 }
-    thresholds += n - 1
+    while (i < n - 1) { if (yScore(i + 1) != yScore(i)) { thresholds(m) = i; m += 1 }; i += 1 }
+    thresholds(m) = n - 1
+    m += 1
 
-    val m = thresholds.length
-    val tps = new Array[Double](m + 1)
-    val fps = new Array[Double](m + 1)
+    val tps = if (tpsScratch != null) tpsScratch else new Array[Double](n + 1)
+    val fps = if (fpsScratch != null) fpsScratch else new Array[Double](n + 1)
+    tps(0) = 0.0; fps(0) = 0.0
     var cum = 0L
     var ti = 0
     i = 0

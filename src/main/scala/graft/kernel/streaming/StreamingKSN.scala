@@ -35,6 +35,13 @@ final class StreamingKSN(
   val dists: Array[Array[Double]] = Array.fill(nWindows)(Array.fill(kNeighbours)(Double.PositiveInfinity))
   val knns: Array[Array[Int]] = Array.fill(nWindows)(Array.fill(kNeighbours)(-1))
   var dotRolled: Array[Double] = null
+  // scratch buffers reused across updates — a fresh O(nWindows) allocation
+  // per point (~250 KB at the default ring) makes mega-series GC-bound
+  @transient private lazy val distScratch = new Array[Double](nWindows)
+  @transient private lazy val changeScratch = new Array[Boolean](nWindows)
+  @transient private lazy val takenScratch = new Array[Boolean](nWindows)
+  @transient private lazy val argsScratch = new Array[Int](kNeighbours)
+  @transient private lazy val valsScratch = new Array[Double](kNeighbours)
 
   @inline private def rollLeft(a: Array[Double], fill: Double): Unit = {
     System.arraycopy(a, 1, a, 0, a.length - 1)
@@ -115,7 +122,8 @@ final class StreamingKSN(
     // streaming _knn (:140-211)
     val idx = knnInsertIdx
     val startIdx = lbound - 1
-    val distRow = Array.fill(nWindows)(Double.PositiveInfinity)
+    val distRow = distScratch
+    java.util.Arrays.fill(distRow, Double.PositiveInfinity)
     if (firstFlag) {
       // seed: dot of the query window vs the filled suffix (direct O(m·w),
       // runs exactly once per series)
@@ -140,19 +148,36 @@ final class StreamingKSN(
         dotRolled(startIdx) = d
       }
     }
-    val rolledDist = dist.compute(idx, dotRolled, windowSize, preprocessing)
+    // distances only needed on [startIdx, nWindows): compute directly into
+    // distRow instead of materializing a full fresh row (zero-alloc path for
+    // the znormed default; other metrics fall back to compute())
     val vs = math.max(startIdx, 0)
-    var j = vs
-    while (j < nWindows) { distRow(j) = rolledDist(j); j += 1 }
+    preprocessing match {
+      case (means: Array[Double], stds: Array[Double]) if distanceName == "znormed_euclidean_distance" =>
+        val mi = means(idx); val si = stds(idx)
+        var j = vs
+        while (j < nWindows) {
+          distRow(j) = 2.0 * windowSize *
+            (1.0 - (dotRolled(j) - windowSize * means(j) * mi) / (windowSize * stds(j) * si))
+          j += 1
+        }
+      case _ =>
+        val rolledDist = dist.compute(idx, dotRolled, windowSize, preprocessing)
+        var j = vs
+        while (j < nWindows) { distRow(j) = rolledDist(j); j += 1 }
+    }
     // exclusion zone: mask with np.max(dist) (:196-197)
     var mx = Double.NegativeInfinity
-    j = 0
+    var j = 0
     while (j < nWindows) { if (distRow(j) > mx) mx = distRow(j); j += 1 }
     val e0 = math.max(0, idx - exclusionRadius)
     val e1 = math.min(idx + exclusionRadius, nWindows)
     j = e0
     while (j < e1) { distRow(j) = mx; j += 1 }
-    val (knnArgs, knnVals) = ArgKMin(distRow, math.max(lbound, 0), nWindows, kNeighbours)
+    val knnArgs = argsScratch
+    val knnVals = valsScratch
+    ArgKMin.into(distRow, math.max(lbound, 0), nWindows, kNeighbours,
+      knnArgs, knnVals, takenScratch)
     // update dot product (:209)
     j = 0
     while (j < nWindows) { dotRolled(j) -= timeSeries(idx) * timeSeries(j); j += 1 }
@@ -165,13 +190,14 @@ final class StreamingKSN(
       kk += 1
     }
     val lb = math.max(lbound, 0)
-    val changeMask = Array.fill(nWindows - lb)(true)
+    val changeMask = changeScratch
+    java.util.Arrays.fill(changeMask, lb, nWindows, true)
     var kdx = 0
     while (kdx < kNeighbours - 1) {
       var i = lb
       while (i < nWindows) {
-        if (distRow(i) < dists(i)(kdx) && changeMask(i - lb)) {
-          changeMask(i - lb) = false
+        if (distRow(i) < dists(i)(kdx) && changeMask(i)) {
+          changeMask(i) = false
           val oRow = knns(i); val dRow = dists(i)
           var m = kNeighbours - 1
           while (m > kdx) { oRow(m) = oRow(m - 1); dRow(m) = dRow(m - 1); m -= 1 }
@@ -194,7 +220,9 @@ final class StreamingKSN(
     val o2 = new Array[Array[Int]](rows)
     var i = 0
     while (i < rows) {
-      d2(i) = dists(lbound + i).clone()
+      // no defensive clone: downstream (ClaSS profile/validation) is
+      // read-only and the snapshot is consumed before the next update
+      d2(i) = dists(lbound + i)
       val row = new Array[Int](kNeighbours)
       var j = 0
       while (j < kNeighbours) {

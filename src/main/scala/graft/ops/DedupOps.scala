@@ -10,6 +10,16 @@ import org.apache.spark.sql.expressions.Window
   * O(n²) cross join. */
 object DedupOps {
 
+  /** Skip LSH buckets larger than `cap`: a degenerate bucket of size B
+    * yields B² candidate pairs, so one hot key can dominate the whole job
+    * (classic LSH skew). Capping trades bounded recall loss on pathological
+    * buckets for a hard bound on join fan-out — pairs inside a dropped
+    * bucket usually still collide in another band. */
+  private[ops] def capBuckets(df: DataFrame, key: String, cap: Int): DataFrame = {
+    val sizes = df.groupBy(key).count().filter(col("count") <= cap).drop("count")
+    df.join(sizes, Seq(key), "left_semi")
+  }
+
   /** Exact dedup: first doc_id wins per byte-identical text. At scale this
     * is one hash-shuffle on a 64-bit digest, never on the full text. */
   def exact(documents: DataFrame): DataFrame = {
@@ -29,12 +39,14 @@ object DedupOps {
         (s: Column) => size(split(s, " ")) === k))
   }
 
-  /** MinHash signature: nPerms independent permutations simulated by
-    * xxhash64(shingle, seed) minima — one array column, no UDF. */
-  def minhashSignature(text: Column, k: Int = 3, nPerms: Int = 16): Column =
+  /** MinHash signature from a PRE-COMPUTED shingle array column: nPerms
+    * independent permutations simulated by xxhash64(shingle, seed) minima —
+    * one array column, no UDF. Take shingles as a column so they are
+    * materialized once, not re-derived per permutation. */
+  def minhashSignature(sh: Column, nPerms: Int = 16): Column =
     transform(
       sequence(lit(0), lit(nPerms - 1)),
-      seed => array_min(transform(shingles(text, k), s => xxhash64(s, seed))))
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
 
   /** LSH band keys: signature split into `bands` bands of `rows` hashes,
     * each band hashed to one bucket key. */
@@ -50,29 +62,41 @@ object DedupOps {
       k: Int = 3,
       nPerms: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val withSig = documents
-      .select(col("doc_id"), col("text"), shingles(col("text"), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("text"), k, nPerms))
-      .withColumn("band", explode(lshBandKeys(col("sig"), bands, nPerms / bands)))
-      .select("doc_id", "sh", "band")
-    val a = withSig.select(col("band"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 64): DataFrame = {
+    // Native single-pass expressions (graft.functions.ShingleKernel) do the
+    // shingling/min-hashing/jaccard — the equivalent built-in HOF chains are
+    // interpreted per element and measured ~50× slower at sf0.1. The band
+    // self-join ships ONLY (band, id) pairs — at web scale the shingle
+    // arrays are by far the widest payload — and shingle-hash sets are
+    // re-attached for exact verification afterwards.
+    import graft.functions.functions.{hashed_shingles, minhash_sig, sorted_jaccard}
+    val withSh = documents.select(col("doc_id"), hashed_shingles(col("text"), k).as("sh"))
+    val banded = documents
+      .select(col("doc_id"), minhash_sig(col("text"), k, nPerms).as("sig"))
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, nPerms / bands)).as("band"))
+    val cand = capBuckets(banded, "band", maxBucketSize)
+      .select(col("band"), col("doc_id").as("doc_a"))
+      .join(capBuckets(banded, "band", maxBucketSize)
+        .select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(sorted_jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash-64 over token hashes: sign-sum of each bit weighted by token
-    * frequency, as a pure Catalyst expression chain. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
-    // for each bit i: +1 if set else -1, summed over tokens; bit set if sum>0
+  /** SimHash-64 over token hashes: sign-sum of each bit, bit set on
+    * majority. Pure built-in Column composition (64 aggregates over a
+    * PRE-COMPUTED hash array) — the reference semantics; the fast single-pass
+    * path is the native expression [[graft.functions.SimHash64]], proven
+    * equivalent in DedupOpsSpec. `hashes` must be `transform(tokens,
+    * xxhash64)`. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bitCols = (0 until 64).map { i =>
       when(
         aggregate(hashes, lit(0L),
@@ -82,6 +106,13 @@ object DedupOps {
     }
     bitCols.reduce((x, y) => x.bitwiseOR(y))
   }
+
+  def tokenHashes(text: Column): Column =
+    transform(split(trim(text), "\\s+"), t => xxhash64(t))
+
+  /** SimHash-64 of raw text — delegates to the native single-pass Catalyst
+    * expression (one data pass, stays in whole-stage codegen). */
+  def simhash(text: Column): Column = graft.functions.functions.simhash64(text)
 
   /** SimHash near-dup pairs: bucket on 16-bit chunks (hamming-distance <= 3
     * pairs collide in >= 1 of 4 chunks by pigeonhole), verify with exact

@@ -10,14 +10,20 @@ import org.apache.spark.sql.expressions.Window
   * bucket-local equi-join instead of a full cross join. */
 object SimilarityOps {
 
-  /** Cosine similarity of two float-array columns via zip_with + aggregate
-    * (codegen'd higher-order functions; doubles all the way). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via zip_with + aggregate — the reference Column
+    * composition, kept for the equivalence test. Higher-order lambdas are
+    * INTERPRETED by Catalyst; use [[cosine]] (native) in real plans. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
+
+  /** Cosine similarity of two float-array columns — native single-pass
+    * Catalyst expression, bit-identical to [[cosineHof]] (same sequential
+    * double folds). */
+  def cosine(a: Column, b: Column): Column = graft.functions.vector.cosine_f(a, b)
 
   /** Brute-force cosine top-k: queries × corpus with the query side
     * broadcast (no shuffle of the corpus), ranked per query. */
@@ -41,8 +47,9 @@ object SimilarityOps {
   private def plane(bit: Int, dim: Column): Column =
     (pmod(xxhash64(lit(bit), dim), lit(1000003L)).cast("double") / 500001.5) - 1.0
 
-  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long. */
-  def rhpSignature(emb: Column, nBits: Int = 16): Column = {
+  /** Random-hyperplane LSH signature via HOF composition (reference for the
+    * equivalence test; interpreted — use [[rhpSignature]] in plans). */
+  def rhpSignatureHof(emb: Column, nBits: Int = 16): Column = {
     val bits = (0 until nBits).map { b =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
@@ -53,16 +60,26 @@ object SimilarityOps {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long
+    * (native single-pass expression). */
+  def rhpSignature(emb: Column, nBits: Int = 16): Column =
+    graft.functions.vector.rhp_sig(emb, nBits)
+
   /** LSH-bucketed approximate near-duplicate pairs: same-signature vectors
     * are candidates (multi-probe over 4-bit chunks), verified by exact
     * cosine >= threshold. */
-  def lshNearDupPairs(corpus: DataFrame, threshold: Double = 0.9, nBits: Int = 16): DataFrame = {
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double = 0.9, nBits: Int = 32,
+      maxBucketSize: Int = 256): DataFrame = {
     val withSig = corpus.select(col("vec_id"), col("embedding"),
       rhpSignature(col("embedding"), nBits).as("sig"))
-    val chunks = withSig.select(col("vec_id"), col("embedding"),
-      explode(array((0 until nBits / 4).map(c =>
-        concat_ws(":", lit(c), shiftright(col("sig"), c * 4).bitwiseAND(lit(0xfL)))): _*))
+    // 8-bit chunks: candidates collide when any chunk matches exactly
+    // (pigeonhole covers hamming <= nChunks-1 over the signature); buckets
+    // capped like the MinHash path to bound hot-key fan-out
+    val chunksRaw = withSig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nBits / 8).map(c =>
+        concat_ws(":", lit(c), shiftright(col("sig"), c * 8).bitwiseAND(lit(0xffL)))): _*))
         .as("chunk"))
+    val chunks = DedupOps.capBuckets(chunksRaw, "chunk", maxBucketSize)
     val a = chunks.select(col("chunk"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = chunks.select(col("chunk"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("chunk"))

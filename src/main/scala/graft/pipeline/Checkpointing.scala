@@ -107,9 +107,12 @@ object Pipeline {
       case other => throw new IllegalArgumentException(s"unknown signal $other")
     }
 
-    val r1m = Rollup.adaptiveRollup(points, 60000L, "1m", segment).cache()
-    val r1h = Rollup.cascade(r1m, "1h").cache()
-    val r1d = Rollup.cascade(r1h, "1d")
+    // two-phase skew-safe rollup: chunked kernels bound the straggler,
+    // sequential in-kernel folds → bit-identical output at any parallelism
+    val all = Rollup.scalableRollupAllTiers(points, 60000L, segment).cache()
+    val r1m = all.filter(_.tier == "1m")
+    val r1h = all.filter(_.tier == "1h")
+    val r1d = all.filter(_.tier == "1d")
     // blobs from the cached 1m tier — never re-runs the O(n²) kernel
     val blobs = r1m.groupByKey(_.url)
       .flatMapGroups((url, it) => Rollup.kernelBlobs(url, it.toArray).iterator)
@@ -137,7 +140,7 @@ object Pipeline {
       spark.read.parquet(s"$outDir/tier=1h").count(),
       spark.read.parquet(s"$outDir/tier=1d").count(),
       blobCount)
-    r1m.unpersist(); r1h.unpersist()
+    all.unpersist()
     res
   }
 }

@@ -34,12 +34,14 @@ object Rollup {
   val TierMs: Map[String, Long] =
     Map("1m" -> 60000L, "1h" -> 3600000L, "1d" -> 86400000L)
 
-  /** Series longer than this many buckets are segmented chunk-wise (the
-    * reference's own guidance for mega-series: route to a linear-ish path
-    * rather than one O(n²) kernel — `claspy/notebooks/streaming_time_series
-    * .ipynb`; chunk decomposition mirrors `pranges`,
-    * `claspy/nearest_neighbour.py:389-400`). */
-  val MegaSeriesBuckets = 10000
+  /** Series longer than this many buckets route through the streaming ClaSS
+    * detector (the reference's own guidance for very large archives —
+    * `claspy/notebooks/streaming_time_series.ipynb`; its README cites sliding
+    * windows of 1k-10k). Beyond correctness this bounds the per-task tail:
+    * one O(n²) mega-series inside a single groupByKey task is the straggler
+    * that caps cluster scaling, so the threshold is also the knob that keeps
+    * max task time ~flat as data grows. */
+  val MegaSeriesBuckets = 4000
 
   // ------------------------------------------------------------------ kernel
 
@@ -108,8 +110,13 @@ object Rollup {
     val cps: Array[Int] =
       if (n <= MegaSeriesBuckets) segmentSafe(series, 0)
       else {
+        // jump=50: the reference's jump=5 suits LIVE detection latency; for
+        // offline epoch assignment a 50-bucket detection grid costs one
+        // ClaSS fit per 50 points (~10× less) and only quantizes epoch
+        // boundaries, which 1h/1d tiers re-bucket anyway
         val stream = new graft.kernel.streaming.StreamingClaSPSegmentation(
-          nTimepoints = MegaSeriesBuckets, nWarmupIn = MegaSeriesBuckets, logCps = true)
+          nTimepoints = MegaSeriesBuckets, nWarmupIn = MegaSeriesBuckets,
+          jump = 50, logCps = true)
         try {
           var i = 0
           while (i < n) { stream.update(series(i)); i += 1 }
@@ -183,6 +190,164 @@ object Rollup {
       .flatMapGroups { (url, it) =>
         val rows = kernelRollup(url, it.map(p => (p.ts, p.value)), bucketMs, "base", segment)
         kernelBlobs(url, rows).iterator
+      }
+  }
+
+  /** In-kernel tier aggregation: fold one url's 1m rows (already in bucket
+    * order) into a coarser tier SEQUENTIALLY. Same row set as [[cascade]],
+    * but the floating-point accumulation order is fixed, so output is
+    * bit-identical at any parallelism — the basis of the N-vs-4N bit-for-bit
+    * evidence. Also saves the cascade's extra shuffle: the per-url group is
+    * already co-located. */
+  def kernelTiers(rows1m: Array[RollupRow], tier: String): Array[RollupRow] = {
+    val ms = TierMs(tier)
+    val out = scala.collection.mutable.ArrayBuffer.empty[RollupRow]
+    var cur: RollupRow = null
+    val sorted = rows1m.sortBy(r => (r.epoch, r.bucket_start))
+    var i = 0
+    while (i < sorted.length) {
+      val r = sorted(i)
+      if (!r.gap_filled) {
+        val b = r.bucket_start - Math.floorMod(r.bucket_start, ms)
+        if (cur == null || cur.epoch != r.epoch || cur.bucket_start != b) {
+          if (cur != null) out += cur.copy(mean = cur.sum / cur.cnt)
+          cur = RollupRow(r.url, tier, r.epoch, b, r.cnt, r.sum, r.min, r.max, 0.0, gap_filled = false)
+        } else {
+          cur = cur.copy(cnt = cur.cnt + r.cnt, sum = cur.sum + r.sum,
+            min = math.min(cur.min, r.min), max = math.max(cur.max, r.max))
+        }
+      }
+      i += 1
+    }
+    if (cur != null) out += cur.copy(mean = cur.sum / cur.cnt)
+    out.toArray
+  }
+
+  /** Intermediate row of the scalable two-phase rollup: a real (non-gap)
+    * bucket aggregate, or (is_cp=true) a chunk-detected change point. */
+  final case class Phase1Row(url: String, bucket_start: Long,
+      cnt: Long, sum: Double, min: Double, max: Double, is_cp: Boolean)
+
+  /** SCALABLE two-phase rollup — the skew-safe path (SURVEY.md §4.3).
+    *
+    * Phase 1 keys by (url, time-chunk of `chunkBuckets` buckets): mega-series
+    * split across MANY tasks, so the slowest task is bounded by chunk size,
+    * not by the largest url (a single 10^7-point url would otherwise be the
+    * cluster-wide straggler). Each chunk task bucket-aggregates in timestamp
+    * order (deterministic fp) and runs ClaSP on its own gap-filled span —
+    * mirroring the reference's `pranges` decomposition
+    * (`claspy/nearest_neighbour.py:389-400`). Chunk edges force NO epoch
+    * boundary: a homogeneous chunk simply proposes no cps.
+    *
+    * Phase 2 keys by url over BUCKET rows (≤ one row per bucket, far smaller
+    * than raw points): a linear sequential walk gap-fills across chunk
+    * boundaries, assigns epochs from the union of chunk cps, and folds the
+    * 1h/1d tiers — all order-fixed, so output is bit-identical at any
+    * parallelism and identical to the single-kernel path for urls that fit
+    * one chunk. */
+  def scalableRollupAllTiers(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long = 60000L,
+      segment: Boolean = true,
+      chunkBuckets: Int = MegaSeriesBuckets): Dataset[RollupRow] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val chunkMs = bucketMs * chunkBuckets
+
+    val phase1: Dataset[Phase1Row] = points
+      .groupByKey(p => (p.url, Math.floorDiv(p.ts, chunkMs)))
+      .flatMapGroups { (key: (String, Long), it: Iterator[SeriesPoint]) =>
+        val url = key._1
+        val pts = it.map(p => (p.ts, p.value)).toArray
+        java.util.Arrays.sort(pts, Ordering.by[(Long, Double), (Long, Double)](identity))
+        val first = Math.floorDiv(pts.head._1, bucketMs)
+        val last = Math.floorDiv(pts.last._1, bucketMs)
+        val nB = (last - first + 1).toInt
+        val cnt = new Array[Long](nB)
+        val sum = new Array[Double](nB)
+        val mn = Array.fill(nB)(Double.PositiveInfinity)
+        val mx = Array.fill(nB)(Double.NegativeInfinity)
+        var i = 0
+        while (i < pts.length) {
+          val b = (Math.floorDiv(pts(i)._1, bucketMs) - first).toInt
+          val v = pts(i)._2
+          cnt(b) += 1; sum(b) += v
+          if (v < mn(b)) mn(b) = v
+          if (v > mx(b)) mx(b) = v
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Phase1Row]
+        var b = 0
+        while (b < nB) {
+          if (cnt(b) > 0)
+            out += Phase1Row(url, (first + b) * bucketMs, cnt(b), sum(b), mn(b), mx(b), is_cp = false)
+          b += 1
+        }
+        if (segment) {
+          val mean = new Array[Double](nB)
+          var lastMean = 0.0
+          b = 0
+          while (b < nB) {
+            if (cnt(b) > 0) lastMean = sum(b) / cnt(b)
+            mean(b) = lastMean
+            b += 1
+          }
+          for (cp <- segmentEpochCps(mean))
+            out += Phase1Row(url, (first + cp) * bucketMs, 0L, 0.0, 0.0, 0.0, is_cp = true)
+        }
+        out.iterator
+      }
+
+    phase1
+      .groupByKey(_.url)
+      .flatMapGroups { (url, it) =>
+        val all = it.toArray
+        val cps = all.filter(_.is_cp).map(_.bucket_start).distinct.sorted
+        val bkts = all.filter(!_.is_cp).sortBy(_.bucket_start)
+        val first = Math.floorDiv(bkts.head.bucket_start, bucketMs)
+        val last = Math.floorDiv(bkts.last.bucket_start, bucketMs)
+        val nB = (last - first + 1).toInt
+        val r1m = new Array[RollupRow](nB)
+        var bi = 0
+        var epoch = 0
+        var nextCp = 0
+        var lastMean = 0.0
+        var b = 0
+        while (b < nB) {
+          val bs = (first + b) * bucketMs
+          if (nextCp < cps.length && cps(nextCp) == bs) { epoch += 1; nextCp += 1 }
+          if (bi < bkts.length && bkts(bi).bucket_start == bs) {
+            val r = bkts(bi); bi += 1
+            lastMean = r.sum / r.cnt
+            r1m(b) = RollupRow(url, "1m", if (segment) epoch else -1, bs,
+              r.cnt, r.sum, r.min, r.max, lastMean, gap_filled = false)
+          } else {
+            r1m(b) = RollupRow(url, "1m", if (segment) epoch else -1, bs,
+              0L, 0.0, lastMean, lastMean, lastMean, gap_filled = true)
+          }
+          b += 1
+        }
+        r1m.iterator ++ kernelTiers(r1m, "1h").iterator ++ kernelTiers(r1m, "1d").iterator
+      }
+  }
+
+  /** Raw change-point indices of one gap-filled bucket-mean span (used by
+    * the chunked phase-1 kernels). */
+  def segmentEpochCps(series: Array[Double]): Array[Int] =
+    segmentSafe(series, 0)
+
+  /** Base + 1h + 1d tiers from ONE kernel pass per url (one shuffle total). */
+  def adaptiveRollupAllTiers(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long = 60000L,
+      segment: Boolean = true): Dataset[RollupRow] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.url)
+      .flatMapGroups { (url, it) =>
+        val r1m = kernelRollup(url, it.map(p => (p.ts, p.value)), bucketMs, "1m", segment)
+        (r1m.iterator ++ kernelTiers(r1m, "1h").iterator ++ kernelTiers(r1m, "1d").iterator)
       }
   }
 

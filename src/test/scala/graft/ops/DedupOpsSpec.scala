@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkTestBase
+
+class DedupOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("native SimHash64 expression equals the 64-aggregate Column composition") {
+    val both = docs.select(
+      graft.functions.functions.simhash64(col("text")).as("fast"),
+      DedupOps.simhashFromHashes(DedupOps.tokenHashes(col("text"))).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("native MinHashSig equals the HOF Column composition") {
+    import graft.functions.functions.minhash_sig
+    val both = docs.select(
+      minhash_sig(col("text"), 3, 16).as("fast"),
+      DedupOps.minhashSignature(DedupOps.shingles(col("text"), 3), 16).as("ref"))
+    assert(both.filter(to_json(col("fast")) =!= to_json(col("ref"))).count() == 0)
+  }
+
+  test("native sorted-hash jaccard equals string-set jaccard") {
+    import graft.functions.functions.{hashed_shingles, sorted_jaccard}
+    val sample = docs.limit(40).select(col("doc_id"), col("text"),
+      DedupOps.shingles(col("text"), 3).as("sh_str"),
+      hashed_shingles(col("text"), 3).as("sh_hash"))
+    val a = sample.select(col("doc_id").as("ida"), col("sh_str").as("sa"), col("sh_hash").as("ha"))
+    val b = sample.select(col("doc_id").as("idb"), col("sh_str").as("sb"), col("sh_hash").as("hb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+      .withColumn("j_str",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          greatest(size(array_union(col("sa"), col("sb"))), lit(1)))
+      .withColumn("j_hash", sorted_jaccard(col("ha"), col("hb")))
+    assert(pairs.filter(abs(col("j_str") - col("j_hash")) > 1e-12).count() == 0)
+  }
+
+  test("exact dedup keeps first doc per identical text") {
+    val withDup = docs.select("doc_id", "text")
+      .union(docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val kept = DedupOps.exact(withDup)
+    assert(kept.count() == docs.count())
+    assert(kept.filter($"doc_id" >= 100000).count() == 0)
+  }
+
+  test("minhash LSH finds exact clones at jaccard 1.0 and respects the threshold") {
+    val base = docs.select("doc_id", "text").limit(100)
+    val clones = base.select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val pairs = DedupOps.minhashLshPairs(base.union(clones), threshold = 0.5).cache()
+    val clonePairs = pairs.filter($"doc_b" === $"doc_a" + 100000)
+    assert(clonePairs.count() == 100)
+    assert(clonePairs.filter($"jaccard" =!= 1.0).count() == 0)
+    assert(pairs.filter($"jaccard" < 0.5).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("near-duplicates (small token edits) survive minhash LSH") {
+    val base = docs.select("doc_id", "text").limit(50)
+    // mutate ~1 token: append one word — high shingle overlap remains
+    val nearDups = base.select(($"doc_id" + 100000).as("doc_id"),
+      concat($"text", lit(" appended")).as("text"))
+    val pairs = DedupOps.minhashLshPairs(base.union(nearDups), threshold = 0.5)
+    val found = pairs.filter($"doc_b" === $"doc_a" + 100000).count()
+    assert(found >= 40, s"only $found of 50 near-dup pairs found")
+  }
+
+  test("simhash near-dup pairs: clones collide at hamming 0") {
+    val base = docs.select("doc_id", "text").limit(60)
+    val clones = base.select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val pairs = DedupOps.simhashPairs(base.union(clones), maxHamming = 3)
+    assert(pairs.filter($"doc_b" === $"doc_a" + 100000 && $"hamming" === 0).count() == 60)
+  }
+}

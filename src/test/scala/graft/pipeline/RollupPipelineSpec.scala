@@ -72,6 +72,58 @@ class RollupPipelineSpec extends SparkTestBase {
     assert(urlsWithEpochs >= byUrl.size / 2, s"only $urlsWithEpochs of ${byUrl.size} urls segmented")
   }
 
+  test("in-kernel tier fold matches the Catalyst cascade row-for-row") {
+    val points = CrawlSignals.pageSize(pages)
+    val r1m = Rollup.adaptiveRollup(points, 60000L, "1m", segment = false).cache()
+    val viaKernel = r1m.groupByKey(_.url)
+      .flatMapGroups((_, it) => Rollup.kernelTiers(it.toArray, "1h").iterator)
+    val viaCascade = Rollup.cascade(r1m, "1h")
+    val j = viaKernel.toDF().alias("k")
+      .join(viaCascade.toDF().alias("c"), Seq("url", "epoch", "bucket_start"), "full_outer")
+    assert(j.filter(col("k.cnt").isNull || col("c.cnt").isNull).count() == 0)
+    val bad = j.filter(col("k.cnt") =!= col("c.cnt") or
+      abs(col("k.sum") - col("c.sum")) > 1e-9 or
+      col("k.min") =!= col("c.min") or col("k.max") =!= col("c.max")).count()
+    assert(bad == 0)
+    r1m.unpersist()
+  }
+
+  test("scalable two-phase rollup equals the single-kernel path for single-chunk urls") {
+    val points = CrawlSignals.pageSize(pages)
+    val single = Rollup.adaptiveRollupAllTiers(points, 60000L, segment = true)
+    val scalable = Rollup.scalableRollupAllTiers(points, 60000L, segment = true)
+    assert(Checkpointing.contentHash(single.toDF()) ==
+      Checkpointing.contentHash(scalable.toDF()))
+  }
+
+  test("scalable rollup splits mega urls across chunks without seams") {
+    // one synthetic mega url: 12000 one-minute points → 3 chunks at 4000
+    val ptsSeq = (0 until 12000).map { i =>
+      val seg = i / 4500 // regime shifts NOT aligned to chunk boundaries
+      val period = 7.0 + 3.0 * seg
+      SeriesPoint("mega", i.toLong * 60000L,
+        1200.0 + 400.0 * math.sin(2 * math.Pi * i / period) + (i % 7))
+    }
+    val pts = ptsSeq.toDS()
+    val rows = Rollup.scalableRollupAllTiers(pts, 60000L, segment = true)
+      .filter(_.tier == "1m").collect().sortBy(_.bucket_start)
+    assert(rows.length == 12000)
+    assert(rows.forall(!_.gap_filled))
+    // epochs contiguous and non-decreasing across chunk boundaries
+    val epochs = rows.map(_.epoch)
+    assert(epochs.zip(epochs.tail).forall { case (a, b) => b == a || b == a + 1 })
+    assert(epochs.last >= 1, "regime shifts must be detected")
+    // no epoch boundary exactly at a chunk seam (4000/8000) unless a cp is real
+    val exact = rows.filter(_.cnt != 1).length
+    assert(exact == 0)
+    // determinism across partitioning
+    val h1 = Checkpointing.contentHash(
+      Rollup.scalableRollupAllTiers(pts.repartition(3), 60000L, segment = true).toDF())
+    val h2 = Checkpointing.contentHash(
+      Rollup.scalableRollupAllTiers(pts.repartition(17), 60000L, segment = true).toDF())
+    assert(h1 == h2)
+  }
+
   test("gorilla blobs reconstruct the 1m mean stream exactly") {
     val points = CrawlSignals.pageSize(pages)
     val r1m = Rollup.adaptiveRollup(points, 60000L, "1m", segment = true).cache()
