@@ -89,6 +89,20 @@ class KernelGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("multivariate segmentation matches the reference (per-dim window + 1e-30 threshold)") {
+    val j = load("multivariate")
+    val JArray(cases) = (j \ "cases"): @unchecked
+    for (c <- cases) {
+      val seed = (c \ "seed").values.asInstanceOf[BigInt].toInt
+      val JArray(dimsJ) = (c \ "dims"): @unchecked
+      val dims = dimsJ.map(doubles).toArray
+      val seg = new BinaryClaSPSegmentation().fit(dims)
+      assert(seg.windowSize == (c \ "window_size").values.asInstanceOf[BigInt].toInt,
+        s"window size seed=$seed")
+      assert(seg.changePoints.toSeq == ints(c \ "cps").toSeq, s"cps seed=$seed")
+    }
+  }
+
   test("fixed-window ensemble + segmentation match the reference") {
     val j = load("fixed_window")
     val ts = doubles(j \ "ts")

@@ -318,3 +318,31 @@ for kind, n, seed, n_tp, n_wu in [("freq_shift", 2000, 3, 1000, 300),
         "profile": sanitize(stream.profile),
     })
 dump("streaming_segmentation", {"cases": seg_cases})
+
+
+# 7. multivariate segmentation (per-dim window size + min, threshold 1e-30,
+# per-dim distance z-normalisation — segmentation.py:205-232)
+mv_cases = []
+for seed, noise, nlen in ((3, 0.12, 1200), (9, 0.04, 2000)):
+    rng = np.random.RandomState(seed)
+    n = nlen
+    cps_true = [n // 3, 2 * n // 3]
+    dims = []
+    for d in range(3):
+        parts = []
+        b = [0] + cps_true + [n]
+        for s in range(3):
+            t = np.arange(b[s + 1] - b[s])
+            period = [8.0, 29.0, 15.0][(s + d) % 3]
+            parts.append(np.sin(2 * np.pi * t / period) + noise * rng.randn(len(t)))
+        dims.append(np.concatenate(parts))
+    ts2d = np.stack(dims, axis=1)  # (n, d)
+    seg = BinaryClaSPSegmentation(n_jobs=1)
+    cps_pred = seg.fit_predict(ts2d)
+    mv_cases.append({
+        "seed": seed,
+        "dims": [[float(x) for x in dim] for dim in dims],
+        "window_size": int(seg.window_size),
+        "cps": [int(c) for c in cps_pred],
+    })
+dump("multivariate", {"cases": mv_cases})
