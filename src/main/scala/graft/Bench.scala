@@ -20,7 +20,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // 4× cores: the kernel stage is CPU-bound with heavy-tailed per-key
+      // 8× cores: the kernel stage is CPU-bound with heavy-tailed per-key
       // cost (mega-series), so extra partitions let fast tasks drain while
       // stragglers run
       .config("spark.sql.shuffle.partitions", (cpus.toInt * 8).toString)
@@ -60,7 +60,10 @@ object Bench {
         .collect()
       val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
       val total = rows.map(r => BigDecimal(r.getDecimal(2))).sum
-      (counts, (total % BigDecimal(Long.MaxValue)).toLong)
+      // same pmod reduction as Checkpointing.contentHashCol so the bench
+      // hash and the checkpoint manifests are cross-comparable
+      val m = total % BigDecimal(Long.MaxValue)
+      (counts, (if (m < 0) m + BigDecimal(Long.MaxValue) else m).toLong)
     }
     val rolledRows = tierCounts.values.sum
     val pipelineWall = (System.nanoTime() - t0) / 1e9
@@ -79,11 +82,17 @@ object Bench {
     val total = pipelineWall + results.map(_._2).sum
     val tiers = tierCounts.toSeq.sortBy(_._1)
       .map { case (t, c) => "\"" + t + "\":" + c }.mkString("{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""parallelism":$cpus,"pipeline":{"n_urls":$nUrls,"n_points":$nPoints,""" +
       s""""rolled_rows":$rolledRows,"tier_rows":$tiers,"wall_sec":$pipelineWall,""" +
-      s""""rolled_points_per_sec":$pointsPerSec,"rollup_hash":$hash}}""")
+      s""""rolled_points_per_sec":$pointsPerSec,"rollup_hash":$hash}}"""
+    // stdout gets wrapped in sbt's [info] prefix and interleaved with logs;
+    // the file is the parse-safe channel for the driver
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

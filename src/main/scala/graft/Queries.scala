@@ -51,12 +51,12 @@ object Queries {
           round(avg("value"), 6).as("mean_val"))),
 
     "q02_rollup_1h_kernel" -> ((s, dir) =>
-      rollupOut(Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = false)
+      rollupOut(Rollup.scalableRollup(eventPoints(s, dir), 3600000L, "1h", segment = false)
         .filter(!_.gap_filled).toDF())),
 
     "q03_rollup_1d_cascade" -> ((s, dir) =>
       rollupOut(Rollup.cascade(
-        Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = false),
+        Rollup.scalableRollup(eventPoints(s, dir), 3600000L, "1h", segment = false),
         "1d").toDF())),
 
     "q04_gapfill_1h" -> ((s, dir) => {
@@ -111,21 +111,21 @@ object Queries {
 
     // --- kernel / segmentation queries (not SQL-expressible: rows-only)
     "q13_epoch_rollup_1h" -> ((s, dir) =>
-      Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = true)
+      Rollup.scalableRollup(eventPoints(s, dir), 3600000L, "1h", segment = true)
         .toDF()
         .select(col("url").as("user_id"), col("epoch"),
           timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
           col("cnt"), round(col("mean"), 6).as("mean_val"), col("gap_filled"))),
 
     "q14_clasp_summary" -> ((s, dir) =>
-      Rollup.adaptiveRollup(eventPoints(s, dir), 3600000L, "1h", segment = true)
+      Rollup.scalableRollup(eventPoints(s, dir), 3600000L, "1h", segment = true)
         .toDF()
         .groupBy(col("url").as("user_id"))
         .agg((max("epoch") + 1).as("n_epochs"), count(lit(1)).as("n_buckets"),
           sum(when(col("gap_filled"), 1L).otherwise(0L)).as("n_gap_buckets"))),
 
     "q15_gorilla_blobs" -> ((s, dir) =>
-      Rollup.epochBlobs(eventPoints(s, dir), 3600000L, segment = false)
+      Rollup.scalableEpochBlobs(eventPoints(s, dir), 3600000L, segment = false)
         .toDF()
         .select(col("url").as("user_id"), col("epoch"), col("n_buckets"),
           octet_length(col("gorilla")).as("blob_bytes"),

@@ -58,7 +58,9 @@ object Checkpointing {
     if (pendingPoints.isEmpty) return 0
 
     val t0 = System.nanoTime()
-    val rollups = Rollup.adaptiveRollup(
+    // two-phase skew-safe kernel: resume buckets shard by url-hash, the
+    // chunked phase-1 additionally bounds per-task work within a bucket
+    val rollups = Rollup.scalableRollup(
         pendingPoints.select("url", "ts", "value").as[SeriesPoint], bucketMs, "1m", segment)
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
 

@@ -121,7 +121,7 @@ object Rollup {
           var i = 0
           while (i < n) { stream.update(series(i)); i += 1 }
           stream.changePoints.filter(c => c > 0 && c < n).distinct.sorted.toArray
-        } catch { case _: Exception => Array.empty[Int] }
+        } catch { case e: Exception => logSegmentFailure(e); Array.empty[Int] }
       }
     val epochs = new Array[Int](n)
     var e = 0; var next = 0; var i = 0
@@ -147,7 +147,20 @@ object Rollup {
     }
     if (!(mx - mn > 0) || mx.isNaN || mn.isNaN) return Array.empty
     try new BinaryClaSPSegmentation().fitPredict(series).map(_ + offset)
-    catch { case _: Exception => Array.empty }
+    catch { case e: Exception => logSegmentFailure(e); Array.empty }
+  }
+
+  /** Kernel-failure telemetry: degraded epoch assignment (all epoch=0) must
+    * never be silent. Counted per-executor and logged (first few in full) so
+    * a kernel regression shows up in task logs and can be asserted on. */
+  val segmentFailures = new java.util.concurrent.atomic.LongAdder
+  private def logSegmentFailure(e: Exception): Unit = {
+    segmentFailures.increment()
+    val n = segmentFailures.sum()
+    if (n <= 5)
+      System.err.println(s"[graft] ClaSP segmentation failed (#$n), falling back to single epoch: $e")
+    else if (n % 1000 == 0)
+      System.err.println(s"[graft] ClaSP segmentation failures so far: $n")
   }
 
   /** Gorilla blobs per (url, epoch) over the base-tier (bucket_start, mean)
@@ -228,33 +241,23 @@ object Rollup {
   final case class Phase1Row(url: String, bucket_start: Long,
       cnt: Long, sum: Double, min: Double, max: Double, is_cp: Boolean)
 
-  /** SCALABLE two-phase rollup — the skew-safe path (SURVEY.md §4.3).
-    *
-    * Phase 1 keys by (url, time-chunk of `chunkBuckets` buckets): mega-series
-    * split across MANY tasks, so the slowest task is bounded by chunk size,
-    * not by the largest url (a single 10^7-point url would otherwise be the
-    * cluster-wide straggler). Each chunk task bucket-aggregates in timestamp
-    * order (deterministic fp) and runs ClaSP on its own gap-filled span —
-    * mirroring the reference's `pranges` decomposition
-    * (`claspy/nearest_neighbour.py:389-400`). Chunk edges force NO epoch
-    * boundary: a homogeneous chunk simply proposes no cps.
-    *
-    * Phase 2 keys by url over BUCKET rows (≤ one row per bucket, far smaller
-    * than raw points): a linear sequential walk gap-fills across chunk
-    * boundaries, assigns epochs from the union of chunk cps, and folds the
-    * 1h/1d tiers — all order-fixed, so output is bit-identical at any
-    * parallelism and identical to the single-kernel path for urls that fit
-    * one chunk. */
-  def scalableRollupAllTiers(
+  /** Phase 1 of the scalable rollup: key by (url, time-chunk of
+    * `chunkBuckets` buckets) so mega-series split across MANY tasks — the
+    * slowest task is bounded by chunk size, not by the largest url (a single
+    * 10^7-point url would otherwise be the cluster-wide straggler). Each
+    * chunk task bucket-aggregates in timestamp order (deterministic fp) and
+    * runs ClaSP on its own gap-filled span — mirroring the reference's
+    * `pranges` decomposition (`claspy/nearest_neighbour.py:389-400`). Chunk
+    * edges force NO epoch boundary: a homogeneous chunk proposes no cps. */
+  private def phase1Chunks(
       points: Dataset[SeriesPoint],
-      bucketMs: Long = 60000L,
-      segment: Boolean = true,
-      chunkBuckets: Int = MegaSeriesBuckets): Dataset[RollupRow] = {
+      bucketMs: Long,
+      segment: Boolean,
+      chunkBuckets: Int): Dataset[Phase1Row] = {
     val spark = points.sparkSession
     import spark.implicits._
     val chunkMs = bucketMs * chunkBuckets
-
-    val phase1: Dataset[Phase1Row] = points
+    points
       .groupByKey(p => (p.url, Math.floorDiv(p.ts, chunkMs)))
       .flatMapGroups { (key: (String, Long), it: Iterator[SeriesPoint]) =>
         val url = key._1
@@ -297,37 +300,98 @@ object Rollup {
         }
         out.iterator
       }
+  }
 
-    phase1
+  /** Phase 2 walk of the scalable rollup: one url's BUCKET rows (≤ one row
+    * per bucket, far smaller than raw points) → a linear sequential walk that
+    * gap-fills across chunk boundaries and assigns epochs from the union of
+    * chunk cps — all order-fixed, so output is bit-identical at any
+    * parallelism and identical to [[kernelRollup]] for urls that fit one
+    * chunk (proven in RollupPipelineSpec). */
+  private def phase2BaseRows(
+      url: String,
+      all: Array[Phase1Row],
+      bucketMs: Long,
+      segment: Boolean,
+      tier: String): Array[RollupRow] = {
+    val cps = all.filter(_.is_cp).map(_.bucket_start).distinct.sorted
+    val bkts = all.filter(!_.is_cp).sortBy(_.bucket_start)
+    val first = Math.floorDiv(bkts.head.bucket_start, bucketMs)
+    val last = Math.floorDiv(bkts.last.bucket_start, bucketMs)
+    val nB = (last - first + 1).toInt
+    val base = new Array[RollupRow](nB)
+    var bi = 0
+    var epoch = 0
+    var nextCp = 0
+    var lastMean = 0.0
+    var b = 0
+    while (b < nB) {
+      val bs = (first + b) * bucketMs
+      if (nextCp < cps.length && cps(nextCp) == bs) { epoch += 1; nextCp += 1 }
+      if (bi < bkts.length && bkts(bi).bucket_start == bs) {
+        val r = bkts(bi); bi += 1
+        lastMean = r.sum / r.cnt
+        base(b) = RollupRow(url, tier, if (segment) epoch else -1, bs,
+          r.cnt, r.sum, r.min, r.max, lastMean, gap_filled = false)
+      } else {
+        base(b) = RollupRow(url, tier, if (segment) epoch else -1, bs,
+          0L, 0.0, lastMean, lastMean, lastMean, gap_filled = true)
+      }
+      b += 1
+    }
+    base
+  }
+
+  /** SCALABLE two-phase rollup, all three tiers from one kernel pass — the
+    * skew-safe path (SURVEY.md §4.3): [[phase1Chunks]] bounds the straggler,
+    * [[phase2BaseRows]] + [[kernelTiers]] fold sequentially per url. */
+  def scalableRollupAllTiers(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long = 60000L,
+      segment: Boolean = true,
+      chunkBuckets: Int = MegaSeriesBuckets): Dataset[RollupRow] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    phase1Chunks(points, bucketMs, segment, chunkBuckets)
       .groupByKey(_.url)
       .flatMapGroups { (url, it) =>
-        val all = it.toArray
-        val cps = all.filter(_.is_cp).map(_.bucket_start).distinct.sorted
-        val bkts = all.filter(!_.is_cp).sortBy(_.bucket_start)
-        val first = Math.floorDiv(bkts.head.bucket_start, bucketMs)
-        val last = Math.floorDiv(bkts.last.bucket_start, bucketMs)
-        val nB = (last - first + 1).toInt
-        val r1m = new Array[RollupRow](nB)
-        var bi = 0
-        var epoch = 0
-        var nextCp = 0
-        var lastMean = 0.0
-        var b = 0
-        while (b < nB) {
-          val bs = (first + b) * bucketMs
-          if (nextCp < cps.length && cps(nextCp) == bs) { epoch += 1; nextCp += 1 }
-          if (bi < bkts.length && bkts(bi).bucket_start == bs) {
-            val r = bkts(bi); bi += 1
-            lastMean = r.sum / r.cnt
-            r1m(b) = RollupRow(url, "1m", if (segment) epoch else -1, bs,
-              r.cnt, r.sum, r.min, r.max, lastMean, gap_filled = false)
-          } else {
-            r1m(b) = RollupRow(url, "1m", if (segment) epoch else -1, bs,
-              0L, 0.0, lastMean, lastMean, lastMean, gap_filled = true)
-          }
-          b += 1
-        }
+        val r1m = phase2BaseRows(url, it.toArray, bucketMs, segment, "1m")
         r1m.iterator ++ kernelTiers(r1m, "1h").iterator ++ kernelTiers(r1m, "1d").iterator
+      }
+  }
+
+  /** SCALABLE two-phase rollup at a single base tier (same rows as
+    * [[adaptiveRollup]], bit-equal per RollupPipelineSpec, but skew-safe:
+    * no task ever materializes one url's full raw-point series). */
+  def scalableRollup(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long = 60000L,
+      tier: String = "1m",
+      segment: Boolean = true,
+      chunkBuckets: Int = MegaSeriesBuckets): Dataset[RollupRow] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    phase1Chunks(points, bucketMs, segment, chunkBuckets)
+      .groupByKey(_.url)
+      .flatMapGroups { (url, it) =>
+        phase2BaseRows(url, it.toArray, bucketMs, segment, tier).iterator
+      }
+  }
+
+  /** Gorilla blobs per (url, epoch) via the skew-safe two-phase path — same
+    * output as [[epochBlobs]] (phase-2 base rows are bit-equal to the
+    * single-kernel rows), but phase 1 never buffers a whole raw series. */
+  def scalableEpochBlobs(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long = 60000L,
+      segment: Boolean = true,
+      chunkBuckets: Int = MegaSeriesBuckets): Dataset[EpochBlob] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    phase1Chunks(points, bucketMs, segment, chunkBuckets)
+      .groupByKey(_.url)
+      .flatMapGroups { (url, it) =>
+        kernelBlobs(url, phase2BaseRows(url, it.toArray, bucketMs, segment, "base")).iterator
       }
   }
 

@@ -39,6 +39,64 @@ object StreamStage {
       CpEvent(url, cp, state.ingested.toLong)).toList
   }
 
+  private def newState(cfg: Config) =
+    new StreamingClaSPSegmentation(cfg.nTimepoints, cfg.nWarmup,
+      jump = cfg.jump, logCps = cfg.logCps)
+
+  /** Lazily walk one partition sorted by (url, ts): one ring-buffer detector
+    * live at a time, cps emitted as detected — O(ring) memory per task, never
+    * a whole series (the single-phase `it.toArray` was the one spot a
+    * mega-series could blow a task heap). */
+  private def cpWalk(rows: Iterator[SeriesPoint], cfg: Config): Iterator[CpEvent] =
+    new Iterator[CpEvent] {
+      private var curUrl: String = null
+      private var state: StreamingClaSPSegmentation = null
+      private var emitted = 0
+      private val pending = scala.collection.mutable.Queue.empty[CpEvent]
+      private def advance(): Unit =
+        while (pending.isEmpty && rows.hasNext) {
+          val p = rows.next()
+          if (curUrl == null || p.url != curUrl) {
+            curUrl = p.url; state = newState(cfg); emitted = 0
+          }
+          state.update(p.value)
+          while (emitted < state.changePoints.length) {
+            pending.enqueue(CpEvent(curUrl, state.changePoints(emitted), state.ingested.toLong))
+            emitted += 1
+          }
+        }
+      def hasNext: Boolean = { advance(); pending.nonEmpty }
+      def next(): CpEvent = { advance(); pending.dequeue() }
+    }
+
+  /** Same group-walk, emitting one summary per url at its group boundary. */
+  private def summaryWalk(rows: Iterator[SeriesPoint], cfg: Config): Iterator[StreamSummary] =
+    new Iterator[StreamSummary] {
+      private var curUrl: String = null
+      private var state: StreamingClaSPSegmentation = null
+      private var n = 0L
+      private var out: StreamSummary = null
+      private def finishGroup() = StreamSummary(curUrl, n,
+        if (state.isWarmedUp) state.windowSize else -1,
+        state.changePoints.length, state.lastCp)
+      private def advance(): Unit = {
+        while (out == null && rows.hasNext) {
+          val p = rows.next()
+          if (curUrl == null) { curUrl = p.url; state = newState(cfg); n = 0L }
+          else if (p.url != curUrl) {
+            out = finishGroup()
+            curUrl = p.url; state = newState(cfg); n = 0L
+          }
+          state.update(p.value); n += 1
+        }
+        if (out == null && curUrl != null && !rows.hasNext) {
+          out = finishGroup(); curUrl = null
+        }
+      }
+      def hasNext: Boolean = { advance(); out != null }
+      def next(): StreamSummary = { advance(); val s = out; out = null; s }
+    }
+
   /** Structured Streaming: one ClaSS state machine per url inside
     * flatMapGroupsWithState; emits newly detected change points per batch. */
   def detectStream(points: Dataset[SeriesPoint], cfg: Config = Config())
@@ -52,9 +110,9 @@ object StreamStage {
       .flatMapGroupsWithState[StreamingClaSPSegmentation, CpEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (url: String, it: Iterator[SeriesPoint], gs: GroupState[StreamingClaSPSegmentation]) =>
-          val state = gs.getOption.getOrElse(
-            new StreamingClaSPSegmentation(cfg.nTimepoints, cfg.nWarmup,
-              jump = cfg.jump, logCps = cfg.logCps))
+          val state = gs.getOption.getOrElse(newState(cfg))
+          // per-group buffer here is bounded by ONE micro-batch of one url
+          // (cap via maxOffsetsPerTrigger/maxFilesPerTrigger), not a series
           val out = feed(state, url, it.toArray.sortBy(_.ts).iterator)
           gs.update(state)
           out.iterator
@@ -68,11 +126,11 @@ object StreamStage {
       : Dataset[CpEvent] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.groupByKey(_.url).flatMapGroups { (url, it) =>
-      val state = new StreamingClaSPSegmentation(cfg.nTimepoints, cfg.nWarmup,
-        jump = cfg.jump, logCps = cfg.logCps)
-      feed(state, url, it.toArray.sortBy(_.ts).iterator).iterator
-    }
+    import org.apache.spark.sql.functions.col
+    // secondary sort instead of per-group toArray: repartition co-locates a
+    // url, sortWithinPartitions orders it, the walk streams through
+    points.repartition(col("url")).sortWithinPartitions(col("url"), col("ts"))
+      .mapPartitions(it => cpWalk(it, cfg))
   }
 
   /** Batch replay summary (always one row per url — used by rows-only
@@ -81,14 +139,8 @@ object StreamStage {
       : Dataset[StreamSummary] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.groupByKey(_.url).mapGroups { (url, it) =>
-      val state = new StreamingClaSPSegmentation(cfg.nTimepoints, cfg.nWarmup,
-        jump = cfg.jump, logCps = cfg.logCps)
-      val pts = it.toArray.sortBy(_.ts)
-      pts.foreach(p => state.update(p.value))
-      StreamSummary(url, pts.length.toLong,
-        if (state.isWarmedUp) state.windowSize else -1,
-        state.changePoints.length, state.lastCp)
-    }
+    import org.apache.spark.sql.functions.col
+    points.repartition(col("url")).sortWithinPartitions(col("url"), col("ts"))
+      .mapPartitions(it => summaryWalk(it, cfg))
   }
 }
