@@ -78,6 +78,58 @@ object Eval {
     total / tsLen
   }
 
+  /** Adjusted mutual information between two labelings — the metric of the
+    * reference's state-detection floor tests
+    * (`claspy/tests/state_detection_test.py:25,47`). Standard published
+    * formula (Vinh et al. 2010), arithmetic normalizer like sklearn's
+    * default: AMI = (MI − E[MI]) / (mean(H(U), H(V)) − E[MI]), with E[MI]
+    * the hypergeometric expectation computed via log-gamma. */
+  def adjustedMutualInfo(a: Array[Int], b: Array[Int]): Double = {
+    require(a.length == b.length && a.nonEmpty)
+    val n = a.length
+    val ua = a.distinct.sorted
+    val ub = b.distinct.sorted
+    val ia = ua.zipWithIndex.toMap
+    val ib = ub.zipWithIndex.toMap
+    val cont = Array.ofDim[Long](ua.length, ub.length)
+    for (k <- a.indices) cont(ia(a(k)))(ib(b(k))) += 1
+    val ai = Array.tabulate(ua.length)(i => cont(i).sum)
+    val bj = Array.tabulate(ub.length)(j => cont.map(_(j)).sum)
+    if (ua.length == 1 && ub.length == 1) return 1.0
+
+    def h(counts: Array[Long]): Double =
+      -counts.filter(_ > 0).map { c => val p = c.toDouble / n; p * math.log(p) }.sum
+    val hu = h(ai); val hv = h(bj)
+
+    var mi = 0.0
+    for (i <- ua.indices; j <- ub.indices if cont(i)(j) > 0) {
+      val nij = cont(i)(j).toDouble
+      mi += (nij / n) * math.log(n * nij / (ai(i).toDouble * bj(j)))
+    }
+
+    import org.apache.commons.math3.special.Gamma.logGamma
+    def lf(x: Long): Double = logGamma(x + 1.0)
+    var emi = 0.0
+    for (i <- ua.indices; j <- ub.indices) {
+      val lo = math.max(1L, ai(i) + bj(j) - n)
+      val hi = math.min(ai(i), bj(j))
+      var nij = lo
+      while (nij <= hi) {
+        val term1 = nij.toDouble / n * math.log(n.toDouble * nij / (ai(i).toDouble * bj(j)))
+        val logP = lf(ai(i)) + lf(bj(j)) + lf(n - ai(i)) + lf(n - bj(j)) -
+          lf(n) - lf(nij) - lf(ai(i) - nij) - lf(bj(j) - nij) - lf(n - ai(i) - bj(j) + nij)
+        emi += term1 * math.exp(logP)
+        nij += 1
+      }
+    }
+
+    val normalizer = (hu + hv) / 2.0
+    val denom0 = normalizer - emi
+    val eps = java.lang.Double.MIN_VALUE
+    val denom = if (denom0 < 0) math.min(denom0, -eps) else math.max(denom0, eps)
+    (mi - emi) / denom
+  }
+
   /** create_state_labels (utils.py:203-240): densify (cps, segment labels). */
   def createStateLabels(cps: Array[Int], labels: Array[Int], tsLen: Int): Array[Int] = {
     val segments = Array(0) ++ cps ++ Array(tsLen)

@@ -53,6 +53,33 @@ final class NumpyRandom(seed: Long) {
     y.toLong & 0xffffffffL
   }
 
+  /** numpy-legacy `RandomState.shuffle` of a 1-D array: Fisher–Yates from
+    * the top, `j = rk_interval(i)` inclusive (mtrand shuffle loop). Used by
+    * `permutation`, which backs both `np.random.choice(..., replace=False)`
+    * (claspy/clap.py:143,152) and sklearn `KFold(shuffle=True)`. */
+  def shuffle(arr: Array[Int]): Unit = {
+    var i = arr.length - 1
+    while (i > 0) {
+      val j = randintBelow(i + 1L).toInt
+      val t = arr(i); arr(i) = arr(j); arr(j) = t
+      i -= 1
+    }
+  }
+
+  /** `RandomState.permutation(n)` = arange(n) shuffled in place. */
+  def permutation(n: Int): Array[Int] = {
+    val a = Array.tabulate(n)(identity)
+    shuffle(a)
+    a
+  }
+
+  /** Legacy `choice(a, size, replace=False)` without probabilities:
+    * `a[permutation(len(a))[:size]]` (mtrand choice). */
+  def choiceNoReplace(candidates: Array[Int], size: Int): Array[Int] = {
+    val perm = permutation(candidates.length)
+    Array.tabulate(math.min(size, candidates.length))(k => candidates(perm(k)))
+  }
+
   /** numpy-legacy rk_interval for max <= 0xffffffff: masked rejection. */
   def randintBelow(n: Long): Long = {
     require(n > 0 && n <= 0xffffffffL)

@@ -346,3 +346,224 @@ for seed, noise, nlen in ((3, 0.12, 1200), (9, 0.04, 2000)):
         "cps": [int(c) for c in cps_pred],
     })
 dump("multivariate", {"cases": mv_cases})
+
+
+# 8. CLaP + AgglomerativeCLaPDetection (state detection)
+#
+# clap.py/state_detection.py import sklearn (KFold, f1_score, confusion_matrix),
+# aeon (the window classifiers) and networkx (plot-only). sklearn pieces are
+# stubbed FAITHFULLY in pure numpy below (KFold's shuffle uses the real
+# numpy RandomState, so MT19937 semantics are the genuine article). The aeon
+# classifier slot is external to the reference's own logic; we substitute a
+# deterministic 1-NN implemented operation-for-operation like the Scala
+# NN1Classifier, so every fixture pins the reference's dataset construction,
+# subselection, CV split, merge loop and process extraction EXACTLY.
+
+def _kfold_split(n, n_splits, seed):
+    indices = np.arange(n)
+    np.random.RandomState(seed).shuffle(indices)
+    fold_sizes = np.full(n_splits, n // n_splits, dtype=int)
+    fold_sizes[: n % n_splits] += 1
+    ar = np.arange(n)
+    current = 0
+    for fs in fold_sizes:
+        chunk = indices[current:current + fs]
+        mask = np.zeros(n, dtype=bool)
+        mask[chunk] = True
+        yield ar[~mask], ar[mask]
+        current += fs
+
+class _KFold:
+    def __init__(self, n_splits=5, shuffle=False, random_state=None):
+        self.n_splits, self.shuffle, self.random_state = n_splits, shuffle, random_state
+    def split(self, X):
+        assert self.shuffle
+        return _kfold_split(len(X), self.n_splits, self.random_state)
+
+def _sk_confusion_matrix(y_true, y_pred):
+    labels = np.unique(np.concatenate([y_true, y_pred]))
+    idx = {l: i for i, l in enumerate(labels)}
+    cm = np.zeros((len(labels), len(labels)), dtype=np.int64)
+    for t, p in zip(y_true, y_pred):
+        cm[idx[t], idx[p]] += 1
+    return cm
+
+def _sk_f1_score(y_true, y_pred, average="macro"):
+    assert average == "macro"
+    labels = np.unique(np.concatenate([y_true, y_pred]))
+    total = 0.0
+    for l in labels:
+        tp = float(np.sum((y_true == l) & (y_pred == l)))
+        fp = float(np.sum((y_true != l) & (y_pred == l)))
+        fn = float(np.sum((y_true == l) & (y_pred != l)))
+        pre = tp / (tp + fp) if tp + fp > 0 else 0.0
+        re = tp / (tp + fn) if tp + fn > 0 else 0.0
+        total += (2.0 * pre * re / (pre + re)) if pre + re > 0 else 0.0
+    return total / len(labels)
+
+sk_metrics = types.ModuleType("sklearn.metrics")
+sk_metrics.f1_score = _sk_f1_score
+sk_metrics.confusion_matrix = _sk_confusion_matrix
+sk_ms = types.ModuleType("sklearn.model_selection")
+sk_ms.KFold = _KFold
+sklearn.metrics = sk_metrics
+sklearn.model_selection = sk_ms
+sys.modules["sklearn.metrics"] = sk_metrics
+sys.modules["sklearn.model_selection"] = sk_ms
+
+class _NN1:
+    """Deterministic 1-NN stand-in for the aeon classifier slot. Squared
+    euclidean accumulated PER FEATURE left-to-right (acc += d*d elementwise)
+    so each train-row distance has the same FP op order as the Scala loop;
+    argmin takes the first minimum."""
+    def __init__(self, *a, **k):
+        pass
+    def fit(self, X, y):
+        X = np.asarray(X, dtype=float)
+        self.X = X.reshape(len(X), -1)
+        self.y = np.asarray(y)
+        return self
+    def predict(self, X):
+        X = np.asarray(X, dtype=float).reshape(len(X), -1)
+        out = np.empty(len(X), dtype=self.y.dtype)
+        for i in range(len(X)):
+            acc = np.zeros(len(self.X))
+            for j in range(self.X.shape[1]):
+                d = self.X[:, j] - X[i, j]
+                acc += d * d
+            out[i] = self.y[int(np.argmin(acc))]
+        return out
+
+aeon = types.ModuleType("aeon")
+aeon_cls = types.ModuleType("aeon.classification")
+aeon_cls.DummyClassifier = _NN1
+for sub, names in [("convolution_based", ["MultiRocketHydraClassifier", "RocketClassifier"]),
+                   ("dictionary_based", ["WEASEL_V2"]),
+                   ("distance_based", ["ProximityForest"]),
+                   ("feature_based", ["FreshPRINCEClassifier"]),
+                   ("interval_based", ["QUANTClassifier"])]:
+    m = types.ModuleType(f"aeon.classification.{sub}")
+    for nm in names:
+        setattr(m, nm, _NN1)
+    setattr(aeon_cls, sub, m)
+    sys.modules[f"aeon.classification.{sub}"] = m
+rdst = types.ModuleType("aeon.classification.shapelet_based._rdst")
+rdst.RDSTClassifier = _NN1
+shp = types.ModuleType("aeon.classification.shapelet_based")
+shp._rdst = rdst
+sys.modules["aeon.classification.shapelet_based"] = shp
+sys.modules["aeon.classification.shapelet_based._rdst"] = rdst
+aeon.classification = aeon_cls
+sys.modules["aeon"] = aeon
+sys.modules["aeon.classification"] = aeon_cls
+nx = types.ModuleType("networkx")
+sys.modules["networkx"] = nx
+
+from claspy.clap import CLaP
+from claspy.state_detection import AgglomerativeCLaPDetection
+
+
+def gen_state_series(pattern, seg_len, seed, n_dims=1):
+    """Recurring-state series: each state id is a distinct waveform."""
+    rng = np.random.RandomState(seed)
+    dims = []
+    for d in range(n_dims):
+        parts = []
+        for st in pattern:
+            t = np.arange(seg_len)
+            s = (st + d) % 4
+            if s == 0:
+                part = np.sin(2 * np.pi * t / 10.0) + 0.1 * rng.randn(seg_len)
+            elif s == 1:
+                part = 0.5 * np.sin(2 * np.pi * t / 31.0) + 2.0 + 0.1 * rng.randn(seg_len)
+            elif s == 2:
+                part = 0.2 * rng.randn(seg_len) - 1.5
+            else:
+                part = np.sign(np.sin(2 * np.pi * t / 17.0)) + 0.1 * rng.randn(seg_len)
+            parts.append(part)
+        dims.append(np.concatenate(parts))
+    ts = np.stack(dims, axis=1)
+    cps = np.array([seg_len * (i + 1) for i in range(len(pattern) - 1)], dtype=np.int64)
+    return ts, cps
+
+
+# 8a. RNG + KFold parity primitives
+prim = {"permutations": [], "kfolds": []}
+for n, seed in [(10, 2357), (37, 2357), (100, 42)]:
+    rs = np.random.RandomState(seed)
+    arr = np.arange(n)
+    rs.shuffle(arr)
+    prim["permutations"].append({"n": n, "seed": seed, "perm": [int(v) for v in arr]})
+for n, k, seed in [(23, 5, 2357), (57, 5, 2357), (11, 3, 2357)]:
+    folds = [{"train": [int(v) for v in tr], "test": [int(v) for v in te]}
+             for tr, te in _kfold_split(n, k, seed)]
+    prim["kfolds"].append({"n": n, "k": k, "seed": seed, "folds": folds})
+dump("sklearn_prim", prim)
+
+# 8b. CLaP internals on one labeled series
+ts_c, cps_c = gen_state_series([0, 1, 0, 1], 150, 31)
+from claspy.utils import create_state_labels as _csl
+state_labels_c = _csl(cps_c, np.arange(len(cps_c) + 1), ts_c.shape[0])
+clap_cases = []
+for w, sample_size in [(10, 1000), (10, 20), (16, 25)]:
+    clap = CLaP(window_size=w, classifier="dummy", sample_size=sample_size)
+    X, y = clap._create_dataset(ts_c, state_labels_c)
+    starts = []
+    excl = np.full(ts_c.shape[0], False)
+    for cp in (np.arange(state_labels_c.shape[0] - 1)[state_labels_c[:-1] != state_labels_c[1:]] + 1):
+        excl[cp - w // 2 + 1:cp] = True
+    for idx in range(0, ts_c.shape[0] - w + 1, w // 2):
+        if not excl[idx]:
+            starts.append(idx)
+    # subselect indices: rerun with X = global indices (RNG use is X-independent)
+    idxX, idxY = clap._subselect_dataset(
+        np.arange(len(y), dtype=float).reshape(-1, 1), y)
+    sel = [int(v) for v in idxX.flatten()]
+    y_true, y_pred = clap.fit_transform(ts_c, state_labels_c)
+    clap_cases.append({
+        "window_size": w, "sample_size": sample_size,
+        "dataset_y": [int(v) for v in y],
+        "dataset_starts": starts,
+        "subselect_idx": sel,
+        "subselect_y": [int(v) for v in idxY],
+        "y_true": [int(v) for v in y_true],
+        "y_pred": [int(v) for v in y_pred],
+        "score": float(clap.score()),
+    })
+dump("clap", {
+    "ts": [float(v) for v in ts_c[:, 0]],
+    "cps": [int(v) for v in cps_c],
+    "cases": clap_cases,
+})
+
+# 8c. detector end-to-end
+det_cases = []
+for name, pattern, seg_len, seed, n_dims, w, sample_size, give_cps in [
+        ("uni_abab", [0, 1, 0, 1], 150, 31, 1, 10, 1000, True),
+        ("uni_abcabc", [0, 1, 2, 0, 1, 2], 120, 32, 1, 16, 1000, True),
+        ("uni_aba", [0, 1, 0], 200, 33, 1, 20, 1000, True),
+        ("uni_subsample", [0, 1, 0, 1], 300, 34, 1, 10, 20, True),
+        ("uni_auto", [1, 3, 1, 3], 400, 35, 1, None, 1000, False),
+        ("mv_ab", [0, 1, 0], 150, 36, 2, 12, 1000, True)]:
+    ts2d, cps = gen_state_series(pattern, seg_len, seed, n_dims)
+    det = AgglomerativeCLaPDetection(
+        window_size=(w if w is not None else "suss"), classifier="dummy",
+        sample_size=sample_size, n_jobs=1)
+    det.fit(ts2d, change_points=(cps if give_cps else None))
+    states, transitions = det.get_process()
+    det_cases.append({
+        "name": name,
+        "dims": [[float(v) for v in ts2d[:, d]] for d in range(n_dims)],
+        "cps_in": ([int(v) for v in cps] if give_cps else None),
+        "window_size_param": w,
+        "sample_size": sample_size,
+        "resolved_window": int(det.window_size),
+        "detected_cps_in": [int(v) for v in det.change_points],
+        "labels": [int(v) for v in det.labels],
+        "segment_labels": [int(v) for v in det.get_segment_labels()],
+        "change_points": [int(v) for v in det.get_change_points()],
+        "dense": [int(v) for v in det.predict()],
+        "states": sorted(int(s) for s in states),
+        "transitions": sorted([int(a), int(b)] for a, b in transitions),
+    })
+dump("state_detection", {"cases": det_cases})
