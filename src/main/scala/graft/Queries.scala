@@ -173,6 +173,89 @@ object Queries {
         graft.streaming.StreamStage.Config(nTimepoints = 2048, nWarmup = 200)).toDF()
     }),
 
+    // --- state detection / process discovery (SURVEY §2.11)
+    "q26_state_transitions" -> ((s, dir) =>
+      ops.StateOps.transitionProbs(events(s, dir), col("user_id"),
+          Seq(col("ts"), col("event_id")), col("event_type"))
+        .select(col("key").as("user_id"), col("from_state"), col("to_state"),
+          col("cnt"), col("prob"))),
+
+    "q27_state_detection" -> ((s, dir) => {
+      import s.implicits._
+      // bucket means via the two-phase kernel (raw points never grouped per
+      // url); ONE group per url over bucket rows feeds the CLaP detector.
+      // Input: the crawl table's page-size signal (has planted regime
+      // shifts; the events table has none, which makes detection trivial)
+      val nUrls = if (dir.contains("sf0.1")) 96 else if (dir.contains("sf0.01")) 32 else 12
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
+      Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = false)
+        .groupByKey(_.url)
+        .mapGroups { (url, it) =>
+          val means = it.toArray.sortBy(_.bucket_start).map(_.mean)
+          try {
+            val det = new graft.kernel.AgglomerativeClapDetection(
+              windowSizeMethod = "suss",
+              classifier = new graft.kernel.RocketClassifier(100))
+            val res = det.fit(Array(means))
+            val (states, trans) = res.process
+            (url, means.length.toLong, res.windowSize, res.changePointsIn.length,
+              res.changePoints.length, states.size, trans.size)
+          } catch {
+            case _: Exception => (url, means.length.toLong, -1, 0, 0, 1, 0)
+          }
+        }
+        .toDF("user_id", "n_buckets", "window_size", "n_cps_in",
+          "n_cps_merged", "n_states", "n_transitions")
+    }),
+
+    "q28_multivariate_cps" -> ((s, dir) => {
+      import s.implicits._
+      // d-dim series per url (SURVEY §1.4): two row-aligned crawl signals,
+      // bucket-aggregated map-side, multivariate ClaSP per url over the
+      // (bounded) bucket rows
+      val nUrls = if (dir.contains("sf0.1")) 160 else if (dir.contains("sf0.01")) 48 else 16
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 300)
+      val base = pages.select(col("url"), unix_millis(col("warc_ts")).as("ts"),
+        octet_length(col("html")).cast("double").as("size"),
+        length(col("text")).cast("double").as("tlen"))
+      base
+        .groupBy(col("url"), (col("ts") - pmod(col("ts"), lit(60000L))).as("bucket"))
+        .agg(avg("size").as("size"), avg("tlen").as("tlen"))
+        .as[(String, Long, Double, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (url, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          val dims = Array(rows.map(_._3), rows.map(_._4))
+          val cps =
+            try new graft.kernel.BinaryClaSPSegmentation().fitPredict(dims)
+            catch { case _: Exception => Array.empty[Int] }
+          (url, rows.length.toLong, cps.length, if (cps.nonEmpty) cps(0) else -1)
+        }
+        .toDF("url", "n_buckets", "n_cps", "first_cp")
+    }),
+
+    "q29_jaccard_exact" -> ((s, dir) => {
+      // exact all-pairs shingle Jaccard on a bounded slice — the oracle that
+      // pins the verification math behind the LSH queries (q16)
+      import graft.functions.functions.{hashed_shingles, sorted_jaccard}
+      val docs = documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), hashed_shingles(col("text"), 3).as("sh"))
+      docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(sorted_jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+    }),
+
+    "q30_rollup_gapfill_1h" -> ((s, dir) =>
+      // full two-phase rollup rows INCLUDING locf gap buckets (the in-kernel
+      // gap-fill twin of the declarative q04)
+      Rollup.scalableRollup(eventPoints(s, dir), 3600000L, "1h", segment = false)
+        .toDF()
+        .select(col("url").as("user_id"),
+          timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
+          col("cnt"), round(col("mean"), 6).as("mean_val"),
+          round(col("min"), 6).as("min_val"), round(col("max"), 6).as("max_val"),
+          col("gap_filled"))),
+
     "q23_crawl_pipeline_1d" -> ((s, dir) => {
       // full engine slice on the synthetic crawl table (input_hint shape)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = 32, basePoints = 300)
@@ -281,6 +364,51 @@ object Queries {
     "q12_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice * (1.0 - l_discount)),2) AS revenue, count(*) AS cnt
-        |FROM lineitem GROUP BY 1,2""".stripMargin
+        |FROM lineitem GROUP BY 1,2""".stripMargin,
+
+    "q26_state_transitions" ->
+      """SELECT user_id, prev AS from_state, event_type AS to_state,
+        | count(*) AS cnt,
+        | round(CAST(count(*) AS DOUBLE) /
+        |   sum(count(*)) OVER (PARTITION BY user_id, prev), 6) AS prob
+        |FROM (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |WHERE prev IS NOT NULL
+        |GROUP BY 1,2,3""".stripMargin,
+
+    "q29_jaccard_exact" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokExpr AS t FROM documents WHERE doc_id < 60),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+         |  FROM toks)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "q30_rollup_gapfill_1h" ->
+      """WITH agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, date_trunc('hour', ts) AS bucket,
+        |         count(*) AS cnt, min(value) AS mn, max(value) AS mx, avg(value) AS mean
+        |  FROM events GROUP BY 1,2),
+        |spans AS (
+        |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM agg GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.bucket, a.cnt, a.mn, a.mx,
+        |    last_value(a.mean IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        |    a.mean IS NULL AS gap_filled
+        |  FROM spans s LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket)
+        |SELECT user_id, bucket AS bucket_start, coalesce(cnt, 0) AS cnt,
+        |  round(locf, 6) AS mean_val,
+        |  round(coalesce(mn, locf), 6) AS min_val,
+        |  round(coalesce(mx, locf), 6) AS max_val, gap_filled
+        |FROM j""".stripMargin
   )
 }
