@@ -567,3 +567,70 @@ for name, pattern, seg_len, seed, n_dims, w, sample_size, give_cps in [
         "transitions": sorted([int(a), int(b)] for a, b in transitions),
     })
 dump("state_detection", {"cases": det_cases})
+
+
+# 9. parameter-grid goldens (alternative distances, score_threshold
+# validation) + evaluation-metric reference values
+param_cases = []
+for dist in ["euclidean_distance", "cinvariant_euclidean_distance"]:
+    for kind, n, seed in [("freq_shift", 1200, 41), ("amp_freq", 1600, 42)]:
+        ts, true_cps = gen_series(kind, n, seed)
+        seg = BinaryClaSPSegmentation(distance=dist, n_jobs=1)
+        cps = seg.fit_predict(ts)
+        param_cases.append({
+            "distance": dist, "kind": kind, "ts": ts.tolist(),
+            "window_size": int(seg.window_size),
+            "cps": [int(c) for c in cps],
+            "profile": [None if np.isnan(v) else float(v) for v in seg.profile],
+        })
+st_cases = []
+for thr, kind, n, seed in [(0.75, "freq_shift", 1200, 43), (0.6, "var_shift", 900, 44)]:
+    ts, _ = gen_series(kind, n, seed)
+    seg = BinaryClaSPSegmentation(validation="score_threshold", threshold=thr, n_jobs=1)
+    cps = seg.fit_predict(ts)
+    st_cases.append({"threshold": thr, "kind": kind, "ts": ts.tolist(),
+                     "window_size": int(seg.window_size),
+                     "cps": [int(c) for c in cps]})
+dump("param_grid", {"distance_cases": param_cases, "score_threshold_cases": st_cases})
+
+sk_pairwise = types.ModuleType("sklearn.metrics.pairwise")
+sk_pairwise.paired_euclidean_distances = lambda a, b: np.sqrt(
+    np.sum((np.asarray(a, dtype=float) - np.asarray(b, dtype=float)) ** 2, axis=1))
+sk_metrics.pairwise = sk_pairwise
+sk_metrics.__path__ = []  # let "sklearn.metrics.pairwise" import as a subpackage
+sys.modules["sklearn.metrics.pairwise"] = sk_pairwise
+
+from claspy.tests.evaluation import covering, f_measure, relative_change_point_distance
+eval_cases = []
+rngE = np.random.RandomState(99)
+for i in range(6):
+    n = int(rngE.randint(500, 3000))
+    k = int(rngE.randint(1, 6))
+    cps_true = np.sort(rngE.choice(np.arange(10, n - 10), k, replace=False)).astype(np.int64)
+    # jittered predictions of the same cardinality (for rel_cp_distance) ...
+    jitter = rngE.randint(-20, 21, size=k)
+    cps_pred_same = np.clip(cps_true + jitter, 1, n - 1).astype(np.int64)
+    # ... and an independent prediction set (for f_measure/covering)
+    kp = int(rngE.randint(1, 7))
+    cps_pred = np.sort(rngE.choice(np.arange(10, n - 10), kp, replace=False)).astype(np.int64)
+    eval_cases.append({
+        "n": n,
+        "cps_true": [int(v) for v in cps_true],
+        "cps_pred_same": [int(v) for v in cps_pred_same],
+        "cps_pred": [int(v) for v in cps_pred],
+        "rel_cp_dist": float(relative_change_point_distance(cps_true, cps_pred_same, n)),
+        "f_measure": float(f_measure({0: cps_true}, cps_pred, margin=5)),
+        "f_measure_m20": float(f_measure({0: cps_true}, cps_pred, margin=20)),
+        "covering": float(covering({0: cps_true}, cps_pred, n)),
+    })
+# one multi-annotator f_measure/covering case
+ann = {0: np.array([100, 500, 900]), 1: np.array([110, 480]), 2: np.array([95, 505, 910, 1200])}
+pred = np.array([105, 490, 905])
+eval_multi = {
+    "n": 1500,
+    "annotations": [[int(v) for v in a] for a in ann.values()],
+    "cps_pred": [int(v) for v in pred],
+    "f_measure": float(f_measure(ann, pred, margin=5)),
+    "covering": float(covering(ann, pred, 1500)),
+}
+dump("eval_metrics", {"cases": eval_cases, "multi": eval_multi})
