@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native vector kernels for the similarity-search operators. The zip_with/
@@ -13,9 +14,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * proven in SimilarityOpsSpec). */
 object VectorKernel {
 
-  /** Cosine similarity of two float arrays in double precision. */
+  /** Cosine similarity of two float arrays in double precision. Mismatched
+    * lengths fold over the common prefix (never reads past either array). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -25,6 +27,48 @@ object VectorKernel {
       i += 1
     }
     dot / math.sqrt(na * nb)
+  }
+
+  /** Cosine of a float array against a prepared double centroid row. */
+  private def cosineAgainst(emb: ArrayData, cent: Array[Double]): Double = {
+    val n = math.min(emb.numElements(), cent.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble
+      val y = cent(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** IVF assignment kernel: ids of the `nProbe` centroids nearest to `emb`
+    * by cosine, ordered sim-desc with index-asc tie-break — one compiled
+    * pass, replacing the corpus×centroids cross join + global window. */
+  def nearestCentroids(emb: ArrayData, cents: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val k = cents.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) { sims(c) = cosineAgainst(emb, cents(c)); c += 1 }
+    val keep = math.min(nProbe, k)
+    val out = new Array[Int](keep)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < keep) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        // NaN sims (zero vectors) rank last; ties keep the smaller index
+        if (!taken(c) && (best == -1 || sims(c) > bestSim)) { best = c; bestSim = sims(c) }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Random-hyperplane signature: nBits sign bits of deterministic
@@ -62,6 +106,20 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+case class NearestCentroids(child: Expression, cents: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorKernel.nearestCentroids(v.asInstanceOf[ArrayData], cents, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernel.nearestCentroids($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 case class RhpSig(child: Expression, nBits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
@@ -80,4 +138,7 @@ object vector {
   /** Random-hyperplane LSH signature of a float-array column. */
   def rhp_sig(c: Column, nBits: Int): Column =
     Bridge.column(RhpSig(Bridge.expression(c), nBits))
+  /** Ids of the nProbe nearest centroids (cosine desc, index-asc ties). */
+  def nearest_centroids(c: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(c), cents, nProbe))
 }

@@ -61,6 +61,12 @@ final class StreamingKSN(
 
   /** One streaming ingest (streaming/nearest_neighbour.py:342-412). */
   def update(timepoint: Double, changePoint: Int = 0): this.type = {
+    // before the first kNN fit the seed path writes dot products from
+    // startIdx = knnInsertIdx + changePoint, so a nonzero changePoint would
+    // index past nWindows; the segmentation driver only reports cps once
+    // warm, making this unreachable from it — guard the public API anyway
+    require(changePoint == 0 || knnFilled > 0,
+      "changePoint must be 0 until the first kNN fit has run")
     lbound = knnInsertIdx - knnFilled + 1 + changePoint
     nFilled = math.min(nFilled + 1, nWindows)
 

@@ -108,7 +108,9 @@ object DedupOps {
   }
 
   def tokenHashes(text: Column): Column =
-    transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    // split("") yields [""]; drop empty tokens so the HOF path agrees with
+    // the native tokenizer (zero tokens) on empty/whitespace-only text
+    transform(filter(split(trim(text), "\\s+"), t => length(t) > 0), t => xxhash64(t))
 
   /** SimHash-64 of raw text — delegates to the native single-pass Catalyst
     * expression (one data pass, stays in whole-stage codegen). */

@@ -90,41 +90,59 @@ object SimilarityOps {
       .select("vec_a", "vec_b", "sim")
   }
 
-  /** IVF-flat style ANN: corpus assigned to the nearest of `nCentroids`
-    * deterministic seed centroids (drawn from the corpus by id hash); each
-    * query probes its own `nProbe` nearest centroids' inverted lists only. */
+  /** Deterministic seed centroids: the `nCentroids` corpus vectors with the
+    * smallest id-hash, as double rows. One tiny driver collect — the
+    * centroid table is O(nCentroids × dim) and feeds a broadcast-embedded
+    * assignment expression (no cross join, no global window). */
+  private def seedCentroids(corpus: DataFrame, nCentroids: Int): Array[Array[Double]] =
+    corpus
+      .withColumn("h", pmod(xxhash64(col("vec_id")), lit(1000000007L)))
+      .orderBy("h").limit(nCentroids)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+  /** Lloyd iterations over the corpus: reassign (map-side, native argmax
+    * expression), then per-dimension mean via one hash-aggregate; empty
+    * clusters keep their previous centroid. */
+  private def lloydIterate(corpus: DataFrame, cents: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    import graft.functions.vector.nearest_centroids
+    var current = cents
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .withColumn("cent_id", element_at(nearest_centroids(col("embedding"), current, 1), 1))
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = current.map(_.clone())
+      for (r <- means) next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      current = next
+    }
+    current
+  }
+
+  /** IVF-flat style ANN: corpus assigned to its nearest centroid (seed
+    * centroids refined by `lloydIters` k-means steps); each query probes its
+    * own `nProbe` nearest centroids' inverted lists only. Assignment is a
+    * single codegen'd expression over a broadcast centroid matrix. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    // seed centroids: the nCentroids corpus vectors with smallest id-hash —
-    // deterministic, no iterative k-means (scale path would Lloyd-iterate)
-    val cents = corpus
-      .withColumn("h", pmod(xxhash64(col("vec_id")), lit(1000000007L)))
-      .orderBy("h").limit(nCentroids)
-      .select(monotonically_increasing_id().as("cent_tmp"), col("embedding").as("cent_emb"))
-      .withColumn("cent_id", row_number().over(Window.orderBy("cent_tmp")) - 1)
-      .select("cent_id", "cent_emb")
-    val centB = broadcast(cents)
+      nProbe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    import graft.functions.vector.nearest_centroids
+    val cents = lloydIterate(corpus, seedCentroids(corpus, nCentroids), lloydIters)
 
-    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id"))
-      df.join(centB, lit(true))
-        .withColumn("csim", cosine(col(embCol), col("cent_emb")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cent_emb", "csim", "crank")
-    }
-
-    val corpusLists = assign(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
-      "neighbor_id", "c_emb", 1)
-    val queryProbes = assign(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", nProbe)
+    val corpusLists = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .withColumn("cent_id", element_at(nearest_centroids(col("c_emb"), cents, 1), 1))
+    val queryProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cent_id", explode(nearest_centroids(col("q_emb"), cents, nProbe)))
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     corpusLists.join(broadcast(queryProbes), Seq("cent_id"))
