@@ -40,7 +40,7 @@ final class ClaSPModel(
     val ok = validation match {
       case null | "" => true
       case "significance_test" =>
-        Validation.significanceTest(knn.offsets, lbound, windowSize, cp, threshold)
+        Validation.significanceTest(knn.offsetsFlat, knn.stride, lbound, windowSize, cp, threshold)
       case "score_threshold" =>
         Validation.scoreThreshold(profile, cp, threshold)
       case other => throw new IllegalArgumentException(
@@ -65,7 +65,7 @@ object ClaSP {
       if (knnIn != null) knnIn
       else new KSubsequenceNeighbours(windowSize, kNeighbours, distanceName).fit(ts)
 
-    val nOff = knn.offsets.length
+    val nOff = knn.nOffsets
     // allocation-free hot loop: labels + scorer scratch reused across the
     // O(n) splits — the naive per-split allocations made the whole engine
     // GC-bound at high task parallelism
@@ -78,7 +78,7 @@ object ClaSP {
     val end = math.min(nOff, nOff - minSegSize + windowSize)
     var split = start
     while (split < end) {
-      CrossVal.labelsInto(knn.offsets, split, windowSize, yTrue, yPred)
+      CrossVal.labelsInto(knn.offsetsFlat, knn.stride, split, windowSize, yTrue, yPred)
       profile(split) = scorer(yTrue, yPred)
       split += 1
     }

@@ -10,23 +10,24 @@ package graft.kernel
   */
 object CrossVal {
 
-  /** Returns (yTrue, yPred), each of length offsets.length. */
   /** Allocation-free variant for the O(n) profile loop: fills the provided
-    * arrays (each sized offsets.length) instead of allocating. */
-  def labelsInto(offsets: Array[Array[Int]], splitIdx: Int, windowSize: Int,
+    * arrays (each sized n = offsetsFlat.length / k) instead of allocating.
+    * `offsetsFlat` is the FLAT (n × k) kNN table — this loop runs O(n) times
+    * per profile, so the contiguous layout is load-bearing. */
+  def labelsInto(offsetsFlat: Array[Int], k: Int, splitIdx: Int, windowSize: Int,
       yTrue: Array[Int], yPred: Array[Int]): Unit = {
-    val n = offsets.length
-    val k = offsets(0).length
+    val n = offsetsFlat.length / k
     var i = 0
     while (i < splitIdx) { yTrue(i) = 0; i += 1 }
     while (i < n) { yTrue(i) = 1; i += 1 }
     i = 0
+    var base = 0
     while (i < n) {
       var ones = 0
-      val row = offsets(i)
       var j = 0
-      while (j < k) { ones += yTrue(row(j)); j += 1 }
+      while (j < k) { ones += yTrue(offsetsFlat(base + j)); j += 1 }
       yPred(i) = if (ones > k - ones) 1 else 0
+      base += k
       i += 1
     }
     i = splitIdx - windowSize
@@ -37,31 +38,13 @@ object CrossVal {
     }
   }
 
-  def labels(offsets: Array[Array[Int]], splitIdx: Int, windowSize: Int): (Array[Int], Array[Int]) = {
-    val n = offsets.length
-    val k = offsets(0).length
+  /** Exclusion-zone semantics per nearest_neighbour.py:320-321; numpy
+    * negative indices wrap — replicated for splitIdx < windowSize. */
+  def labels(offsetsFlat: Array[Int], k: Int, splitIdx: Int, windowSize: Int): (Array[Int], Array[Int]) = {
+    val n = offsetsFlat.length / k
     val yTrue = new Array[Int](n)
-    var i = splitIdx
-    while (i < n) { yTrue(i) = 1; i += 1 }
-
     val yPred = new Array[Int](n)
-    i = 0
-    while (i < n) {
-      var ones = 0
-      val row = offsets(i)
-      var j = 0
-      while (j < k) { ones += yTrue(row(j)); j += 1 }
-      yPred(i) = if (ones > k - ones) 1 else 0
-      i += 1
-    }
-    // exclusion zone (nearest_neighbour.py:320-321); numpy negative indices
-    // wrap — replicated for splitIdx < windowSize
-    i = splitIdx - windowSize
-    while (i < splitIdx) {
-      val idx = if (i < 0) n + i else i
-      if (idx >= 0 && idx < n) yPred(idx) = 1
-      i += 1
-    }
+    labelsInto(offsetsFlat, k, splitIdx, windowSize, yTrue, yPred)
     (yTrue, yPred)
   }
 }

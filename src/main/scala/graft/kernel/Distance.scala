@@ -22,6 +22,17 @@ sealed trait Distance extends Serializable {
   }
   /** Allocation-free variant: writes into `out` (sized dot.length). */
   def computeInto(idx: Int, dot: Array[Double], w: Int, pre: AnyRef, out: Array[Double]): Unit
+
+  /** computeInto + row max in ONE pass — FP-identical values, one fewer
+    * O(l) sweep in the O(n²) kernel (the kernel is DRAM-bandwidth-bound at
+    * high thread counts, so every removed pass scales the 8→32 leg). */
+  def computeIntoMax(idx: Int, dot: Array[Double], w: Int, pre: AnyRef, out: Array[Double]): Double = {
+    computeInto(idx, dot, w, pre, out)
+    var mx = Double.NegativeInfinity
+    var j = 0
+    while (j < out.length) { if (out(j) > mx) mx = out(j); j += 1 }
+    mx
+  }
 }
 
 object ZNormedEuclidean extends Distance {
@@ -35,6 +46,19 @@ object ZNormedEuclidean extends Distance {
       out(j) = 2.0 * w * (1.0 - (dot(j) - w * means(j) * mi) / (w * stds(j) * si))
       j += 1
     }
+  }
+  override def computeIntoMax(idx: Int, dot: Array[Double], w: Int, pre: AnyRef, out: Array[Double]): Double = {
+    val (means, stds) = pre.asInstanceOf[(Array[Double], Array[Double])]
+    val mi = means(idx); val si = stds(idx)
+    var mx = Double.NegativeInfinity
+    var j = 0
+    while (j < dot.length) {
+      val v = 2.0 * w * (1.0 - (dot(j) - w * means(j) * mi) / (w * stds(j) * si))
+      out(j) = v
+      if (v > mx) mx = v
+      j += 1
+    }
+    mx
   }
 }
 

@@ -46,8 +46,13 @@ final class KSubsequenceNeighbours(
 
     val l = n - windowSize + 1
     val k = kNeighbours
-    val knns = Array.ofDim[Int](l, tcs.length * k)
-    val dists = Array.ofDim[Double](l, tcs.length * k)
+    // FLAT (l × m·k) tables with stride indexing: the profile stage reads
+    // them O(n²·k) times, and one contiguous primitive array removes the
+    // per-row pointer load + spreads no object headers through the cache
+    // (the 8→32-thread DRAM-bandwidth lever measured in BASELINE.md)
+    val stride = tcs.length * k
+    val knns = new Array[Int](l * stride)
+    val dists = new Array[Double](l * stride)
 
     val dotRef = Array.tabulate(d)(dim => slidingDot(ts(dim), 0, windowSize))
     val pre = Array.tabulate(d)(dim => dist.preprocess(ts(dim), windowSize))
@@ -80,7 +85,7 @@ final class KSubsequenceNeighbours(
   private def knnRange(
       ts: Array[Array[Double]], start: Int, end: Int, tcs: Array[(Int, Int)],
       dotFirst: Array[Array[Double]], dotRef: Array[Array[Double]], pre: Array[AnyRef],
-      dists: Array[Array[Double]], knns: Array[Array[Int]]): Unit = {
+      dists: Array[Double], knns: Array[Int]): Unit = {
     val d = ts.length
     val n = ts(0).length
     val w = windowSize
@@ -101,7 +106,7 @@ final class KSubsequenceNeighbours(
 
     var order = start
     while (order < end) {
-      java.util.Arrays.fill(acc, 0.0)
+      if (d > 1) java.util.Arrays.fill(acc, 0.0)
       var dim = 0
       while (dim < d) {
         if (order > start) {
@@ -118,14 +123,12 @@ final class KSubsequenceNeighbours(
           dr(0) = dotRef(dim)(order)
         }
         val cd = cdWork
-        dist.computeInto(order, dotRolled(dim), w, pre(dim), cd)
+        // compute + row max fused (one O(l) pass instead of two)
+        var mx = dist.computeIntoMax(order, dotRolled(dim), w, pre(dim), cd)
         // exclusion zone: mask trivial self-matches with the row max (:195-201)
-        var mx = Double.NegativeInfinity
-        var j = 0
-        while (j < l) { if (cd(j) > mx) mx = cd(j); j += 1 }
         val lo = math.max(0, order - exclusionRadius)
         val hi = math.min(order + exclusionRadius + 1, l)
-        j = lo
+        var j = lo
         while (j < hi) { cd(j) = mx; j += 1 }
         // per-dim z-normalisation of the distance row (:204-205)
         var s = 0.0
@@ -139,7 +142,15 @@ final class KSubsequenceNeighbours(
         // 0/0 = NaN in the reference and crash its argkmin with garbage
         // indices; the zero-contribution limit keeps the engine total here.
         val std = math.sqrt(sq / l)
-        if (std > 0) {
+        if (d == 1) {
+          // univariate fast path: write the final row directly — acc(j) was
+          // 0 + x and cdist(j) was acc(j)/1, both FP no-ops, so this is
+          // bit-identical while skipping three O(l) sweeps (fill, acc, div)
+          if (std > 0) {
+            j = 0
+            while (j < l) { cdist(j) = (cd(j) - mean) / std; j += 1 }
+          } else java.util.Arrays.fill(cdist, 0.0)
+        } else if (std > 0) {
           j = 0
           while (j < l) { acc(j) += (cd(j) - mean) / std; j += 1 }
         }
@@ -147,18 +158,22 @@ final class KSubsequenceNeighbours(
         val tmp = dotPrev(dim); dotPrev(dim) = dotRolled(dim); dotRolled(dim) = tmp
         dim += 1
       }
-      var j = 0
-      while (j < l) { cdist(j) = acc(j) / d; j += 1 }
+      if (d > 1) {
+        var j = 0
+        while (j < l) { cdist(j) = acc(j) / d; j += 1 }
+      }
 
+      val stride = tcs.length * k
       var kdx = 0
       while (kdx < tcs.length) {
         val (lb, ub) = tcs(kdx)
         if (order >= lb && order < ub) {
           ArgKMin.into(cdist, lb, ub - w + 1, k, argsBuf, valsBuf, takenBuf)
+          val base = order * stride + kdx * k
           var i = 0
           while (i < k) {
-            knns(order)(kdx * k + i) = argsBuf(i)
-            dists(order)(kdx * k + i) = valsBuf(i)
+            knns(base + i) = argsBuf(i)
+            dists(base + i) = valsBuf(i)
             i += 1
           }
         }
@@ -206,16 +221,38 @@ object ArgKMin {
   }
 }
 
-/** Fitted k-NN tables. `offsets` and `distances` are (l, m·k) with
-  * l = n - w + 1 and m temporal constraints (nearest_neighbour.py:251-254). */
+/** Fitted k-NN tables, stored FLAT: `offsetsFlat`/`distancesFlat` are
+  * row-major (l × m·k) with l = n - w + 1 rows, m temporal constraints and
+  * stride m·k (nearest_neighbour.py:251-254 reshaped). The flat primitive
+  * layout matters: the ClaSP profile reads these O(n²·k) times, and the old
+  * array-of-rows layout paid a dependent pointer load per row (measured as
+  * the DRAM-bandwidth ceiling on the 8→32-thread scaling leg). */
 final class KSNModel(
     val windowSize: Int,
     val kNeighbours: Int,
     val distanceName: String,
     val nTimepoints: Int,
     val temporalConstraints: Array[(Int, Int)],
-    val distances: Array[Array[Double]],
-    val offsets: Array[Array[Int]]) extends Serializable {
+    val distancesFlat: Array[Double],
+    val offsetsFlat: Array[Int]) extends Serializable {
+
+  /** Row stride of the flat tables. */
+  val stride: Int = temporalConstraints.length * kNeighbours
+  /** Number of table rows (windows). */
+  def nOffsets: Int = offsetsFlat.length / stride
+
+  /** Convenience constructor from row tables (streaming snapshot path). */
+  def this(windowSize: Int, kNeighbours: Int, distanceName: String,
+      nTimepoints: Int, temporalConstraints: Array[(Int, Int)],
+      distances: Array[Array[Double]], offsets: Array[Array[Int]]) =
+    this(windowSize, kNeighbours, distanceName, nTimepoints, temporalConstraints,
+      KSNModel.flattenD(distances), KSNModel.flattenI(offsets))
+
+  /** Row-matrix view (tests / ad-hoc inspection; not for hot loops). */
+  def offsets: Array[Array[Int]] =
+    Array.tabulate(nOffsets)(i => java.util.Arrays.copyOfRange(offsetsFlat, i * stride, (i + 1) * stride))
+  def distances: Array[Array[Double]] =
+    Array.tabulate(nOffsets)(i => java.util.Arrays.copyOfRange(distancesFlat, i * stride, (i + 1) * stride))
 
   /** Re-slice to one temporal constraint, offsets rebased by -lbound
     * (nearest_neighbour.py:412-456). */
@@ -224,22 +261,39 @@ final class KSNModel(
     require(tcIdx >= 0, s"($lbound,$ubound) is not a valid temporal constraint.")
     val k = kNeighbours
     val rows = ubound - windowSize + 1 - lbound
-    val d2 = new Array[Array[Double]](rows)
-    val o2 = new Array[Array[Int]](rows)
+    val d2 = new Array[Double](rows * k)
+    val o2 = new Array[Int](rows * k)
     var i = 0
     while (i < rows) {
-      val dRow = new Array[Double](k)
-      val oRow = new Array[Int](k)
+      val src = (lbound + i) * stride + tcIdx * k
       var j = 0
       while (j < k) {
-        dRow(j) = distances(lbound + i)(tcIdx * k + j)
-        oRow(j) = offsets(lbound + i)(tcIdx * k + j) - lbound
+        d2(i * k + j) = distancesFlat(src + j)
+        o2(i * k + j) = offsetsFlat(src + j) - lbound
         j += 1
       }
-      d2(i) = dRow; o2(i) = oRow
       i += 1
     }
     new KSNModel(windowSize, kNeighbours, distanceName, ubound - lbound,
       Array((0, ubound - lbound)), d2, o2)
+  }
+}
+
+object KSNModel {
+  private def flattenI(rows: Array[Array[Int]]): Array[Int] = {
+    if (rows.isEmpty) return Array.empty
+    val k = rows(0).length
+    val out = new Array[Int](rows.length * k)
+    var i = 0
+    while (i < rows.length) { System.arraycopy(rows(i), 0, out, i * k, k); i += 1 }
+    out
+  }
+  private def flattenD(rows: Array[Array[Double]]): Array[Double] = {
+    if (rows.isEmpty) return Array.empty
+    val k = rows(0).length
+    val out = new Array[Double](rows.length * k)
+    var i = 0
+    while (i < rows.length) { System.arraycopy(rows(i), 0, out, i * k, k); i += 1 }
+    out
   }
 }

@@ -78,9 +78,9 @@ object Validation {
 
   /** significance_test (validation.py:80-108). `profileArgmax` is the candidate
     * cp in the *caller's* index space; lbound rebases into the knn table. */
-  def significanceTest(offsets: Array[Array[Int]], lbound: Int, windowSize: Int,
+  def significanceTest(offsetsFlat: Array[Int], k: Int, lbound: Int, windowSize: Int,
                        changePoint: Int, threshold: Double): Boolean = {
-    val (_, yPred) = CrossVal.labels(offsets, changePoint - lbound, windowSize)
+    val (_, yPred) = CrossVal.labels(offsetsFlat, k, changePoint - lbound, windowSize)
     // split y_pred at the *unrebased* change point (validation.py:107)
     val cp = changePoint
     val left = java.util.Arrays.copyOfRange(yPred, 0, math.min(cp, yPred.length))

@@ -10,30 +10,27 @@ import graft.kernel.{ClaSPModel, KSNModel, KSubsequenceNeighbours}
   * `_update_labels` (:274-343), `_profile` (:346-392), `ClaSS` (:395-485). */
 object ClaSS {
 
-  /** CSR reverse-nearest-neighbour index (clasp.py:9-56). */
-  def rnn(knnOffsets: Array[Array[Int]]): (Array[Int], Array[Int]) = {
-    val n = knnOffsets.length
-    val k = knnOffsets(0).length
+  /** CSR reverse-nearest-neighbour index (clasp.py:9-56) over the FLAT
+    * (n × k) kNN table. */
+  def rnn(knnFlat: Array[Int], k: Int): (Array[Int], Array[Int]) = {
+    val n = knnFlat.length / k
     val offsets = new Array[Int](n)
     val values = new Array[Int](n * k)
     val counts = new Array[Int](n)
     val counters = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      var j = 0
-      while (j < k) { counts(knnOffsets(i)(j)) += 1; j += 1 }
-      i += 1
-    }
-    i = 1
+    var p = 0
+    while (p < knnFlat.length) { counts(knnFlat(p)) += 1; p += 1 }
+    var i = 1
     while (i < n) { offsets(i) = offsets(i - 1) + counts(i - 1); i += 1 }
     i = 0
+    p = 0
     while (i < n) {
       var j = 0
       while (j < k) {
-        val nn = knnOffsets(i)(j)
+        val nn = knnFlat(p)
         values(offsets(nn) + counters(nn)) = i
         counters(nn) += 1
-        j += 1
+        j += 1; p += 1
       }
       i += 1
     }
@@ -41,10 +38,9 @@ object ClaSS {
   }
 
   /** clasp.py:59-108: (zeros, ones) k-NN vote counts, y_true, y_pred. */
-  def initLabels(knnOffsets: Array[Array[Int]], splitIdx: Int)
+  def initLabels(knnFlat: Array[Int], k: Int, splitIdx: Int)
       : (Array[Int], Array[Int], Array[Int], Array[Int]) = {
-    val n = knnOffsets.length
-    val k = knnOffsets(0).length
+    val n = knnFlat.length / k
     val yTrue = new Array[Int](n)
     var i = splitIdx
     while (i < n) { yTrue(i) = 1; i += 1 }
@@ -52,13 +48,15 @@ object ClaSS {
     val zeros = new Array[Int](n)
     val yPred = new Array[Int](n)
     i = 0
+    var base = 0
     while (i < n) {
       var o = 0
       var j = 0
-      while (j < k) { o += yTrue(knnOffsets(i)(j)); j += 1 }
+      while (j < k) { o += yTrue(knnFlat(base + j)); j += 1 }
       ones(i) = o
       zeros(i) = k - o
       yPred(i) = if (o > k - o) 1 else 0
+      base += k
       i += 1
     }
     (zeros, ones, yTrue, yPred)
@@ -142,12 +140,12 @@ object ClaSS {
   }
 
   /** clasp.py:346-392: the amortized-linear profile. */
-  def profile(knnOffsets: Array[Array[Int]], windowSize: Int, minSegSize: Int,
+  def profile(knnFlat: Array[Int], k: Int, windowSize: Int, minSegSize: Int,
       scoreName: String = "f1"): Array[Double] = {
-    val n = knnOffsets.length
+    val n = knnFlat.length / k
     val prof = Array.fill(n)(Double.NegativeInfinity)
-    val (rnnOff, rnnVal) = rnn(knnOffsets)
-    val (zeros, ones, yTrue, yPred) = initLabels(knnOffsets, minSegSize)
+    val (rnnOff, rnnVal) = rnn(knnFlat, k)
+    val (zeros, ones, yTrue, yPred) = initLabels(knnFlat, k, minSegSize)
     val cm = initConfMatrix(yTrue, yPred, 0, n)
     var exclStart = minSegSize
     var exclEnd = minSegSize + windowSize
@@ -181,7 +179,7 @@ object ClaSS {
     val knn =
       if (knnIn != null) knnIn
       else new KSubsequenceNeighbours(windowSize, kNeighbours, distanceName).fit(Array(ts))
-    val prof = profile(knn.offsets, windowSize, minSegSize, scoreName)
+    val prof = profile(knn.offsetsFlat, knn.stride, windowSize, minSegSize, scoreName)
     new ClaSPModel(windowSize, kNeighbours, scoreName, exclRadius, knn, prof, 0, ts.length)
   }
 }

@@ -634,3 +634,98 @@ eval_multi = {
     "covering": float(covering(ann, pred, 1500)),
 }
 dump("eval_metrics", {"cases": eval_cases, "multi": eval_multi})
+
+
+# 10. TSSB / HAS file-format loader fixtures + goldens: write small datasets
+# in the benchmarks' EXACT on-disk formats, then run the reference's own
+# load_tssb_dataset / load_has_dataset on them (extract_path=local, so no
+# network) and dump what they return.
+import io, zipfile
+import pandas as pd
+from claspy.data_loader import load_tssb_dataset, load_has_dataset
+
+LOADER_DIR = "/root/repo/src/test/resources/loaders"
+tssb_dir = os.path.join(LOADER_DIR, "tssb")
+has_dir = os.path.join(LOADER_DIR, "has")
+os.makedirs(tssb_dir, exist_ok=True)
+os.makedirs(has_dir, exist_ok=True)
+
+# --- TSSB format: desc.txt (name,window,cp...), properties.txt
+# (name,interpretable,label_cut,resample_rate,label...), <name>.txt (floats)
+tssb_fixtures = []
+for name, kind, n, seed, w, labels in [
+        ("SynthFreq", "freq_shift", 1200, 51, 14, [0, 1]),
+        ("SynthAmp", "amp_freq", 1600, 52, 21, [0, 1, 0, 2])]:
+    ts, cps = gen_series(kind, n, seed)
+    tssb_fixtures.append((name, w, cps, labels, ts))
+with open(os.path.join(tssb_dir, "desc.txt"), "w") as f:
+    for name, w, cps, labels, ts in tssb_fixtures:
+        f.write(",".join([name, str(w)] + [str(c) for c in cps]) + "\n")
+with open(os.path.join(tssb_dir, "properties.txt"), "w") as f:
+    for name, w, cps, labels, ts in tssb_fixtures:
+        f.write(",".join([name, "True", "0", "1"] + [str(l) for l in labels]) + "\n")
+for name, w, cps, labels, ts in tssb_fixtures:
+    with open(os.path.join(tssb_dir, name + ".txt"), "w") as f:
+        for v in ts:
+            f.write(repr(float(v)) + "\n")
+
+tssb_loaded = load_tssb_dataset(extract_path=tssb_dir)
+tssb_golden = []
+for _, (dataset, window_size, cps, labels, time_series) in tssb_loaded.iterrows():
+    seg = BinaryClaSPSegmentation(n_jobs=1)
+    found = seg.fit_predict(time_series)
+    tssb_golden.append({
+        "dataset": dataset, "window_size": int(window_size),
+        "cps": [int(c) for c in cps],
+        "labels": [int(l) for l in labels],
+        "ts_head": [float(v) for v in time_series[:8]],
+        "ts_len": int(time_series.shape[0]),
+        "segmentation_cps": [int(c) for c in found],
+    })
+dump("tssb_loader", {"cases": tssb_golden})
+
+# --- HAS format: zipped CSV with python-list cells
+rngH = np.random.RandomState(77)
+def _lst(a):
+    return "[" + ", ".join(repr(float(v)) for v in a) + "]"
+rows = []
+for i, group in enumerate(["indoor", "outdoor"]):
+    n = 400
+    cps = [130, 260]
+    acts = "['walk', 'sit', 'walk']" if group == "indoor" else "['run', 'stand', 'run']"
+    sig = {}
+    sensors = (["x-acc", "y-acc", "z-acc", "x-gyro", "y-gyro", "z-gyro",
+                "x-mag", "y-mag", "z-mag"] if group == "indoor"
+               else ["x-acc", "y-acc", "z-acc", "x-mag", "y-mag", "z-mag"])
+    for s_i, s in enumerate(sensors):
+        parts = []
+        for seg_i, b in enumerate([(0, 130), (130, 260), (260, 400)]):
+            t = np.arange(b[1] - b[0])
+            parts.append(np.sin(2 * np.pi * t / (8.0 + 7 * ((seg_i + s_i) % 3))) + 0.1 * rngH.randn(len(t)))
+        sig[s] = np.concatenate(parts)
+    row = {
+        "group": group, "subject": i + 1, "routine": 1, "ts_challenge_id": 100 + i,
+        "change_points": "[130, 260]", "activities": acts,
+        "lat": "[]", "lon": "[]", "speed": "[]",
+    }
+    for s in ["x-acc", "y-acc", "z-acc", "x-gyro", "y-gyro", "z-gyro", "x-mag", "y-mag", "z-mag"]:
+        row[s] = _lst(sig[s]) if s in sig else "[]"
+    rows.append(row)
+has_df = pd.DataFrame(rows)
+csv_bytes = has_df.to_csv(index=False).encode()
+with zipfile.ZipFile(os.path.join(has_dir, "has.csv.zip"), "w", zipfile.ZIP_DEFLATED) as z:
+    z.writestr("has.csv", csv_bytes)
+
+has_loaded = load_has_dataset(extract_path=has_dir)
+has_golden = []
+for _, (dataset, window_size, cps, labels, time_series) in has_loaded.iterrows():
+    has_golden.append({
+        "dataset": dataset, "window_size": int(window_size),
+        "cps": [int(c) for c in cps],
+        "labels": [str(l) for l in labels],
+        "n_dims": int(time_series.shape[1]),
+        "ts_len": int(time_series.shape[0]),
+        "dims_head": [[float(v) for v in time_series[:5, d]] for d in range(time_series.shape[1])],
+        "dims_sum": [repr(float(np.sum(time_series[:, d]))) for d in range(time_series.shape[1])],
+    })
+dump("has_loader", {"cases": has_golden})
