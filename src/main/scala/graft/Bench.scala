@@ -30,10 +30,37 @@ object Bench {
       // enormous in CPU (O(n²) per series) — AQE's size-based coalescing
       // would fold it into one task and serialize the whole job
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // CPU-heavy scan (snappy decode + octet_length over html bytes): the
+      // default 128 MB splits yield too few scan tasks to keep 32 cores
+      // busy, putting the scan stage on the critical path at high
+      // parallelism; 16 MB splits keep scan tasks ~100ms+ and fully parallel
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // per-stage skew telemetry: stage wall vs summed task time vs max task —
+    // distinguishes straggler-bound from contention-bound scaling
+    if (sys.env.contains("SPARK_GRAFT_STAGE_STATS")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val taskSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val rt = e.taskInfo.duration
+          taskMax.merge(e.stageId, rt, (a, b) => math.max(a, b))
+          taskSum.merge(e.stageId, rt, (a, b) => a + b)
+        }
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+          System.err.println(f"[stage] id=${si.stageId} name=${si.name.takeWhile(_ != '(').trim} " +
+            f"tasks=${si.numTasks} wall=${wall / 1e3}%.1fs " +
+            f"taskSum=${taskSum.getOrDefault(si.stageId, 0L) / 1e3}%.1fs " +
+            f"taskMax=${taskMax.getOrDefault(si.stageId, 0L) / 1e3}%.1fs")
+        }
+      })
+    }
 
     // ---- headline pipeline (scale with sf dir) ----------------------------
     val nUrls = sys.env.get("SPARK_GRAFT_BENCH_URLS").map(_.toInt).getOrElse {
@@ -45,8 +72,21 @@ object Bench {
       val p0 = System.nanoTime(); val r = f
       System.err.println(f"[bench] $label: ${(System.nanoTime() - p0) / 1e9}%.1f s"); r
     }
+    // Input is a TABLE (input_hint: Iceberg/parquet of web pages), so the
+    // timed section starts at the scan: materialize the synthetic crawl to
+    // parquet ONCE (untimed, reused across parallelism levels — html bytes
+    // cost an LCG step per byte to generate, which is generator cost, not
+    // engine cost) and read it back like a real run would.
+    val pagesPath = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR", "/tmp/graft_bench_pages") +
+      s"_${nUrls}_300"
+    if (!new java.io.File(pagesPath, "_SUCCESS").exists()) {
+      phase("pages parquet (untimed setup)") {
+        SyntheticCrawl.pagesDF(spark, nUrls, basePoints = 300)
+          .write.mode("overwrite").parquet(pagesPath)
+      }
+    }
     val t0 = System.nanoTime()
-    val pages = SyntheticCrawl.pagesDF(spark, nUrls, basePoints = 300)
+    val pages = spark.read.parquet(pagesPath)
     val points = CrawlSignals.pageSize(pages)
     val allTiers = Rollup.scalableRollupAllTiers(points, 60000L, segment = true).toDF()
     // ONE action computes per-tier counts and the order-independent content

@@ -168,7 +168,8 @@ object Queries {
           col("n_cps"), col("last_cp"))),
 
     "q25_stream_cps" -> ((s, dir) => {
-      val pages = SyntheticCrawl.pagesDF(s, nUrls = 24, basePoints = 900)
+      val nUrls = if (dir.contains("sf0.1")) 72 else if (dir.contains("sf0.01")) 24 else 8
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 900)
       graft.streaming.StreamStage.detectBatch(CrawlSignals.pageSize(pages),
         graft.streaming.StreamStage.Config(nTimepoints = 2048, nWarmup = 200)).toDF()
     }),
@@ -258,7 +259,8 @@ object Queries {
 
     "q23_crawl_pipeline_1d" -> ((s, dir) => {
       // full engine slice on the synthetic crawl table (input_hint shape)
-      val pages = SyntheticCrawl.pagesDF(s, nUrls = 32, basePoints = 300)
+      val nUrls = if (dir.contains("sf0.1")) 96 else if (dir.contains("sf0.01")) 32 else 12
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 300)
       Rollup.cascade(
         Rollup.adaptiveRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true),
         "1d").toDF()

@@ -116,4 +116,78 @@ final class StreamingClaSPSegmentation(
     require(isWarmedUp, "StreamingClaSPSegmentation object is not warmed up yet.")
     lastCp
   }
+
+  /** Flat value snapshot of ALL mutable state (for Structured Streaming's
+    * GroupState: the product encoder serializes primitive arrays orders of
+    * magnitude faster than Encoders.javaSerialization walking this object
+    * graph reflectively per micro-batch). */
+  def snapshot: SegSnapshot = {
+    val hasKnn = knnStream != null
+    SegSnapshot(
+      warmup.clone(), profile.clone(), changePoints.toArray,
+      lastCp, ingested, knnStreamLag, warmupCounter, windowSize, minSegSize, threshold,
+      if (hasKnn) knnStream.lbound else 0,
+      if (hasKnn) knnStream.nFilled else 0,
+      if (hasKnn) knnStream.knnFilled else 0,
+      if (hasKnn) knnStream.timeSeries.clone() else Array.empty,
+      if (hasKnn) knnStream.csum.clone() else Array.empty,
+      if (hasKnn) knnStream.csumsq.clone() else Array.empty,
+      if (hasKnn) knnStream.dcsum.clone() else Array.empty,
+      if (hasKnn) knnStream.means.clone() else Array.empty,
+      if (hasKnn) knnStream.stds.clone() else Array.empty,
+      if (hasKnn) knnStream.dists.flatten else Array.empty,
+      if (hasKnn) knnStream.knns.flatten else Array.empty,
+      if (hasKnn && knnStream.dotRolled != null) knnStream.dotRolled.clone() else Array.empty)
+  }
+}
+
+/** Value-encoded state of one [[StreamingClaSPSegmentation]]; fields prefixed
+  * k belong to the inner [[StreamingKSN]] ring (empty arrays while the
+  * detector is still warming up / before the first dot seed). */
+final case class SegSnapshot(
+    warmup: Array[Double], profile: Array[Double], changePoints: Array[Int],
+    lastCp: Int, ingested: Int, knnStreamLag: Int, warmupCounter: Int,
+    windowSize: Int, minSegSize: Int, threshold: Double,
+    kLbound: Int, kNFilled: Int, kKnnFilled: Int,
+    kTimeSeries: Array[Double], kCsum: Array[Double], kCsumsq: Array[Double],
+    kDcsum: Array[Double], kMeans: Array[Double], kStds: Array[Double],
+    kDists: Array[Double], kKnns: Array[Int], kDotRolled: Array[Double])
+
+object StreamingClaSPSegmentation {
+
+  /** Rebuild a live state machine from a snapshot + the (static) config. */
+  def restore(s: SegSnapshot, nTimepoints: Int, nWarmupIn: Int,
+      windowSizeMethod: String = "suss", kNeighbours: Int = 3,
+      distanceName: String = "znormed_euclidean_distance", scoreName: String = "f1",
+      jump: Int = 5, validation: String = "significance_test",
+      logCps: Boolean = false, exclRadius: Int = 5): StreamingClaSPSegmentation = {
+    val m = new StreamingClaSPSegmentation(nTimepoints, nWarmupIn, windowSizeMethod,
+      kNeighbours, distanceName, scoreName, jump, validation, s.threshold, logCps, exclRadius)
+    System.arraycopy(s.warmup, 0, m.warmup, 0, m.nWarmup)
+    System.arraycopy(s.profile, 0, m.profile, 0, nTimepoints)
+    m.changePoints.clear(); m.changePoints ++= s.changePoints
+    m.lastCp = s.lastCp; m.ingested = s.ingested; m.knnStreamLag = s.knnStreamLag
+    m.warmupCounter = s.warmupCounter; m.windowSize = s.windowSize
+    m.minSegSize = s.minSegSize; m.threshold = s.threshold
+    if (s.windowSize > 0 && s.kTimeSeries.nonEmpty) {
+      val k = new StreamingKSN(nTimepoints, s.windowSize, kNeighbours, distanceName)
+      k.lbound = s.kLbound; k.nFilled = s.kNFilled; k.knnFilled = s.kKnnFilled
+      System.arraycopy(s.kTimeSeries, 0, k.timeSeries, 0, k.timeSeries.length)
+      System.arraycopy(s.kCsum, 0, k.csum, 0, k.csum.length)
+      System.arraycopy(s.kCsumsq, 0, k.csumsq, 0, k.csumsq.length)
+      System.arraycopy(s.kDcsum, 0, k.dcsum, 0, k.dcsum.length)
+      System.arraycopy(s.kMeans, 0, k.means, 0, k.means.length)
+      System.arraycopy(s.kStds, 0, k.stds, 0, k.stds.length)
+      val kk = k.kNeighbours
+      var i = 0
+      while (i < k.nWindows) {
+        System.arraycopy(s.kDists, i * kk, k.dists(i), 0, kk)
+        System.arraycopy(s.kKnns, i * kk, k.knns(i), 0, kk)
+        i += 1
+      }
+      if (s.kDotRolled.nonEmpty) k.dotRolled = s.kDotRolled.clone()
+      m.knnStream = k
+    }
+    m
+  }
 }

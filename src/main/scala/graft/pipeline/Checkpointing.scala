@@ -119,11 +119,14 @@ object Pipeline {
     val blobs = r1m.groupByKey(_.url)
       .flatMapGroups((url, it) => Rollup.kernelBlobs(url, it.toArray).iterator)
 
+    // ONE driver action establishes the retention "now" (the data's max
+    // bucket across tiers) — one consistent clock for every tier instead of
+    // three per-tier max scans of the cached dataset
+    lazy val nowMs: Long =
+      all.toDF().agg(max("bucket_start")).collect()(0).getLong(0)
     def withRetention(ds: Dataset[RollupRow], tier: String): Dataset[RollupRow] =
       retainDays.get(tier) match {
-        case Some(d) =>
-          val nowMs = ds.agg(max("bucket_start")).as[Long].head()
-          Rollup.retain(ds, nowMs, d.toLong * 86400000L)
+        case Some(d) => Rollup.retain(ds, nowMs, d.toLong * 86400000L)
         case None => ds
       }
 

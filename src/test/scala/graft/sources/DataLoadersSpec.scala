@@ -38,6 +38,24 @@ class DataLoadersSpec extends AnyFunSuite {
     }
   }
 
+  test("HAS fixture drives multivariate state detection (AMI floor)") {
+    // the spirit of the reference's HAS benchmark test
+    // (claspy/tests/state_detection_test.py:33-53): numeric activity labels,
+    // dense ground truth via create_state_labels, AMI against the detection
+    val loaded = DataLoaders.loadHas(
+      new java.io.File(resourceDir("/loaders/has"), "has.csv.zip").getAbsolutePath)
+    val scores = loaded.map { h =>
+      val actIds = h.activities.map(h.activities.distinct.sorted.indexOf(_))
+      val truth = graft.kernel.Eval.createStateLabels(h.changePoints, actIds, h.dims(0).length)
+      val det = new graft.kernel.AgglomerativeClapDetection(
+        fixedWindowSize = 25, classifier = new graft.kernel.RocketClassifier())
+      val dense = det.fit(h.dims, h.changePoints).predictDense
+      graft.kernel.Eval.adjustedMutualInfo(truth, dense)
+    }
+    val mean = scores.sum / scores.length
+    assert(mean >= 0.64, s"mean AMI $mean (per-case: $scores)")
+  }
+
   test("HAS zipped-CSV loader matches the reference loader") {
     val loaded = DataLoaders.loadHas(
       new java.io.File(resourceDir("/loaders/has"), "has.csv.zip").getAbsolutePath)

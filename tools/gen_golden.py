@@ -697,11 +697,15 @@ for i, group in enumerate(["indoor", "outdoor"]):
     sensors = (["x-acc", "y-acc", "z-acc", "x-gyro", "y-gyro", "z-gyro",
                 "x-mag", "y-mag", "z-mag"] if group == "indoor"
                else ["x-acc", "y-acc", "z-acc", "x-mag", "y-mag", "z-mag"])
+    # waveform keyed on the ACTIVITY (recurring segments share a shape, so
+    # state detection can merge them), distinct per sensor
+    act_ids = [0, 1, 0]
     for s_i, s in enumerate(sensors):
         parts = []
         for seg_i, b in enumerate([(0, 130), (130, 260), (260, 400)]):
             t = np.arange(b[1] - b[0])
-            parts.append(np.sin(2 * np.pi * t / (8.0 + 7 * ((seg_i + s_i) % 3))) + 0.1 * rngH.randn(len(t)))
+            period = 8.0 + 7 * ((act_ids[seg_i] + s_i) % 3)
+            parts.append(np.sin(2 * np.pi * t / period) + 0.1 * rngH.randn(len(t)))
         sig[s] = np.concatenate(parts)
     row = {
         "group": group, "subject": i + 1, "routine": 1, "ts_challenge_id": 100 + i,
