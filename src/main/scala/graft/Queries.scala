@@ -219,20 +219,31 @@ object Queries {
       val base = pages.select(col("url"), unix_millis(col("warc_ts")).as("ts"),
         octet_length(col("html")).cast("double").as("size"),
         length(col("text")).cast("double").as("tlen"))
-      base
+      // two-phase like the rollup: a 19k-bucket mega url would otherwise run
+      // one O(n²·d) segmentation task (measured 19 s straggler); chunked
+      // keys bound per-task cost and a hash-agg merges per url
+      val chunkMs = 60000L * Rollup.MegaSeriesBuckets
+      val perChunk = base
         .groupBy(col("url"), (col("ts") - pmod(col("ts"), lit(60000L))).as("bucket"))
         .agg(avg("size").as("size"), avg("tlen").as("tlen"))
         .as[(String, Long, Double, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (url, it) =>
+        .groupByKey(r => (r._1, Math.floorDiv(r._2, chunkMs)))
+        .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Double, Double)]) =>
+          val url = key._1
           val rows = it.toArray.sortBy(_._2)
           val dims = Array(rows.map(_._3), rows.map(_._4))
           val cps =
             try new graft.kernel.BinaryClaSPSegmentation().fitPredict(dims)
             catch { case _: Exception => Array.empty[Int] }
-          (url, rows.length.toLong, cps.length, if (cps.nonEmpty) cps(0) else -1)
+          (url, rows.length.toLong, cps.length,
+            if (cps.nonEmpty) rows(cps(0))._2 else Long.MaxValue)
         }
-        .toDF("url", "n_buckets", "n_cps", "first_cp")
+      perChunk.toDF("url", "n_buckets", "n_cps", "fcb")
+        .groupBy("url")
+        .agg(sum("n_buckets").as("n_buckets"), sum("n_cps").as("n_cps"),
+          min("fcb").as("fcb"))
+        .select(col("url"), col("n_buckets"), col("n_cps"),
+          when(col("fcb") === Long.MaxValue, -1L).otherwise(col("fcb")).as("first_cp_bucket"))
     }),
 
     "q29_jaccard_exact" -> ((s, dir) => {
