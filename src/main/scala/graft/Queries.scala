@@ -197,7 +197,13 @@ object Queries {
             val det = new graft.kernel.AgglomerativeClapDetection(
               windowSizeMethod = "suss",
               classifier = new graft.kernel.RocketClassifier(100))
-            val res = det.fit(Array(means))
+            // mega-series guard: Rollup.segmentCps routes series above the
+            // chunk bound through the O(ring) streaming detector instead of
+            // the O(n²) batch segmentation; CLaP classifies + merges as usual
+            val cpsIn: Array[Int] =
+              if (means.length <= Rollup.MegaSeriesBuckets) null
+              else Rollup.segmentCps(means)
+            val res = det.fit(Array(means), cpsIn)
             val (states, trans) = res.process
             (url, means.length.toLong, res.windowSize, res.changePointsIn.length,
               res.changePoints.length, states.size, trans.size)

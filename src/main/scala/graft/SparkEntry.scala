@@ -10,7 +10,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val pages = SyntheticCrawl.pagesDF(spark, nUrls = 16, basePoints = 300)
     Rollup.cascade(
-      Rollup.adaptiveRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true),
+      Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true),
       "1d").toDF()
   }
 

@@ -107,22 +107,7 @@ object Rollup {
     * for very large archives (`claspy/notebooks/streaming_time_series.ipynb`). */
   def segmentEpochs(series: Array[Double]): Array[Int] = {
     val n = series.length
-    val cps: Array[Int] =
-      if (n <= MegaSeriesBuckets) segmentSafe(series, 0)
-      else {
-        // jump=50: the reference's jump=5 suits LIVE detection latency; for
-        // offline epoch assignment a 50-bucket detection grid costs one
-        // ClaSS fit per 50 points (~10× less) and only quantizes epoch
-        // boundaries, which 1h/1d tiers re-bucket anyway
-        val stream = new graft.kernel.streaming.StreamingClaSPSegmentation(
-          nTimepoints = MegaSeriesBuckets, nWarmupIn = MegaSeriesBuckets,
-          jump = 50, logCps = true)
-        try {
-          var i = 0
-          while (i < n) { stream.update(series(i)); i += 1 }
-          stream.changePoints.filter(c => c > 0 && c < n).distinct.sorted.toArray
-        } catch { case e: Exception => logSegmentFailure(e); Array.empty[Int] }
-      }
+    val cps = segmentCps(series)
     val epochs = new Array[Int](n)
     var e = 0; var next = 0; var i = 0
     while (i < n) {
@@ -131,6 +116,27 @@ object Rollup {
       i += 1
     }
     epochs
+  }
+
+  /** Mega-guarded change points: batch ClaSP under [[MegaSeriesBuckets]],
+    * the O(ring) streaming detector above it. */
+  def segmentCps(series: Array[Double]): Array[Int] = {
+    val n = series.length
+    if (n <= MegaSeriesBuckets) segmentSafe(series, 0)
+    else {
+      // jump=50: the reference's jump=5 suits LIVE detection latency; for
+      // offline epoch assignment a 50-bucket detection grid costs one
+      // ClaSS fit per 50 points (~10× less) and only quantizes epoch
+      // boundaries, which 1h/1d tiers re-bucket anyway
+      val stream = new graft.kernel.streaming.StreamingClaSPSegmentation(
+        nTimepoints = MegaSeriesBuckets, nWarmupIn = MegaSeriesBuckets,
+        jump = 50, logCps = true)
+      try {
+        var i = 0
+        while (i < n) { stream.update(series(i)); i += 1 }
+        stream.changePoints.filter(c => c > 0 && c < n).distinct.sorted.toArray
+      } catch { case e: Exception => logSegmentFailure(e); Array.empty[Int] }
+    }
   }
 
   /** BinaryClaSPSegmentation with degenerate-input guards: too-short or
