@@ -274,6 +274,15 @@ object Queries {
           round(col("min"), 6).as("min_val"), round(col("max"), 6).as("max_val"),
           col("gap_filled"))),
 
+    "q31_epoch_states" -> ((s, dir) => {
+      // recurring-epoch state ids over the adaptive rollup: epochs that
+      // revisit a regime collapse to one state (agglomerative CLaP)
+      val nUrls = if (dir.contains("sf0.1")) 48 else if (dir.contains("sf0.01")) 16 else 8
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
+      ops.StateOps.epochStates(
+        Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true))
+    }),
+
     "q23_crawl_pipeline_1d" -> ((s, dir) => {
       // full engine slice on the synthetic crawl table (input_hint shape)
       val nUrls = if (dir.contains("sf0.1")) 96 else if (dir.contains("sf0.01")) 32 else 12
