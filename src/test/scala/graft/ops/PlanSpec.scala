@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.pipeline.SparkTestBase
+
+/** Physical-plan assertions for the scale-critical queries: these pin the
+  * plans we actually want at 100× data (broadcasts where intended, no
+  * cartesian products, digest-keyed shuffles, partial aggregation) so a
+  * regression shows up as a test failure, not a slow cluster. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def available = new java.io.File(s"$dir/events.parquet").exists()
+
+  private def plan(name: String): String = {
+    assume(available, s"$dir not present")
+    graft.Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("q01 rollup: partial+final hash aggregation, pruned scan") {
+    val p = plan("q01_rollup_1m")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2, "partial+final agg")
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("event_type"), s"scan must prune unused columns: $read")
+  }
+
+  test("q05 exact dedup: shuffles on the text digest, never the text") {
+    val p = plan("q05_dedup_exact")
+    // digest is projected (xxhash64(text) AS _w0) and the exchange keys on it
+    assert(p.contains("xxhash64(text"), "digest projection present")
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("_w0")),
+      s"exchange must key on the digest, not the text: ${exchanges.mkString}")
+    // bonus: Spark's WindowGroupLimit pushes the top-1-per-group below the
+    // shuffle (partial/final) — keep it that way
+    assert(p.contains("WindowGroupLimit"), "rank-1 pushdown")
+  }
+
+  test("q09 brute-force topk: query side broadcast, corpus never shuffled") {
+    val p = plan("q09_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), "deliberate broadcast NLJ")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+  }
+
+  test("q16 minhash pairs: bucket-local equi-join, no cartesian product") {
+    val p = plan("q16_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), "no all-pairs join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no unkeyed join")
+  }
+
+  test("q19 IVF: no cross join, no unpartitioned window") {
+    val p = plan("q19_ivf_topk")
+    assert(!p.contains("CartesianProduct"), "no corpus x centroids cross join")
+    for (l <- p.split("\n") if l.trim.startsWith("Window") || l.contains("WindowExec"))
+      assert(l.contains("query_id"), s"window must be partitioned: $l")
+  }
+
+  test("q26 transitions: keyed window + hash aggregation") {
+    val p = plan("q26_state_transitions")
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2)
+    for (l <- p.split("\n") if l.trim.startsWith("Window"))
+      assert(l.contains("user_id"), s"window must be partitioned: $l")
+  }
+}
