@@ -182,7 +182,13 @@ object Rollup {
   // --------------------------------------------------------------- pipeline
 
   /** Base-tier rollup with ClaSP-adaptive epochs: shuffle once on url
-    * (groupByKey), run the kernel per series inside the task. */
+    * (groupByKey), run the kernel per series inside the task.
+    *
+    * SINGLE-PHASE reference path: one task materializes one url's raw
+    * points, so a mega-series is an unbounded straggler. Retained as the
+    * bit-equality oracle for the two-phase path (RollupPipelineSpec); every
+    * production query and the resume pipeline use [[scalableRollup]] /
+    * [[scalableRollupAllTiers]]. */
   def adaptiveRollup(
       points: Dataset[SeriesPoint],
       bucketMs: Long = 60000L,
@@ -197,7 +203,9 @@ object Rollup {
       }
   }
 
-  /** Gorilla blobs per (url, epoch) straight from points (one shuffle). */
+  /** Gorilla blobs per (url, epoch) straight from points (one shuffle).
+    * Single-phase like [[adaptiveRollup]] — spec oracle only; queries use
+    * [[scalableEpochBlobs]]. */
   def epochBlobs(
       points: Dataset[SeriesPoint],
       bucketMs: Long = 60000L,

@@ -544,7 +544,8 @@ for name, pattern, seg_len, seed, n_dims, w, sample_size, give_cps in [
         ("uni_aba", [0, 1, 0], 200, 33, 1, 20, 1000, True),
         ("uni_subsample", [0, 1, 0, 1], 300, 34, 1, 10, 20, True),
         ("uni_auto", [1, 3, 1, 3], 400, 35, 1, None, 1000, False),
-        ("mv_ab", [0, 1, 0], 150, 36, 2, 12, 1000, True)]:
+        ("mv_ab", [0, 1, 0], 150, 36, 2, 12, 1000, True),
+        ("mv_subsample_auto", [0, 1, 0, 1, 2], 220, 37, 2, None, 30, True)]:
     ts2d, cps = gen_state_series(pattern, seg_len, seed, n_dims)
     det = AgglomerativeCLaPDetection(
         window_size=(w if w is not None else "suss"), classifier="dummy",
