@@ -28,6 +28,31 @@ object StreamStage {
       jump: Int = 5,
       logCps: Boolean = true)
 
+  /** STREAMING continuous aggregates: the 1m/1h/1d rollup tiers as a
+    * watermarked event-time window aggregation over an unbounded point
+    * stream. Append mode — a bucket row is emitted exactly once, when the
+    * watermark passes its end, so the sink receives the same non-gap bucket
+    * rows the batch rollup produces (equality asserted in StreamStageSpec).
+    * State per key is one aggregate row per open bucket — O(urls × lateness)
+    * regardless of stream length. */
+  def rollupStream(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long = 60000L,
+      tier: String = "1m",
+      lateness: String = "10 minutes"): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("url"), window(col("event_time"), s"${bucketMs / 1000} seconds"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum"),
+        min("value").as("min"), max("value").as("max"),
+        avg("value").as("mean"))
+      .select(col("url"), lit(tier).as("tier"),
+        unix_millis(col("window.start")).as("bucket_start"),
+        col("cnt"), col("sum"), col("min"), col("max"), col("mean"))
+  }
+
   private def feed(
       state: StreamingClaSPSegmentation,
       url: String,

@@ -19,6 +19,44 @@ class StreamStageSpec extends SparkTestBase {
     assert(summaries.exists(_.n_cps > 0), "at least one series must yield a cp")
   }
 
+  test("streaming rollup equals batch rollup non-gap rows") {
+    val all = crawlPoints(6)
+    // batch truth: non-gap 1m buckets from the scalable kernel
+    val batch = graft.pipeline.Rollup
+      .scalableRollup(all.toSeq.toDS(), 60000L, "1m", segment = false)
+      .filter(!_.gap_filled).collect()
+      .map(r => (r.url, r.bucket_start, r.cnt, math.round(r.sum * 1e6),
+        math.round(r.mean * 1e6))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.pipeline.SeriesPoint]
+    val q = StreamStage.rollupStream(mem.toDS(), 60000L, "1m", "5 minutes")
+      .writeStream.format("memory").queryName("rollup_stream")
+      .outputMode("append").start()
+    val sorted = all.sortBy(_.ts)
+    val third = sorted.length / 3
+    for (chunk <- sorted.grouped(math.max(third, 1))) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // advance the watermark far past the data so every bucket closes
+    val last = sorted.last
+    mem.addData(last.copy(ts = last.ts + 86400000L * 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rollup_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        math.round(r.getDouble(4) * 1e6), math.round(r.getDouble(7) * 1e6)))
+      .toSet
+    // drop the sentinel point's bucket before comparing
+    val sentinelBucket = (last.ts + 86400000L * 2) / 60000L * 60000L
+    val streamedClean = streamed.filterNot(t => t._1 == last.url && t._2 == sentinelBucket)
+    assert(streamedClean == batch,
+      s"stream-only: ${(streamedClean -- batch).take(3)}; batch-only: ${(batch -- streamedClean).take(3)}")
+  }
+
   test("structured streaming emits the same cps as batch replay") {
     val all = crawlPoints(4)
     val cfg = StreamStage.Config(nTimepoints = 2048, nWarmup = 200)
