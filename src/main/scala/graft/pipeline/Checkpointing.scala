@@ -18,6 +18,22 @@ object Checkpointing {
   def manifestPath(outDir: String) = s"$outDir/_manifest"
   def rollupPath(outDir: String) = s"$outDir/rollups"
 
+  /** Bucketed rollup sink: hash-bucketed AND sorted by (url, bucket_start),
+    * so every downstream url-keyed operation — tier cascades, epoch blobs,
+    * as-of joins between tiers, resume anti-joins — reads its url co-located
+    * and in time order with NO exchange (SURVEY §4.3 explicit partitioning;
+    * the Iceberg analogue is a bucket(url) partition transform + sorted
+    * write). See RollupPipelineSpec for the shuffle-free-join plan proof. */
+  def writeBucketed(
+      rows: Dataset[RollupRow],
+      table: String,
+      buckets: Int = 64): Unit =
+    rows.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "url")
+      .sortBy("url", "bucket_start")
+      .saveAsTable(table)
+
   /** Buckets already completed according to the manifest (empty on first run). */
   def doneBuckets(spark: SparkSession, outDir: String): Set[Int] = {
     import spark.implicits._

@@ -191,4 +191,27 @@ class RollupPipelineSpec extends SparkTestBase {
     assert(res.rows1m > 0 && res.rows1h > 0 && res.rows1d > 0 && res.blobs > 0)
     assert(res.rows1m >= res.rows1h && res.rows1h >= res.rows1d)
   }
+
+  test("bucketed rollup sink joins url-to-url with no exchange") {
+    import org.apache.spark.sql.functions.col
+    val points = CrawlSignals.pageSize(pages)
+    val rows = Rollup.scalableRollup(points, 60000L, "1m", segment = false)
+    Checkpointing.writeBucketed(rows, "rollup_1m_bucketed", buckets = 8)
+    Checkpointing.writeBucketed(
+      Rollup.cascade(rows, "1h"), "rollup_1h_bucketed", buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("rollup_1m_bucketed")
+      val b = spark.table("rollup_1h_bucketed")
+      val joined = a.join(b.select(col("url"), col("bucket_start").as("hb"),
+        col("mean").as("hmean")), Seq("url"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.split("\n").take(4).mkString("\n"))
+      // bucketed-by-url on both sides: the join needs NO shuffle
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + plan.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
