@@ -274,6 +274,19 @@ object Queries {
           round(col("min"), 6).as("min_val"), round(col("max"), 6).as("max_val"),
           col("gap_filled"))),
 
+    "q32_asof_enrich" -> ((s, dir) => {
+      // as-of join: every event enriched with the user's most recent
+      // purchase value at-or-before its timestamp (sparse right side)
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("last_purchase"))
+      ops.AsofOps.asofJoin(ev, purchases, "user_id", "ts", Seq("last_purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("last_purchase"), 6).as("last_purchase"))
+    }),
+
     "q31_epoch_states" -> ((s, dir) => {
       // recurring-epoch state ids over the adaptive rollup: epochs that
       // revisit a regime collapse to one state (agglomerative CLaP)
@@ -417,6 +430,14 @@ object Queries {
          |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
          |    greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "q32_asof_enrich" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS last_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, round(p.last_purchase, 6) AS last_purchase
+        |FROM events l ASOF LEFT JOIN p
+        |  ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin,
 
     "q30_rollup_gapfill_1h" ->
       """WITH agg AS (

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (latest-value) joins for time-series tables.
+  *
+  * The classic formulation is a range join (`l.key = r.key AND r.ts <=
+  * l.ts`, keep the max r.ts), which Spark executes as an exploding
+  * inequality join. This implementation uses the scalable union + running
+  * last-value form instead: tag both inputs, union, and carry the right
+  * side's payload forward with a `last(ignoreNulls)` window ordered by
+  * (ts, side) per key — ONE shuffle on the key, O(1) state per row, no
+  * pair explosion, and right rows at the same timestamp sort before left
+  * rows so `r.ts <= l.ts` ties match (the ASOF-join convention). */
+object AsofOps {
+
+  /** For each left row, attach the most recent right payload with
+    * `right(tsCol) <= left(tsCol)` per `keyCol`. Right payload columns are
+    * null until the first right row. Output = left columns + payload. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // 0 sorts before 1: right rows win ties at equal ts
+    val l = payloadCols.foldLeft(left.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right.select((keyCol +: tsCol +: payloadCols).distinct.map(col): _*)
+      .withColumn("_side", lit(0))
+    val r = leftCols.filterNot((keyCol +: tsCol +: payloadCols).contains)
+      .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select((leftCols ++ payloadCols.filterNot(leftCols.contains) :+ "_side").map(col): _*)
+    val unioned = l.select((leftCols ++ payloadCols.filterNot(leftCols.contains) :+ "_side").map(col): _*)
+      .unionByName(r)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payloadCols.foldLeft(unioned) {
+      (df, c) => df.withColumn(c, last(c, ignoreNulls = true).over(w))
+    }
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+}

@@ -1,0 +1,24 @@
+package graft.ops
+
+import graft.pipeline.SparkTestBase
+
+class AsofOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin attaches the latest right payload at-or-before each left ts") {
+    val left = Seq(
+      ("u1", 5L, 100L), ("u1", 10L, 101L), ("u1", 15L, 102L), ("u1", 20L, 103L),
+      ("u2", 10L, 200L)
+    ).toDF("key", "t", "id")
+    val right = Seq(
+      ("u1", 10L, 1.0), ("u1", 18L, 2.0) // u2 has no right rows
+    ).toDF("key", "t", "v")
+    val out = AsofOps.asofJoin(left, right, "key", "t", Seq("v"))
+      .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(100L).isEmpty, "before first right row -> null")
+    assert(out(101L).contains(1.0), "equal ts matches (<=)")
+    assert(out(102L).contains(1.0))
+    assert(out(103L).contains(2.0))
+    assert(out(200L).isEmpty, "key with no right rows -> null")
+  }
+}
