@@ -274,6 +274,13 @@ object Queries {
           round(col("min"), 6).as("min_val"), round(col("max"), 6).as("max_val"),
           col("gap_filled"))),
 
+    "q33_m4_downsample" -> ((s, dir) =>
+      // M4 downsample of the raw event series to 1-day pixels
+      ops.DownsampleOps.m4(events(s, dir).select("event_id", "user_id", "ts", "value"),
+          col("user_id"), col("ts"), col("value"), 86400000L)
+        .select(col("event_id"), col("user_id"), col("bucket"), col("ts"),
+          round(col("value"), 6).as("value"))),
+
     "q32_asof_enrich" -> ((s, dir) => {
       // as-of join: every event enriched with the user's most recent
       // purchase value at-or-before its timestamp (sparse right side)
@@ -430,6 +437,18 @@ object Queries {
          |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
          |    greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "q33_m4_downsample" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, date_trunc('day', ts) AS bucket, ts, value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, bucket, min(ts) AS mnt, max(ts) AS mxt,
+        |         min(value) AS mnv, max(value) AS mxv
+        |  FROM b GROUP BY 1, 2)
+        |SELECT b.event_id, b.user_id, b.bucket, b.ts, round(b.value, 6) AS value
+        |FROM b JOIN m ON b.user_id = m.user_id AND b.bucket = m.bucket
+        |WHERE b.ts = m.mnt OR b.ts = m.mxt OR b.value = m.mnv OR b.value = m.mxv""".stripMargin,
 
     "q32_asof_enrich" ->
       """WITH p AS (
