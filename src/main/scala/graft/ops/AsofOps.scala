@@ -26,6 +26,8 @@ object AsofOps {
       tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!payloadCols.exists(leftCols.contains),
+      s"payload columns ${payloadCols.filter(leftCols.contains).mkString(",")} collide with left columns")
     // 0 sorts before 1: right rows win ties at equal ts
     val l = payloadCols.foldLeft(left.withColumn("_side", lit(1))) {
       (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
