@@ -281,6 +281,24 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("bucket"), col("ts"),
           round(col("value"), 6).as("value"))),
 
+    "q34_lttb_downsample" -> ((s, dir) => {
+      import s.implicits._
+      // LTTB to 100 representative points per url over 1m bucket means
+      // (bucket rows per group — the bounded shape, never raw points)
+      val nUrls = if (dir.contains("sf0.1")) 64 else if (dir.contains("sf0.01")) 24 else 8
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
+      Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = false)
+        .filter(!_.gap_filled)
+        .groupByKey(_.url)
+        .flatMapGroups { (url, it) =>
+          val rows = it.toArray.sortBy(_.bucket_start)
+          val idx = ops.DownsampleOps.lttbIndices(
+            rows.map(_.bucket_start), rows.map(_.mean), 100)
+          idx.iterator.map(i => (url, rows(i).bucket_start, rows(i).mean))
+        }
+        .toDF("url", "bucket_start", "mean")
+    }),
+
     "q32_asof_enrich" -> ((s, dir) => {
       // as-of join: every event enriched with the user's most recent
       // purchase value at-or-before its timestamp (sparse right side)

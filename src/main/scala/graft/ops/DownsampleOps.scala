@@ -35,4 +35,49 @@ object DownsampleOps {
       .filter(col("keep"))
       .drop("keep")
   }
+
+  /** LTTB — largest-triangle-three-buckets (Steinarsson 2013, public
+    * method): select `threshold` visually representative points of one
+    * series. Input must be time-sorted; returns the SELECTED INDICES
+    * (first and last always kept; per bucket, the point maximizing the
+    * triangle area with the previously selected point and the next
+    * bucket's centroid; strict > keeps the first maximum). Pure kernel —
+    * run per series inside a bucket-row group like the other per-url ops. */
+  def lttbIndices(ts: Array[Long], v: Array[Double], threshold: Int): Array[Int] = {
+    val n = ts.length
+    if (threshold >= n || threshold < 3) return Array.range(0, n)
+    val out = new Array[Int](threshold)
+    out(0) = 0
+    val bucketSize = (n - 2).toDouble / (threshold - 2)
+    var a = 0
+    var i = 0
+    while (i < threshold - 2) {
+      // next bucket's centroid
+      var cStart = (math.floor((i + 1) * bucketSize) + 1).toInt
+      var cEnd = (math.floor((i + 2) * bucketSize) + 1).toInt
+      if (cEnd > n) cEnd = n
+      var cx = 0.0; var cy = 0.0
+      var j = cStart
+      while (j < cEnd) { cx += ts(j).toDouble; cy += v(j); j += 1 }
+      val m = math.max(cEnd - cStart, 1)
+      cx /= m; cy /= m
+      // current bucket: maximize triangle area with point a and the centroid
+      val bStart = (math.floor(i * bucketSize) + 1).toInt
+      val bEnd = math.min((math.floor((i + 1) * bucketSize) + 1).toInt, n)
+      val ax = ts(a).toDouble; val ay = v(a)
+      var best = -1.0
+      var bestIdx = bStart
+      j = bStart
+      while (j < bEnd) {
+        val area = math.abs((ax - cx) * (v(j) - ay) - (ax - ts(j).toDouble) * (cy - ay)) * 0.5
+        if (area > best) { best = area; bestIdx = j }
+        j += 1
+      }
+      out(i + 1) = bestIdx
+      a = bestIdx
+      i += 1
+    }
+    out(threshold - 1) = n - 1
+    out
+  }
 }

@@ -18,6 +18,23 @@ class StateOpsSpec extends SparkTestBase {
       ("u2", "x", "x", 1L, 0.5), ("u2", "x", "y", 1L, 0.5)))
   }
 
+  test("lttb keeps endpoints, respects threshold and picks extreme points") {
+    import graft.ops.DownsampleOps.lttbIndices
+    val n = 1000
+    val ts = Array.tabulate(n)(i => i.toLong * 60000L)
+    val v = Array.tabulate(n)(i => math.sin(2 * math.Pi * i / 50.0) * (1 + i / 500.0))
+    val idx = lttbIndices(ts, v, 100)
+    assert(idx.length == 100)
+    assert(idx.head == 0 && idx.last == n - 1)
+    assert(idx.sorted.sameElements(idx) && idx.distinct.length == idx.length)
+    // a spike must survive downsampling (it maximizes its bucket's triangle)
+    val v2 = v.clone(); v2(537) = 50.0
+    assert(lttbIndices(ts, v2, 100).contains(537), "spike dropped")
+    // degenerate thresholds pass through
+    assert(lttbIndices(ts, v, n + 5).length == n)
+    assert(lttbIndices(ts.take(2), v.take(2), 2).sameElements(Array(0, 1)))
+  }
+
   test("epochStates emits one labeled row per (url, epoch)") {
     val pages = SyntheticCrawl.pagesDF(spark, nUrls = 6, basePoints = 400)
     val rollup = Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true)

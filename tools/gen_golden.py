@@ -232,7 +232,10 @@ dump("window_sizes", {"cases": ws_rows})
 seg_rows = []
 for kind, n, seed in [("mean_shift", 600, 11), ("freq_shift", 1200, 12),
                       ("var_shift", 900, 13), ("amp_freq", 1600, 14),
-                      ("amp_freq", 2000, 15)]:
+                      ("amp_freq", 2000, 15),
+                      ("freq_shift", 800, 61), ("freq_shift", 2400, 62),
+                      ("var_shift", 1500, 63), ("amp_freq", 1100, 64),
+                      ("mean_shift", 1800, 65), ("var_shift", 700, 66)]:
     ts, true_cps = gen_series(kind, n, seed)
     seg = BinaryClaSPSegmentation(n_jobs=1).fit(ts)
     seg_rows.append({
