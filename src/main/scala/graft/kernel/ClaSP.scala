@@ -73,12 +73,25 @@ object ClaSP {
     val yTrue = new Array[Int](nOff)
     val yPred = new Array[Int](nOff)
     val profile = Array.fill(nOff)(Double.NegativeInfinity)
+    // 16-bit offset view when rows fit (chunk-bounded series always do):
+    // halves the bytes the O(n²·k) profile loop streams; indices identical
+    val offsShort: Array[Short] =
+      if (nOff < 32768) {
+        val flat = knn.offsetsFlat
+        val a = new Array[Short](flat.length)
+        var i = 0
+        while (i < flat.length) { a(i) = flat(i).toShort; i += 1 }
+        a
+      } else null
     // single-prange decomposition (clasp.py:188-199 with n_jobs=1):
     val start = math.max(0, minSegSize)
     val end = math.min(nOff, nOff - minSegSize + windowSize)
     var split = start
     while (split < end) {
-      CrossVal.labelsInto(knn.offsetsFlat, knn.stride, split, windowSize, yTrue, yPred)
+      if (offsShort != null)
+        CrossVal.labelsIntoShort(offsShort, knn.stride, split, windowSize, yTrue, yPred)
+      else
+        CrossVal.labelsInto(knn.offsetsFlat, knn.stride, split, windowSize, yTrue, yPred)
       profile(split) = scorer(yTrue, yPred)
       split += 1
     }
