@@ -31,6 +31,23 @@ object Queries {
       .as[SeriesPoint]
   }
 
+  /** Synthetic-input sizing for the kernel-heavy queries (q23/q25/q27/q28/
+    * q31/q34). Resolution order: explicit `SPARK_GRAFT_SYNTH_SCALE` env
+    * (0=small, 1=mid, 2=big), else the `sf<value>` token parsed from the
+    * data dir name, else the small tier — so an arbitrarily named dir runs
+    * correctly (just at smoke scale) instead of silently mis-sizing. */
+  private val sfToken = "sf([0-9]*\\.?[0-9]+)".r
+  private def synthScale(dir: String, small: Int, mid: Int, big: Int): Int = {
+    val tier = sys.env.get("SPARK_GRAFT_SYNTH_SCALE").map(_.trim.toInt).getOrElse {
+      sfToken.findFirstMatchIn(dir).map(_.group(1).toDouble) match {
+        case Some(sf) if sf >= 0.1  => 2
+        case Some(sf) if sf >= 0.01 => 1
+        case _                      => 0
+      }
+    }
+    tier match { case 0 => small; case 1 => mid; case _ => big }
+  }
+
   private def rollupOut(df: DataFrame): DataFrame =
     df.select(col("url").as("user_id"),
       timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
@@ -168,7 +185,7 @@ object Queries {
           col("n_cps"), col("last_cp"))),
 
     "q25_stream_cps" -> ((s, dir) => {
-      val nUrls = if (dir.contains("sf0.1")) 72 else if (dir.contains("sf0.01")) 24 else 8
+      val nUrls = synthScale(dir, 8, 24, 72)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 900)
       graft.streaming.StreamStage.detectBatch(CrawlSignals.pageSize(pages),
         graft.streaming.StreamStage.Config(nTimepoints = 2048, nWarmup = 200)).toDF()
@@ -187,7 +204,7 @@ object Queries {
       // url); ONE group per url over bucket rows feeds the CLaP detector.
       // Input: the crawl table's page-size signal (has planted regime
       // shifts; the events table has none, which makes detection trivial)
-      val nUrls = if (dir.contains("sf0.1")) 96 else if (dir.contains("sf0.01")) 32 else 12
+      val nUrls = synthScale(dir, 12, 32, 96)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
       Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = false)
         .groupByKey(_.url)
@@ -208,7 +225,9 @@ object Queries {
             (url, means.length.toLong, res.windowSize, res.changePointsIn.length,
               res.changePoints.length, states.size, trans.size)
           } catch {
-            case _: Exception => (url, means.length.toLong, -1, 0, 0, 1, 0)
+            case e: Exception =>
+              Rollup.logKernelFailure("CLaP state detection (q27)", "degraded summary row", e)
+              (url, means.length.toLong, -1, 0, 0, 1, 0)
           }
         }
         .toDF("user_id", "n_buckets", "window_size", "n_cps_in",
@@ -220,7 +239,7 @@ object Queries {
       // d-dim series per url (SURVEY §1.4): two row-aligned crawl signals,
       // bucket-aggregated map-side, multivariate ClaSP per url over the
       // (bounded) bucket rows
-      val nUrls = if (dir.contains("sf0.1")) 160 else if (dir.contains("sf0.01")) 48 else 16
+      val nUrls = synthScale(dir, 16, 48, 160)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 300)
       val base = pages.select(col("url"), unix_millis(col("warc_ts")).as("ts"),
         octet_length(col("html")).cast("double").as("size"),
@@ -240,7 +259,11 @@ object Queries {
           val dims = Array(rows.map(_._3), rows.map(_._4))
           val cps =
             try new graft.kernel.BinaryClaSPSegmentation().fitPredict(dims)
-            catch { case _: Exception => Array.empty[Int] }
+            catch {
+              case e: Exception =>
+                Rollup.logKernelFailure("multivariate ClaSP (q28)", "no change points", e)
+                Array.empty[Int]
+            }
           (url, rows.length.toLong, cps.length,
             if (cps.nonEmpty) rows(cps(0))._2 else Long.MaxValue)
         }
@@ -285,7 +308,7 @@ object Queries {
       import s.implicits._
       // LTTB to 100 representative points per url over 1m bucket means
       // (bucket rows per group — the bounded shape, never raw points)
-      val nUrls = if (dir.contains("sf0.1")) 64 else if (dir.contains("sf0.01")) 24 else 8
+      val nUrls = synthScale(dir, 8, 24, 64)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
       Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = false)
         .filter(!_.gap_filled)
@@ -315,7 +338,7 @@ object Queries {
     "q31_epoch_states" -> ((s, dir) => {
       // recurring-epoch state ids over the adaptive rollup: epochs that
       // revisit a regime collapse to one state (agglomerative CLaP)
-      val nUrls = if (dir.contains("sf0.1")) 48 else if (dir.contains("sf0.01")) 16 else 8
+      val nUrls = synthScale(dir, 8, 16, 48)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
       ops.StateOps.epochStates(
         Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true))
@@ -323,10 +346,10 @@ object Queries {
 
     "q23_crawl_pipeline_1d" -> ((s, dir) => {
       // full engine slice on the synthetic crawl table (input_hint shape)
-      val nUrls = if (dir.contains("sf0.1")) 96 else if (dir.contains("sf0.01")) 32 else 12
+      val nUrls = synthScale(dir, 12, 32, 96)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 300)
       Rollup.cascade(
-        Rollup.adaptiveRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true),
+        Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = true),
         "1d").toDF()
         .select(col("url"), col("epoch"), timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
           col("cnt"), round(col("mean"), 6).as("mean_val"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass text-shingling kernels. The equivalent built-in
@@ -99,7 +99,9 @@ object ShingleKernel {
   }
 }
 
-case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
+case class HashedShingles(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  override def expectedInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     ShingleKernel.hashedShingles(v.asInstanceOf[UTF8String], k)
@@ -109,7 +111,9 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class MinHashSig(child: Expression, k: Int, nPerms: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, k: Int, nPerms: Int) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  override def expectedInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     ShingleKernel.minhashSig(v.asInstanceOf[UTF8String], k, nPerms)
@@ -119,7 +123,10 @@ case class MinHashSig(child: Expression, k: Int, nPerms: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
-case class SortedLongJaccard(left: Expression, right: Expression) extends BinaryExpression {
+case class SortedLongJaccard(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  override def expectedInputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     ShingleKernel.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

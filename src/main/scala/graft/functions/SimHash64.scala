@@ -43,7 +43,9 @@ object SimHash64Function {
   }
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  override def expectedInputTypes: Seq[DataType] = Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     SimHash64Function.compute(v.asInstanceOf[UTF8String])

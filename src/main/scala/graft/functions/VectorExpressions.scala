@@ -96,7 +96,10 @@ object VectorKernel {
   }
 }
 
-case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  override def expectedInputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernel.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -107,8 +110,9 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
 }
 
 case class NearestCentroids(child: Expression, cents: Array[Array[Double]], nProbe: Int)
-    extends UnaryExpression {
-  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+  override def expectedInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     VectorKernel.nearestCentroids(v.asInstanceOf[ArrayData], cents, nProbe)
@@ -120,7 +124,10 @@ case class NearestCentroids(child: Expression, cents: Array[Array[Double]], nPro
     copy(child = newChild)
 }
 
-case class RhpSig(child: Expression, nBits: Int) extends UnaryExpression {
+case class RhpSig(child: Expression, nBits: Int) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  override def expectedInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     VectorKernel.rhpSig(v.asInstanceOf[ArrayData], nBits)

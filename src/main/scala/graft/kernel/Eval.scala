@@ -125,7 +125,10 @@ object Eval {
 
     val normalizer = (hu + hv) / 2.0
     val denom0 = normalizer - emi
-    val eps = java.lang.Double.MIN_VALUE
+    // sklearn clamps with np.finfo('float64').eps (machine epsilon), NOT the
+    // smallest subnormal — MIN_VALUE here let near-zero denominators blow up
+    // to +/-Infinity where sklearn returns a bounded score.
+    val eps = 2.220446049250313e-16
     val denom = if (denom0 < 0) math.min(denom0, -eps) else math.max(denom0, eps)
     (mi - emi) / denom
   }

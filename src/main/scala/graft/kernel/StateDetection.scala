@@ -67,6 +67,9 @@ final class AgglomerativeClapDetection(
   import AgglomerativeClapDetection._
 
   /** state_detection.py:91-200. `ts` is dim-major. */
+  // one-shot warning latch for the np.argsort-tie-order boundary (see merge loop)
+  private var argsortBoundaryLogged = false
+
   def fit(ts: Array[Array[Double]], changePointsIn: Array[Int] = null): StateDetectionResult = {
     val n = ts(0).length
     val cps =
@@ -121,6 +124,13 @@ final class AgglomerativeClapDetection(
       // insertion sort for <=16 elements, so stable-ascending-then-reverse
       // is exact for any series with <=16 alive segments (golden fixtures
       // stay under that; beyond it only the tie order could differ)
+      if (uniqueLabels.length > 16 && !argsortBoundaryLogged) {
+        argsortBoundaryLogged = true
+        System.err.println(
+          s"[graft] CLaP merge with ${uniqueLabels.length} alive labels: " +
+            "np.argsort tie order is only guaranteed exact for <=16; " +
+            "conf_loss TIES beyond this may merge in a different order than numpy")
+      }
       val desc = confLoss.indices.sortBy(confLoss).reverse
       val it = desc.iterator
       while (!merged && it.hasNext) {

@@ -28,23 +28,31 @@ object AsofOps {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.filter(leftCols.contains).mkString(",")} collide with left columns")
+    // All payload values must come from the SAME right row (a right row
+    // holding NULL in one payload column must not be patched with a stale
+    // older value), so the payload travels as ONE nullable struct and is
+    // unpacked after the carry — matching DuckDB/standard ASOF semantics.
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     // 0 sorts before 1: right rows win ties at equal ts
-    val l = payloadCols.foldLeft(left.withColumn("_side", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r0 = right.select((keyCol +: tsCol +: payloadCols).distinct.map(col): _*)
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_payload", lit(null).cast(payloadStructType))
+    val r0 = right.select(Seq(keyCol, tsCol).distinct.map(col) :+
+        struct(payloadCols.map(col): _*).as("_payload"): _*)
       .withColumn("_side", lit(0))
-    val r = leftCols.filterNot((keyCol +: tsCol +: payloadCols).contains)
+    val r = leftCols.filterNot(Seq(keyCol, tsCol).contains)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select((leftCols ++ payloadCols.filterNot(leftCols.contains) :+ "_side").map(col): _*)
-    val unioned = l.select((leftCols ++ payloadCols.filterNot(leftCols.contains) :+ "_side").map(col): _*)
+      .select((leftCols :+ "_payload" :+ "_side").map(col): _*)
+    val unioned = l.select((leftCols :+ "_payload" :+ "_side").map(col): _*)
       .unionByName(r)
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payloadCols.foldLeft(unioned) {
-      (df, c) => df.withColumn(c, last(c, ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_side")
+    payloadCols.foldLeft(carried) {
+      (df, c) => df.withColumn(c, col("_payload").getField(c))
+    }
+      .drop("_side", "_payload")
   }
 }

@@ -60,7 +60,9 @@ object StateOps {
           }.iterator
         } catch {
           // degenerate series (too short / constant): every epoch its own state
-          case _: Exception =>
+          case ex: Exception =>
+            graft.pipeline.Rollup.logKernelFailure(
+              "CLaP epoch-state merge", "one state per epoch", ex)
             (0 until nSegs).map(e => (url, e, e + 1, nSegs)).iterator
         }
       }

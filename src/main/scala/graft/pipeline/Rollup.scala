@@ -160,13 +160,20 @@ object Rollup {
     * never be silent. Counted per-executor and logged (first few in full) so
     * a kernel regression shows up in task logs and can be asserted on. */
   val segmentFailures = new java.util.concurrent.atomic.LongAdder
-  private def logSegmentFailure(e: Exception): Unit = {
+  private def logSegmentFailure(e: Exception): Unit =
+    logKernelFailure("ClaSP segmentation", "single epoch", e)
+
+  /** Shared degraded-path telemetry for every kernel entry point that falls
+    * back to a default row on failure (q27 state summary, q28 multivariate,
+    * StateOps.epochStates, the rollup epoch assignment): increment + log
+    * the first few in full so kernel regressions never degrade silently. */
+  def logKernelFailure(stage: String, fallback: String, e: Exception): Unit = {
     segmentFailures.increment()
     val n = segmentFailures.sum()
     if (n <= 5)
-      System.err.println(s"[graft] ClaSP segmentation failed (#$n), falling back to single epoch: $e")
+      System.err.println(s"[graft] $stage failed (#$n), falling back to $fallback: $e")
     else if (n % 1000 == 0)
-      System.err.println(s"[graft] ClaSP segmentation failures so far: $n")
+      System.err.println(s"[graft] kernel fallback count so far: $n (latest: $stage)")
   }
 
   /** Gorilla blobs per (url, epoch) over the base-tier (bucket_start, mean)

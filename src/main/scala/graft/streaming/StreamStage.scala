@@ -44,7 +44,7 @@ object StreamStage {
     points.toDF()
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
-      .groupBy(col("url"), window(col("event_time"), s"${bucketMs / 1000} seconds"))
+      .groupBy(col("url"), window(col("event_time"), s"$bucketMs milliseconds"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum"),
         min("value").as("min"), max("value").as("max"),
         avg("value").as("mean"))

@@ -12,3 +12,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Re-export of `ExpectsInputTypes` for expressions living outside the sql
+  * package: `AbstractDataType` is `private[sql]` in Spark 4, so a graft
+  * expression can't write the `inputTypes: Seq[AbstractDataType]` override
+  * directly. Implement `expectedInputTypes` with plain public `DataType`s
+  * instead; wrong-typed columns then fail at ANALYSIS time (DATATYPE_MISMATCH)
+  * rather than as executor-side ClassCastExceptions. */
+trait GraftExpectsInputTypes extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  def expectedInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    expectedInputTypes
+}

@@ -21,4 +21,19 @@ class AsofOpsSpec extends SparkTestBase {
     assert(out(103L).contains(2.0))
     assert(out(200L).isEmpty, "key with no right rows -> null")
   }
+
+  test("asofJoin takes ALL payload values from the single latest right row (nulls included)") {
+    // the latest right row holds NULL in one payload column; a true ASOF
+    // join must NOT patch that NULL with a stale value from an older row
+    val left = Seq(("u1", 20L, 1L)).toDF("key", "t", "id")
+    val right = Seq(
+      ("u1", 5L, Some(1.0), Some("old")),
+      ("u1", 10L, None, Some("mid")),
+      ("u1", 15L, Some(3.0), None) // latest: b is NULL here
+    ).toDF("key", "t", "a", "b")
+    val row = AsofOps.asofJoin(left, right, "key", "t", Seq("a", "b")).collect()(0)
+    assert(row.getDouble(row.fieldIndex("a")) == 3.0)
+    assert(row.isNullAt(row.fieldIndex("b")),
+      "NULL in the latest right row must survive, not be back-filled from an older row")
+  }
 }
