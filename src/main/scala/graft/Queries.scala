@@ -353,6 +353,24 @@ object Queries {
         "1d").toDF()
         .select(col("url"), col("epoch"), timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
           col("cnt"), round(col("mean"), 6).as("mean_val"))
+    }),
+
+    "q35_mv_series_column" -> ((s, dir) => {
+      // generic multivariate surface (SURVEY §1.4): a true
+      // ArrayType(ArrayType(Double)) dim-major series column assembled in
+      // Catalyst, segmented by the multivariate kernel in a pure map stage
+      val nUrls = synthScale(dir, 12, 32, 96)
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 300)
+      val base = pages.select(col("url"), unix_millis(col("warc_ts")).as("ts"),
+        octet_length(col("html")).cast("double").as("size"),
+        length(col("text")).cast("double").as("tlen"))
+        .groupBy(col("url"), (col("ts") - pmod(col("ts"), lit(60000L))).as("bucket"))
+        .agg(avg("size").as("size"), avg("tlen").as("tlen"))
+      val series = ops.MultivarOps.assembleSeriesColumn(base, "url", "bucket", Seq("size", "tlen"))
+      ops.MultivarOps.segmentSeries(series, "key", "series")
+        .toDF()
+        .select(col("key").as("url"), col("n_dims"), col("n_points"), col("n_cps"),
+          when(size(col("cps")) > 0, element_at(col("cps"), 1)).otherwise(-1).as("first_cp"))
     })
   )
 

@@ -52,6 +52,19 @@ class SimilarityOpsSpec extends SparkTestBase {
     val approx = SimilarityOps.ivfTopK(emb, queries, 5, nCentroids = 16, nProbe = 8).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // fixed-seed dataset (driver testdata) + deterministic seeding/Lloyd:
+    // measured 0.84 at nProbe=8/16 centroids; floor set just below
+    assert(recall >= 0.75, s"IVF recall $recall too low (expected ~0.84)")
+  }
+
+  test("IVF with full probe is EXACTLY brute force (differential identity)") {
+    // probing every centroid removes the approximation: the candidate set is
+    // the whole corpus, so top-k must equal the brute-force top-k pair set
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val full = SimilarityOps.ivfTopK(emb, queries, 5, nCentroids = 16, nProbe = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact, s"full-probe IVF diverged from brute force: ${full diff exact} / ${exact diff full}")
   }
 }

@@ -737,3 +737,127 @@ for _, (dataset, window_size, cps, labels, time_series) in has_loaded.iterrows()
         "dims_sum": [repr(float(np.sum(time_series[:, d]))) for d in range(time_series.shape[1])],
     })
 dump("has_loader", {"cases": has_golden})
+
+
+# 11. aggregate covering-parity corpus (mirrors the DATASET-level semantics of
+# claspy/tests/segmentation_test.py:31-45: many series, per-series cps, and a
+# mean-covering floor). Real TSSB data is unavailable offline, so the corpus
+# is synthetic with TSSB-like statistics: 34 series, lengths 286..17000,
+# 1..9 change points, per-segment regime = {sine, square, sawtooth, AM} with
+# randomized period/amplitude. Everything below runs the ACTUAL reference
+# (BinaryClaSPSegmentation + claspy's own covering) and records its outputs.
+
+def gen_corpus_series(seed, n):
+    rng = np.random.RandomState(seed)
+    max_k = max(1, min(9, n // 300 - 1))
+    k = int(rng.randint(1, max_k + 1))
+    while True:
+        raw = rng.rand(k + 1) + 0.35
+        bounds = np.cumsum(raw / raw.sum() * n).astype(np.int64)[:-1]
+        bounds = np.unique(np.clip(bounds, 130, n - 130))
+        if len(bounds) == k and np.diff(np.array([0] + list(bounds) + [n])).min() >= 130:
+            break
+    shapes = rng.randint(0, 4, size=k + 1)
+    periods = rng.choice(np.array([9.0, 14.0, 21.0, 33.0, 50.0]), size=k + 1)
+    amps = 0.6 + 2.0 * rng.rand(k + 1)
+    for i in range(1, k + 1):
+        # adjacent segments must differ in shape or period (z-normed distance
+        # is amplitude/level invariant, so amp alone is not a regime change)
+        if shapes[i] == shapes[i - 1] and periods[i] == periods[i - 1]:
+            shapes[i] = (shapes[i] + 1 + rng.randint(3)) % 4
+    b = [0] + [int(v) for v in bounds] + [n]
+    parts = []
+    for i in range(k + 1):
+        m = b[i + 1] - b[i]
+        t = np.arange(m)
+        p = periods[i]
+        s = shapes[i]
+        if s == 0:
+            part = np.sin(2 * np.pi * t / p)
+        elif s == 1:
+            part = np.sign(np.sin(2 * np.pi * t / p))
+        elif s == 2:
+            part = (np.mod(t, p) / p) * 2.0 - 1.0
+        else:
+            part = np.sin(2 * np.pi * t / p) * np.sin(2 * np.pi * t / (4.7 * p))
+        parts.append(amps[i] * part + 0.12 * rng.randn(m))
+    return np.concatenate(parts), [int(v) for v in bounds]
+
+
+CORPUS = [(101, 286), (102, 350), (103, 450), (104, 560), (105, 640),
+          (106, 720), (107, 800), (108, 800), (109, 900), (110, 1000),
+          (111, 1000), (112, 1100), (113, 1200), (114, 1200), (115, 1400),
+          (116, 1500), (117, 1600), (118, 1800), (119, 2000), (120, 2000),
+          (121, 2200), (122, 2400), (123, 2600), (124, 2800), (125, 3000),
+          (126, 3200), (127, 3600), (128, 4000), (129, 4400), (130, 5000),
+          (131, 6000), (132, 8000), (133, 12000), (134, 17000)]
+
+import time as _time
+import warnings as _warnings
+corpus_rows = []
+for seed, n in CORPUS:
+    ts, true_cps = gen_corpus_series(seed, n)
+    t0 = _time.time()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        seg = BinaryClaSPSegmentation(n_jobs=1)
+        pred = seg.fit_predict(ts)
+    cov = float(covering({0: np.array(true_cps, dtype=np.int64)},
+                         np.array(pred, dtype=np.int64), n))
+    corpus_rows.append({
+        "seed": seed, "n": n, "ts": ts.tolist(), "true_cps": true_cps,
+        "window_size": int(seg.window_size),
+        "cps": [int(c) for c in pred],
+        "covering": cov,
+    })
+    print(f"corpus seed={seed} n={n} k_true={len(true_cps)} "
+          f"k_pred={len(pred)} covering={cov:.4f} ({_time.time()-t0:.1f}s)",
+          flush=True)
+mean_cov = float(np.mean([r["covering"] for r in corpus_rows]))
+dump("corpus_segmentation", {
+    "cases": corpus_rows,
+    "mean_covering": mean_cov,
+    "n_series": len(corpus_rows),
+})
+print("corpus mean covering:", mean_cov)
+
+
+# 12. streaming covering corpus (streaming_segmentation_test.py:16-31
+# semantics: replay series through StreamingClaSPSegmentation, dataset-level
+# covering floor over the logged global change points).
+STREAM_CORPUS = [(201, 2000, 1000, 300), (202, 2200, 1000, 300),
+                 (203, 2400, 1200, 400), (204, 2600, 1200, 400),
+                 (205, 2800, 1400, 400), (206, 3000, 1400, 400),
+                 (207, 3200, 1500, 500), (208, 2000, 800, 250),
+                 (209, 2500, 1250, 350), (210, 3000, 1000, 300)]
+stream_rows = []
+for seed, n, n_tp, n_wu in STREAM_CORPUS:
+    ts, true_cps = gen_corpus_series(seed, n)
+    t0 = _time.time()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        stream = StreamingClaSPSegmentation(n_timepoints=n_tp, n_warmup=n_wu,
+                                            window_size="suss", log_cps=True)
+        for x in ts:
+            stream.update(x)
+    log = [int(c) for c in stream.change_points]
+    cov = float(covering({0: np.array(true_cps, dtype=np.int64)},
+                         np.array(log, dtype=np.int64), n))
+    stream_rows.append({
+        "seed": seed, "n": n, "n_timepoints": n_tp, "n_warmup": n_wu,
+        "ts": ts.tolist(), "true_cps": true_cps,
+        "window_size": int(stream.window_size),
+        "last_cp": int(stream.last_cp),
+        "change_points": log,
+        "covering": cov,
+    })
+    print(f"stream corpus seed={seed} n={n} k_true={len(true_cps)} "
+          f"k_pred={len(log)} covering={cov:.4f} ({_time.time()-t0:.1f}s)",
+          flush=True)
+mean_scov = float(np.mean([r["covering"] for r in stream_rows]))
+dump("corpus_streaming", {
+    "cases": stream_rows,
+    "mean_covering": mean_scov,
+    "n_series": len(stream_rows),
+})
+print("stream corpus mean covering:", mean_scov)
