@@ -111,6 +111,22 @@ final class RocketClassifier(nKernels: Int = 200, lambda: Double = 1.0,
     out
   }
 
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    val ks = makeKernels(xTrain(0).length)
+    RidgeHead.fitPredict(xTrain.map(features(_, ks)), yTrain,
+      xTest.map(features(_, ks)), lambda, classes)
+  }
+}
+
+/** Shared one-vs-rest ridge classification head: standardize features by
+  * train-set stats, solve (F^T F + lambda I) W = F^T Y with Y one-hot in
+  * {-1, 1}, argmax the scores. Deterministic, allocation-bounded. */
+private[kernel] object RidgeHead {
+
   /** Solve (A + lambda I) w = b for each rhs column by Gaussian elimination
     * with partial pivoting. A is symmetric positive semidefinite (F^T F). */
   private def ridgeSolve(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
@@ -143,14 +159,8 @@ final class RocketClassifier(nKernels: Int = 200, lambda: Double = 1.0,
     }
   }
 
-  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
-      xTest: Array[Array[Double]]): Array[Int] = {
-    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
-    val classes = yTrain.distinct.sorted
-    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
-    val ks = makeKernels(xTrain(0).length)
-    val fTrain = xTrain.map(features(_, ks))
-    val fTest = xTest.map(features(_, ks))
+  def fitPredict(fTrain: Array[Array[Double]], yTrain: Array[Int],
+      fTest: Array[Array[Double]], lambda: Double, classes: Array[Int]): Array[Int] = {
     val nf = fTrain(0).length
     // standardize by train-set stats
     val mu = new Array[Double](nf)
@@ -224,15 +234,85 @@ final class RocketClassifier(nKernels: Int = 200, lambda: Double = 1.0,
   }
 }
 
+/** QUANT-style interval-quantile classifier, written from scratch from the
+  * public method (Dempster, Schmidt & Webb 2023, "QUANT: A Minimalist
+  * Interval Method for Time Series Classification"): features are evenly
+  * spaced quantiles over dyadic intervals of the window and of its first and
+  * second differences. The classification head is the shared deterministic
+  * ridge one-vs-rest (the paper uses extra-trees; ridge keeps this
+  * dependency-free and seed-stable). No code counterpart in the reference —
+  * claspy dispatches aeon's QUANTClassifier by name (clap.py:189-209). */
+final class QuantClassifier(depth: Int = 4, div: Int = 4, lambda: Double = 1.0)
+    extends WindowClassifier {
+  val name = "quant"
+
+  private def diff(x: Array[Double]): Array[Double] = {
+    if (x.length <= 1) return Array.empty
+    val out = new Array[Double](x.length - 1)
+    var i = 0
+    while (i < out.length) { out(i) = x(i + 1) - x(i); i += 1 }
+    out
+  }
+
+  private def features(x: Array[Double]): Array[Double] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var rep = x
+    var r = 0
+    while (r < 3) {
+      val len = rep.length
+      if (len > 0) {
+        var d = 0
+        while (d <= depth && (1 << d) <= len) {
+          val nInt = 1 << d
+          var i = 0
+          while (i < nInt) {
+            val start = (i.toLong * len / nInt).toInt
+            val end = ((i + 1).toLong * len / nInt).toInt
+            if (end > start) {
+              val seg = java.util.Arrays.copyOfRange(rep, start, end)
+              java.util.Arrays.sort(seg)
+              val m = math.max(1, (seg.length + div - 1) / div)
+              var j = 0
+              while (j < m) {
+                // linear-interpolated quantile at p = (j+1)/(m+1)
+                val h = (seg.length - 1).toDouble * (j + 1) / (m + 1)
+                val lo = h.toInt
+                val hi = math.min(lo + 1, seg.length - 1)
+                buf += seg(lo) + (h - lo) * (seg(hi) - seg(lo))
+                j += 1
+              }
+            }
+            i += 1
+          }
+          d += 1
+        }
+      }
+      rep = diff(rep)
+      r += 1
+    }
+    buf.toArray
+  }
+
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    RidgeHead.fitPredict(xTrain.map(features), yTrain, xTest.map(features), lambda, classes)
+  }
+}
+
 object WindowClassifier {
   /** Dispatch mirroring `map`-style string config (clap.py:189-209). "dummy"
     * aliases the deterministic 1-NN: the golden harness substitutes the same
     * 1-NN for the external aeon classifier on the Python side, so this name
-    * is the exact-parity path; "rocket" is the production default. */
+    * is the exact-parity path; "rocket" is the production default; "quant"
+    * is the interval-quantile alternative. */
   def byName(name: String): WindowClassifier = name match {
     case "nn1" | "dummy" => NN1Classifier
     case "rocket" => new RocketClassifier()
+    case "quant" => new QuantClassifier()
     case other => throw new IllegalArgumentException(
-      s"The classifier $other is not supported. Implementations include: nn1, dummy, rocket")
+      s"The classifier $other is not supported. Implementations include: nn1, dummy, rocket, quant")
   }
 }

@@ -27,17 +27,15 @@ object Checkpointing {
   def writeBucketed(
       rows: Dataset[RollupRow],
       table: String,
-      buckets: Int = 64): Unit =
-    rows.write.mode(SaveMode.Overwrite)
-      .format("parquet")
-      .bucketBy(buckets, "url")
-      .sortBy("url", "bucket_start")
-      .saveAsTable(table)
+      buckets: Int = 64,
+      io: graft.sources.TableIO = graft.sources.ParquetTableIO): Unit =
+    io.writeBucketedSorted(rows.toDF(), table, buckets, "url", Seq("url", "bucket_start"))
 
   /** Buckets already completed according to the manifest (empty on first run). */
-  def doneBuckets(spark: SparkSession, outDir: String): Set[Int] = {
+  def doneBuckets(spark: SparkSession, outDir: String,
+      io: graft.sources.TableIO = graft.sources.ParquetTableIO): Set[Int] = {
     import spark.implicits._
-    try spark.read.parquet(manifestPath(outDir)).select("bucket").as[Int].collect().toSet
+    try io.read(spark, manifestPath(outDir)).select("bucket").as[Int].collect().toSet
     catch { case _: Exception => Set.empty }
   }
 
@@ -61,12 +59,12 @@ object Checkpointing {
       outDir: String,
       nBuckets: Int = 64,
       bucketMs: Long = 60000L,
-      segment: Boolean = true): Int = {
+      segment: Boolean = true,
+      io: graft.sources.TableIO = graft.sources.ParquetTableIO): Int = {
     val spark = points.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val done = doneBuckets(spark, outDir)
+    val done = doneBuckets(spark, outDir, io)
     val pendingPoints = points
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
       .filter(!col("bucket").isInCollection(if (done.isEmpty) Set(-1) else done))
@@ -80,12 +78,12 @@ object Checkpointing {
         pendingPoints.select("url", "ts", "value").as[SeriesPoint], bucketMs, "1m", segment)
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
 
-    rollups.write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket").parquet(rollupPath(outDir))
+    io.write(rollups.toDF(), rollupPath(outDir), partitionCols = Seq("bucket"),
+      dynamicOverwrite = true)
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
     // lineage/metrics per bucket, computed from what was just written
-    val written = spark.read.parquet(rollupPath(outDir))
+    val written = io.read(spark, rollupPath(outDir))
       .filter(!col("bucket").isInCollection(if (done.isEmpty) Set(-1) else done))
     val dataCols = written.columns.filter(_ != "bucket").map(col).toIndexedSeq
     val manifest = written.groupBy("bucket").agg(
@@ -96,7 +94,7 @@ object Checkpointing {
       .as[BucketManifest]
 
     val n = manifest.count().toInt
-    manifest.write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+    io.write(manifest.toDF(), manifestPath(outDir), mode = SaveMode.Append)
     n
   }
 }
@@ -114,7 +112,8 @@ object Pipeline {
       outDir: String,
       signal: String = "page_size",
       segment: Boolean = true,
-      retainDays: Map[String, Int] = Map.empty): Result = {
+      retainDays: Map[String, Int] = Map.empty,
+      io: graft.sources.TableIO = graft.sources.ParquetTableIO): Result = {
     val spark = pages.sparkSession
     import spark.implicits._
 
@@ -150,16 +149,16 @@ object Pipeline {
     val out1h = withRetention(r1h, "1h")
     val out1d = withRetention(r1d, "1d")
 
-    out1m.write.mode(SaveMode.Overwrite).parquet(s"$outDir/tier=1m")
-    out1h.write.mode(SaveMode.Overwrite).parquet(s"$outDir/tier=1h")
-    out1d.write.mode(SaveMode.Overwrite).parquet(s"$outDir/tier=1d")
+    io.write(out1m.toDF(), s"$outDir/tier=1m")
+    io.write(out1h.toDF(), s"$outDir/tier=1h")
+    io.write(out1d.toDF(), s"$outDir/tier=1d")
     val blobCount = blobs.count()
-    blobs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/blobs")
+    io.write(blobs.toDF(), s"$outDir/blobs")
 
     val res = Result(
-      spark.read.parquet(s"$outDir/tier=1m").count(),
-      spark.read.parquet(s"$outDir/tier=1h").count(),
-      spark.read.parquet(s"$outDir/tier=1d").count(),
+      io.read(spark, s"$outDir/tier=1m").count(),
+      io.read(spark, s"$outDir/tier=1h").count(),
+      io.read(spark, s"$outDir/tier=1d").count(),
       blobCount)
     all.unpersist()
     res

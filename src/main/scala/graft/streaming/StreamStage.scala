@@ -21,12 +21,30 @@ final case class StreamSummary(url: String, n_points: Long, window_size: Int,
   * across batches (replay in order, or watermark+buffer upstream). */
 object StreamStage {
 
-  /** Config for the per-url detector. */
+  /** Config for the per-url detector.
+    *
+    * STATE-STORE SIZING: the snapshot carries the full ring buffers, so the
+    * state per url is O(nTimepoints·k) — [[stateBytesPerUrl]] gives the
+    * upper bound (~1.05 MB at the defaults, k=3). That is ~105 GB of state
+    * store per 100k urls: for wide-key streams either lower `nTimepoints`
+    * (the ring only needs to span the longest segment you care to detect)
+    * or raise `maxStateBytesPerUrl` explicitly to acknowledge the footprint;
+    * [[detectStream]] refuses configs whose per-url bound exceeds it. */
   final case class Config(
       nTimepoints: Int = 10000,
       nWarmup: Int = 300,
       jump: Int = 5,
-      logCps: Boolean = true)
+      logCps: Boolean = true,
+      maxStateBytesPerUrl: Long = 4L << 20) {
+
+    /** Upper bound on encoded [[graft.kernel.streaming.SegSnapshot]] bytes
+      * for one url: warmup + profile/series/csum/csumsq(2)/dcsum(3)/means/
+      * stds/dotRolled rings (≈9 double rings) + k distance rows, plus k
+      * int offset rows — all sized by the nTimepoints ring. */
+    def stateBytesPerUrl(kNeighbours: Int = 3): Long =
+      8L * (nWarmup.toLong + nTimepoints.toLong * (9L + kNeighbours) + 256L) +
+        4L * (nTimepoints.toLong * kNeighbours + 256L)
+  }
 
   /** STREAMING continuous aggregates: the 1m/1h/1d rollup tiers as a
     * watermarked event-time window aggregation over an unbounded point
@@ -130,6 +148,11 @@ object StreamStage {
     * Encoders.javaSerialization reflecting over the state-machine graph. */
   def detectStream(points: Dataset[SeriesPoint], cfg: Config = Config())
       : Dataset[CpEvent] = {
+    require(cfg.stateBytesPerUrl() <= cfg.maxStateBytesPerUrl,
+      s"detectStream state is ~${cfg.stateBytesPerUrl()} bytes/url " +
+        s"(nTimepoints=${cfg.nTimepoints}) > maxStateBytesPerUrl=" +
+        s"${cfg.maxStateBytesPerUrl}; lower nTimepoints for wide-key streams " +
+        "or raise maxStateBytesPerUrl to acknowledge the state-store footprint")
     val spark = points.sparkSession
     import spark.implicits._
     implicit val stateEnc: Encoder[SegSnapshot] = Encoders.product[SegSnapshot]

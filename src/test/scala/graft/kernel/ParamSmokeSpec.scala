@@ -48,12 +48,15 @@ class ParamSmokeSpec extends AnyFunSuite {
     val ts = fixtureSeries()
     val dir = new java.io.File(getClass.getResource("/loaders/tssb").toURI).getAbsolutePath
     val d = DataLoaders.loadTssb(dir).head
+    // mirrors claspy/tests/clap_test.py:26-48 (window x classifier x splits
+    // x sample_size product) with string dispatch, across ALL 3 classifiers
     for {
       w <- Seq(10, 50)
-      clf <- Seq(NN1Classifier, new RocketClassifier(64): WindowClassifier)
+      clfName <- Seq("nn1", "rocket", "quant")
       nSplits <- Seq(3, 5)
       sampleSize <- Seq(50, 1000)
     } {
+      val clf = WindowClassifier.byName(clfName)
       val clap = new Clap(w, clf, nSplits, sampleSize, 2357L)
       val (yTrue, yPred) = clap.fitTransform(Array(ts), d.labels)
       assert(yTrue.length <= d.labels.length && yPred.length == yTrue.length,

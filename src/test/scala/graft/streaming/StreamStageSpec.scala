@@ -19,6 +19,33 @@ class StreamStageSpec extends SparkTestBase {
     assert(summaries.exists(_.n_cps > 0), "at least one series must yield a cp")
   }
 
+  test("snapshot state stays within the config's per-url byte bound") {
+    def snapshotBytes(s: graft.kernel.streaming.SegSnapshot): Long =
+      8L * (s.warmup.length + s.profile.length + s.kTimeSeries.length +
+        s.kCsum.length + s.kCsumsq.length + s.kDcsum.length + s.kMeans.length +
+        s.kStds.length + s.kDists.length + s.kDotRolled.length) +
+        4L * (s.changePoints.length + s.kKnns.length) + 64L
+    val cfg = StreamStage.Config(nTimepoints = 2048, nWarmup = 200)
+    val det = new graft.kernel.streaming.StreamingClaSPSegmentation(
+      cfg.nTimepoints, cfg.nWarmup, jump = cfg.jump, logCps = cfg.logCps)
+    // feed past the ring so every buffer is at full size
+    val rng = new java.util.Random(7)
+    (0 until 3000).foreach(i =>
+      det.update(math.sin(2 * math.Pi * i / (if (i < 1500) 12.0 else 40.0)) + 0.1 * rng.nextGaussian()))
+    val measured = snapshotBytes(det.snapshot)
+    val bound = cfg.stateBytesPerUrl()
+    assert(measured <= bound, s"snapshot $measured B exceeds documented bound $bound B")
+    assert(measured >= bound / 2, s"bound $bound B is >2x looser than reality ($measured B)")
+    // default config (~1.05 MB/url) passes its own guard...
+    assert(StreamStage.Config().stateBytesPerUrl() <= StreamStage.Config().maxStateBytesPerUrl)
+    // ...and an oversized ring is refused at plan time with actionable text
+    val e = intercept[IllegalArgumentException] {
+      StreamStage.detectStream(spark.emptyDataset[SeriesPoint],
+        StreamStage.Config(nTimepoints = 10000000))
+    }
+    assert(e.getMessage.contains("maxStateBytesPerUrl"))
+  }
+
   test("streaming rollup equals batch rollup non-gap rows") {
     val all = crawlPoints(6)
     // batch truth: non-gap 1m buckets from the scalable kernel
