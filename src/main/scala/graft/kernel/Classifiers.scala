@@ -302,17 +302,84 @@ final class QuantClassifier(depth: Int = 4, div: Int = 4, lambda: Double = 1.0)
   }
 }
 
+/** Dictionary (bag-of-SFA-words) classifier, from scratch from the public
+  * SAX/BOSS method (Lin et al. 2007 SAX; Schäfer 2015 BOSS — the family
+  * behind aeon's WEASEL slot in clap.py:189-209): z-normalize sliding
+  * sub-windows, PAA them into `wordLen` segment means, quantize each by the
+  * standard-normal quartile breakpoints into `alphabet` symbols, and count
+  * word histograms as features for the shared ridge head. Two sub-window
+  * lengths give a multi-resolution bag. Deterministic (no RNG). */
+final class BossClassifier(subLens: Array[Int] = Array(8, 16), wordLen: Int = 4,
+    lambda: Double = 1.0) extends WindowClassifier {
+  val name = "boss"
+  private val alphabet = 4
+  private val breaks = Array(-0.6744897501960817, 0.0, 0.6744897501960817)
+  private val nWords = {
+    var p = 1; var i = 0
+    while (i < wordLen) { p *= alphabet; i += 1 }
+    p
+  }
+
+  private def features(x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](subLens.length * nWords)
+    var li = 0
+    while (li < subLens.length) {
+      val L = math.min(subLens(li), x.length)
+      if (L >= wordLen) {
+        val base = li * nWords
+        var s = 0
+        while (s + L <= x.length) {
+          // z-norm the sub-window
+          var mu = 0.0; var j = 0
+          while (j < L) { mu += x(s + j); j += 1 }
+          mu /= L
+          var v = 0.0; j = 0
+          while (j < L) { val d = x(s + j) - mu; v += d * d; j += 1 }
+          val sd = math.sqrt(v / L).max(1e-12)
+          // PAA into wordLen segment means, quantize by gaussian quartiles
+          var word = 0
+          var seg = 0
+          while (seg < wordLen) {
+            val a = s + seg * L / wordLen
+            val b = s + (seg + 1) * L / wordLen
+            var m = 0.0; j = a
+            while (j < b) { m += x(j); j += 1 }
+            m = ((m / math.max(b - a, 1)) - mu) / sd
+            var sym = 0
+            while (sym < breaks.length && m > breaks(sym)) sym += 1
+            word = word * alphabet + sym
+            seg += 1
+          }
+          out(base + word) += 1.0
+          s += 1
+        }
+      }
+      li += 1
+    }
+    out
+  }
+
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    RidgeHead.fitPredict(xTrain.map(features), yTrain, xTest.map(features), lambda, classes)
+  }
+}
+
 object WindowClassifier {
   /** Dispatch mirroring `map`-style string config (clap.py:189-209). "dummy"
     * aliases the deterministic 1-NN: the golden harness substitutes the same
     * 1-NN for the external aeon classifier on the Python side, so this name
     * is the exact-parity path; "rocket" is the production default; "quant"
-    * is the interval-quantile alternative. */
+    * (interval-quantile) and "boss" (dictionary) are the alternatives. */
   def byName(name: String): WindowClassifier = name match {
     case "nn1" | "dummy" => NN1Classifier
     case "rocket" => new RocketClassifier()
     case "quant" => new QuantClassifier()
+    case "boss" => new BossClassifier()
     case other => throw new IllegalArgumentException(
-      s"The classifier $other is not supported. Implementations include: nn1, dummy, rocket, quant")
+      s"The classifier $other is not supported. Implementations include: nn1, dummy, rocket, quant, boss")
   }
 }

@@ -138,20 +138,22 @@ class ClapGoldenSpec extends AnyFunSuite {
     val mean = scores.sum / scores.length
     assert(mean >= 0.77, s"mean AMI $mean (per-case: $scores)")
 
-    // the quant (interval-quantile) classifier must clear the same floor on
-    // the same fixtures — a second production-quality path for the CLaP slot
-    val quantScores = for ((pattern, segLen, seed) <- Seq(
-        (Array(0, 1, 0, 1), 150, 1),
-        (Array(0, 1, 2, 0, 1, 2), 120, 2),
-        (Array(0, 2, 0, 2), 200, 3))) yield {
-      val (ts, truth, cps) = genStateSeries(pattern, segLen, seed)
-      val det = new AgglomerativeClapDetection(fixedWindowSize = 10,
-        classifier = new QuantClassifier(), sampleSize = 1000)
-      val dense = det.fit(Array(ts), cps).predictDense
-      Eval.adjustedMutualInfo(truth, dense)
+    // every alternative production classifier must clear the same floor on
+    // the same fixtures (quant = interval quantiles, boss = SAX dictionary)
+    for (clfName <- Seq("quant", "boss")) {
+      val altScores = for ((pattern, segLen, seed) <- Seq(
+          (Array(0, 1, 0, 1), 150, 1),
+          (Array(0, 1, 2, 0, 1, 2), 120, 2),
+          (Array(0, 2, 0, 2), 200, 3))) yield {
+        val (ts, truth, cps) = genStateSeries(pattern, segLen, seed)
+        val det = new AgglomerativeClapDetection(fixedWindowSize = 10,
+          classifier = WindowClassifier.byName(clfName), sampleSize = 1000)
+        val dense = det.fit(Array(ts), cps).predictDense
+        Eval.adjustedMutualInfo(truth, dense)
+      }
+      val altMean = altScores.sum / altScores.length
+      assert(altMean >= 0.77, s"$clfName mean AMI $altMean (per-case: $altScores)")
     }
-    val quantMean = quantScores.sum / quantScores.length
-    assert(quantMean >= 0.77, s"quant mean AMI $quantMean (per-case: $quantScores)")
   }
 
   test("transition probabilities row-normalize the segment sequence") {

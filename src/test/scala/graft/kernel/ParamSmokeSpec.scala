@@ -52,7 +52,7 @@ class ParamSmokeSpec extends AnyFunSuite {
     // x sample_size product) with string dispatch, across ALL 3 classifiers
     for {
       w <- Seq(10, 50)
-      clfName <- Seq("nn1", "rocket", "quant")
+      clfName <- Seq("nn1", "rocket", "quant", "boss")
       nSplits <- Seq(3, 5)
       sampleSize <- Seq(50, 1000)
     } {
