@@ -46,10 +46,16 @@ object Bench {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         private val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         private val taskSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        // on-CPU ns per stage: flat across parallelism = engine adds no
+        // contention; any wall/taskSum inflation beyond it is external
+        // (hypervisor steal, DRAM bandwidth) — the shared-VM disambiguator
+        private val cpuSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val rt = e.taskInfo.duration
           taskMax.merge(e.stageId, rt, (a, b) => math.max(a, b))
           taskSum.merge(e.stageId, rt, (a, b) => a + b)
+          if (e.taskMetrics != null)
+            cpuSum.merge(e.stageId, e.taskMetrics.executorCpuTime, (a, b) => a + b)
         }
         override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = e.stageInfo
@@ -57,7 +63,8 @@ object Bench {
           System.err.println(f"[stage] id=${si.stageId} name=${si.name.takeWhile(_ != '(').trim} " +
             f"tasks=${si.numTasks} wall=${wall / 1e3}%.1fs " +
             f"taskSum=${taskSum.getOrDefault(si.stageId, 0L) / 1e3}%.1fs " +
-            f"taskMax=${taskMax.getOrDefault(si.stageId, 0L) / 1e3}%.1fs")
+            f"taskMax=${taskMax.getOrDefault(si.stageId, 0L) / 1e3}%.1fs " +
+            f"cpuSum=${cpuSum.getOrDefault(si.stageId, 0L) / 1e9}%.1fs")
         }
       })
     }

@@ -371,7 +371,46 @@ object Queries {
         .toDF()
         .select(col("key").as("url"), col("n_dims"), col("n_points"), col("n_cps"),
           when(size(col("cps")) > 0, element_at(col("cps"), 1)).otherwise(-1).as("first_cp"))
-    })
+    }),
+
+    // --- gap-fill by linear interpolation (oracle-backed)
+    "q36_gapfill_linear" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(col("user_id").cast("string").as("key"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(avg("value").as("mean"))
+      Rollup.gapFillLinear(agg, 3600L)
+        // round-8, not 6: the synthetic values are dyadic, so midpoint
+        // interpolants terminate within 8 decimals — both engines round an
+        // exactly-representable value and agree; at 6 digits they sit ON
+        // the half boundary and the engines' round() paths differ by 1 ulp
+        .select(col("key"), col("bucket"), round(col("mean"), 8).as("mean"), col("gap_filled"))
+    }),
+
+    // --- retention/TTL expiry across tiers (oracle-backed)
+    "q37_retention_expiry" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def tier(trunc: String, tag: String) =
+        ev.groupBy(col("user_id").cast("string").as("key"),
+            date_trunc(trunc, col("ts")).as("bucket_start"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("tier", lit(tag))
+      val tiers = tier("minute", "1m").unionByName(tier("hour", "1h"))
+        .unionByName(tier("day", "1d"))
+      ops.RetentionOps.applyRetention(tiers,
+          Map("1m" -> 3L * 86400000L, "1h" -> 14L * 86400000L))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("kept_rows"), sum("cnt").as("kept_events"),
+          min("bucket_start").as("min_bucket"), max("bucket_start").as("max_bucket"))
+    }),
+
+    // --- gap-based sessionization (oracle-backed)
+    "q38_sessionize" -> ((s, dir) =>
+      ops.SessionOps.sessionize(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), 1800000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -536,6 +575,71 @@ object Queries {
         |  round(locf, 6) AS mean_val,
         |  round(coalesce(mn, locf), 6) AS min_val,
         |  round(coalesce(mx, locf), 6) AS max_val, gap_filled
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q36_gapfill_linear" ->
+      """WITH agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, date_trunc('hour', ts) AS bucket,
+        |         avg(value) AS mean
+        |  FROM events GROUP BY 1,2),
+        |spans AS (
+        |  SELECT key, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+        |  FROM agg GROUP BY key),
+        |j AS (
+        |  SELECT s.key, s.bucket, a.mean AS raw,
+        |    last_value(a.mean IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(CASE WHEN a.mean IS NOT NULL THEN s.bucket END IGNORE NULLS) OVER wp AS prev_t,
+        |    first_value(a.mean IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(CASE WHEN a.mean IS NOT NULL THEN s.bucket END IGNORE NULLS) OVER wn AS next_t
+        |  FROM spans s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
+        |  WINDOW wp AS (PARTITION BY s.key ORDER BY s.bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY s.key ORDER BY s.bucket
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key, bucket,
+        |  round(CASE WHEN raw IS NOT NULL THEN raw
+        |             WHEN next_v IS NULL THEN prev_v
+        |             WHEN prev_v IS NULL THEN next_v
+        |             ELSE prev_v + (next_v - prev_v) * (epoch(bucket) - epoch(prev_t))
+        |                  / (epoch(next_t) - epoch(prev_t)) END, 8) AS mean,
+        |  raw IS NULL AS gap_filled
+        |FROM j""".stripMargin,
+
+    "q37_retention_expiry" ->
+      """WITH t AS (
+        |  SELECT '1m' AS tier, CAST(user_id AS VARCHAR) AS key,
+        |         date_trunc('minute', ts) AS bucket_start, count(*) AS cnt
+        |  FROM events GROUP BY 2,3
+        |  UNION ALL
+        |  SELECT '1h', CAST(user_id AS VARCHAR), date_trunc('hour', ts), count(*)
+        |  FROM events GROUP BY 2,3
+        |  UNION ALL
+        |  SELECT '1d', CAST(user_id AS VARCHAR), date_trunc('day', ts), count(*)
+        |  FROM events GROUP BY 2,3),
+        |a AS (SELECT max(epoch_ms(bucket_start)) AS anchor_ms FROM t)
+        |SELECT tier, count(*) AS kept_rows, CAST(sum(cnt) AS BIGINT) AS kept_events,
+        |  min(bucket_start) AS min_bucket, max(bucket_start) AS max_bucket
+        |FROM t, a
+        |WHERE anchor_ms - epoch_ms(bucket_start) <=
+        |  CASE tier WHEN '1m' THEN 259200000 WHEN '1h' THEN 1209600000
+        |       ELSE 9223372036854775807 END
+        |GROUP BY 1""".stripMargin,
+
+    "q38_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY 1,2""".stripMargin
   )
 }

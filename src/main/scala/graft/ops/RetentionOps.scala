@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retention-tier expiry — the north rule's "retention" leg (TimescaleDB
+  * `drop_chunks` / Iceberg `DELETE WHERE`-style semantics, public methods):
+  * each tier keeps rows whose bucket is within that tier's horizon of the
+  * dataset's max bucket; a tier absent from the policy keeps forever. The
+  * anchor is data-derived (max bucket), never wall-clock, so runs are
+  * deterministic and oracle-comparable. */
+object RetentionOps {
+
+  /** Filter `tiers` to in-horizon rows.
+    *
+    * Scale shape: one partial-agg scan computes the 1-row global anchor,
+    * broadcast back via a 1-row cross join; the expiry itself is a map-side
+    * filter (the policy is a nested CASE over the tier tag, fully
+    * codegen'd — no join with a policy table). No shuffle of the big side;
+    * in a real deployment the same predicate pushes into the table format's
+    * partition-level delete when bucketCol is the partition key. */
+  def applyRetention(
+      tiers: DataFrame,
+      horizonMs: Map[String, Long],
+      tierCol: String = "tier",
+      bucketCol: String = "bucket_start"): DataFrame = {
+    val anchor = tiers.agg(
+      max(unix_millis(col(bucketCol).cast("timestamp"))).as("anchor_ms"))
+    val horizon = horizonMs.foldLeft(lit(Long.MaxValue)) { case (acc, (t, h)) =>
+      when(col(tierCol) === t, lit(h)).otherwise(acc)
+    }
+    tiers.crossJoin(broadcast(anchor))
+      .filter(col("anchor_ms") - unix_millis(col(bucketCol).cast("timestamp")) <= horizon)
+      .drop("anchor_ms")
+  }
+}

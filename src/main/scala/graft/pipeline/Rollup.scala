@@ -485,4 +485,47 @@ object Rollup {
       .withColumn("gap_filled", col("mean").isNull)
       .withColumn("mean", last("mean", ignoreNulls = true).over(w))
   }
+
+  /** Linear-interpolation gap fill (TimescaleDB `interpolate`-style, public
+    * semantics): every missing bucket between a key's first and last
+    * observation gets `prev + (next - prev) * (t - t_prev) / (t_next -
+    * t_prev)`; a run of leading gaps takes the first observed value, which
+    * cannot occur here because spans start at each key's min bucket. Same
+    * scale shape as [[gapFillLocf]]: one shuffle on key for the span
+    * generation, one window partitioned by key — no self-join, no
+    * inequality join, survives 100× because per-key state is two running
+    * endpoints. */
+  def gapFillLinear(
+      agg: DataFrame, // columns: key, bucket (timestamp), mean (double)
+      bucketSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = agg.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("key"), explode(
+        sequence(col("b0"), col("b1"), expr(s"interval $bucketSeconds seconds"))).as("bucket"))
+    val wPrev = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("raw").isNotNull, col("bucket"))
+    val joined = spans.join(agg.withColumnRenamed("mean", "raw"), Seq("key", "bucket"), "left")
+      .withColumn("prev_v", last("raw", ignoreNulls = true).over(wPrev))
+      .withColumn("prev_t", last(obsTs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first("raw", ignoreNulls = true).over(wNext))
+      .withColumn("next_t", first(obsTs, ignoreNulls = true).over(wNext))
+    // identical expression shape to the DuckDB oracle: ((next-prev) * dt) / span
+    // parquet timestamps arrive as TIMESTAMP_NTZ; session is UTC so the
+    // cast is instant-preserving (see q04/q33 and the NTZ gotcha note)
+    val eb = unix_seconds(col("bucket").cast("timestamp")).cast("double")
+    val ep = unix_seconds(col("prev_t").cast("timestamp")).cast("double")
+    val en = unix_seconds(col("next_t").cast("timestamp")).cast("double")
+    joined
+      .withColumn("gap_filled", col("raw").isNull)
+      .withColumn("mean",
+        when(col("raw").isNotNull, col("raw"))
+          .when(col("next_v").isNull, col("prev_v"))
+          .when(col("prev_v").isNull, col("next_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * (eb - ep) / (en - ep)))
+      .select(col("key"), col("bucket"), col("mean"), col("gap_filled"))
+  }
 }

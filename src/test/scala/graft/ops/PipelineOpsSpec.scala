@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.pipeline.{Rollup, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the declarative pipeline operators added alongside the
+  * rollup tiers: linear-interpolation gap fill, retention expiry, and
+  * sessionization (their cross-engine checks are the q36/q37/q38 DuckDB
+  * oracles; these specs pin the semantics on hand-built edges). */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tsCol(h: Int) = to_timestamp(lit(f"2020-01-01 $h%02d:00:00"))
+
+  test("gapFillLinear interpolates interior gaps and marks them") {
+    // key k: hours 0, 3 observed (values 1.0, 7.0) -> hours 1,2 are 3.0, 5.0
+    val agg = Seq((0, 1.0), (3, 7.0))
+      .map { case (h, v) => ("k", f"2020-01-01 $h%02d:00:00", v) }
+      .toDF("key", "s", "mean")
+      .select(col("key"), to_timestamp(col("s")).as("bucket"), col("mean"))
+    val out = Rollup.gapFillLinear(agg, 3600L)
+      .orderBy("bucket")
+      .collect()
+      .map(r => (r.getDouble(r.fieldIndex("mean")), r.getBoolean(r.fieldIndex("gap_filled"))))
+    assert(out.toSeq == Seq((1.0, false), (3.0, true), (5.0, true), (7.0, false)))
+  }
+
+  test("gapFillLinear leaves single-observation keys constant") {
+    val agg = Seq(("k", "2020-01-01 05:00:00", 42.0)).toDF("key", "s", "mean")
+      .select(col("key"), to_timestamp(col("s")).as("bucket"), col("mean"))
+    val out = Rollup.gapFillLinear(agg, 3600L).collect()
+    assert(out.length == 1 && out(0).getDouble(out(0).fieldIndex("mean")) == 42.0)
+  }
+
+  test("applyRetention keeps each tier within its horizon of the max bucket") {
+    // anchor = day 10; 1m horizon 2 days keeps days 8..10; unlisted tier kept forever
+    val rows = (1 to 10).flatMap(d =>
+      Seq(("1m", f"2020-01-$d%02d 00:00:00"), ("1d", f"2020-01-$d%02d 00:00:00")))
+    val tiers = rows.toDF("tier", "s")
+      .select(col("tier"), to_timestamp(col("s")).as("bucket_start"))
+    val kept = RetentionOps.applyRetention(tiers, Map("1m" -> 2L * 86400000L))
+      .groupBy("tier").count().as[(String, Long)].collect().toMap
+    assert(kept("1m") == 3L, "1m keeps days 8,9,10")
+    assert(kept("1d") == 10L, "unlisted tier keeps everything")
+  }
+
+  test("sessionize splits on gaps > gapMs and numbers sessions per key") {
+    val ev = Seq(
+      ("u1", 0L, 1L), ("u1", 1000L, 2L), ("u1", 5000L, 3L), // gap 4s -> new session
+      ("u1", 5500L, 4L),
+      ("u2", 0L, 5L)
+    ).map { case (u, ms, id) => (u, new java.sql.Timestamp(ms), id) }
+      .toDF("user_id", "ts", "event_id")
+    val out = SessionOps.sessionize(ev, col("user_id"), col("ts"), col("event_id"), 3000L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L, "within-gap events share the session")
+    assert(out(3L) == 2L && out(4L) == 2L, "gap > 3s starts session 2")
+    assert(out(5L) == 1L, "sessions are numbered per key")
+  }
+}
