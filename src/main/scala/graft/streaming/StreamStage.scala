@@ -14,6 +14,13 @@ final case class CpEvent(url: String, global_cp: Int, n_ingested: Long)
 final case class StreamSummary(url: String, n_points: Long, window_size: Int,
     n_cps: Int, last_cp: Int)
 
+/** One closed session from [[StreamStage.sessionizeStream]] (epoch millis). */
+final case class SessionOut(url: String, session_start: Long, session_end: Long,
+    n_events: Long)
+
+/** Open-session state for [[StreamStage.sessionizeStream]] (product-encoded). */
+final case class OpenSession(start: Long, end: Long, n: Long)
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -69,6 +76,60 @@ object StreamStage {
       .select(col("url"), lit(tier).as("tier"),
         unix_millis(col("window.start")).as("bucket_start"),
         col("cnt"), col("sum"), col("min"), col("max"), col("mean"))
+  }
+
+  /** STREAMING gap-based sessionization — the unbounded twin of
+    * [[graft.ops.SessionOps.sessionize]]. A session closes when event time
+    * advances past its end by more than `gapMs` within the stream, or when
+    * the WATERMARK does (event-time timeout), so trailing sessions flush
+    * without needing another event on their key. State per key is ONE open
+    * session (three longs) — O(urls) total, independent of stream length,
+    * unlike the batch window which sorts the whole partition. Same
+    * in-order-per-key ingest expectation as [[detectStream]]. */
+  def sessionizeStream(
+      points: Dataset[SeriesPoint],
+      gapMs: Long,
+      lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("event_time"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(url, s.start, s.end, s.n))
+          } else {
+            val ts = rows.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            val closed = List.newBuilder[SessionOut]
+            var open = state.getOption.orNull
+            var i = 0
+            while (i < ts.length) {
+              val t = ts(i)
+              if (open == null) open = OpenSession(t, t, 1L)
+              else if (t - open.end > gapMs) {
+                closed += SessionOut(url, open.start, open.end, open.n)
+                open = OpenSession(t, t, 1L)
+              } else open = OpenSession(open.start, math.max(open.end, t), open.n + 1L)
+              i += 1
+            }
+            if (open != null) {
+              state.update(open)
+              // timeout must land strictly past the current watermark
+              state.setTimeoutTimestamp(math.max(open.end + gapMs + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.result().iterator
+          }
+        })
   }
 
   private def feed(

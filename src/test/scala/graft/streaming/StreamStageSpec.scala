@@ -46,6 +46,48 @@ class StreamStageSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxStateBytesPerUrl"))
   }
 
+  test("streaming sessionization equals batch sessionization") {
+    import org.apache.spark.sql.functions._
+    val all = crawlPoints(6)
+    // crawl cadence is 60 s with a 2-4 bucket skip every 17th step, so a
+    // 90 s threshold closes a session at every deterministic gap
+    val gapMs = 90000L
+    // batch truth: SessionOps over the same points, aggregated to sessions
+    val batch = graft.ops.SessionOps
+      .sessionize(all.toSeq.toDF(), col("url"), timestamp_millis(col("ts")),
+        col("value"), gapMs)
+      .groupBy(col("url"), col("session_id"))
+      .agg(min("ts").as("s"), max("ts").as("e"), count(lit(1)).as("n"))
+      .select("url", "s", "e", "n").as[(String, Long, Long, Long)]
+      .collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.pipeline.SeriesPoint]
+    val q = StreamStage.sessionizeStream(mem.toDS(), gapMs, "1 minute")
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    val sorted = all.sortBy(p => (p.ts, p.url))
+    for (chunk <- sorted.grouped(math.max(sorted.length / 3, 1))) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // two sentinel rounds: the first advances the watermark past every open
+    // session's timeout, the second triggers the timed-out state handlers
+    val far = sorted.last.ts + 365L * 86400000L
+    mem.addData(Seq(graft.pipeline.SeriesPoint("sentinel", far, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(graft.pipeline.SeriesPoint("sentinel", far + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("session_stream")
+      .filter(col("url") =!= "sentinel")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} sessions vs batch ${batch.size}")
+    assert(batch.size > 6, "fixture must split at least one url into multiple sessions")
+  }
+
   test("streaming rollup equals batch rollup non-gap rows") {
     val all = crawlPoints(6)
     // batch truth: non-gap 1m buckets from the scalable kernel
