@@ -410,7 +410,29 @@ object Queries {
           col("user_id"), col("ts"), col("event_id"), 1800000L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(min("ts").as("session_start"), max("ts").as("session_end"),
-          count(lit(1)).as("n_events")))
+          count(lit(1)).as("n_events"))),
+
+    // --- exact interpolated percentiles per tier bucket (oracle-backed):
+    // latency-percentile-style rollup; one partial+final agg, and round-8
+    // for the same dyadic-midpoint reason as q36 (percentile interpolation
+    // halves dyadic neighbours)
+    "q39_percentile_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          round(expr("percentile(value, 0.5)"), 8).as("p50"),
+          round(expr("percentile(value, 0.95)"), 8).as("p95"),
+          countDistinct("event_type").as("n_types"))),
+
+    // --- grouped top-k with deterministic tie-break (oracle-backed)
+    "q40_top_event_types" -> ((s, dir) => {
+      val counts = events(s, dir).groupBy("user_id", "event_type").count()
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("count").desc, col("event_type"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("user_id", "event_type", "count", "rank")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -640,6 +662,21 @@ object Queries {
         |  FROM b)
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events
-        |FROM s GROUP BY 1,2""".stripMargin
+        |FROM s GROUP BY 1,2""".stripMargin,
+
+    "q39_percentile_rollup" ->
+      """SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt,
+        |  round(quantile_cont(value, 0.5), 8) AS p50,
+        |  round(quantile_cont(value, 0.95), 8) AS p95,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1,2""".stripMargin,
+
+    "q40_top_event_types" ->
+      """SELECT user_id, event_type, count, rank FROM (
+        |  SELECT user_id, event_type, count(*) AS count,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rank
+        |  FROM events GROUP BY 1,2)
+        |WHERE rank <= 3""".stripMargin
   )
 }
