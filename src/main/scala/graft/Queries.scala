@@ -432,7 +432,31 @@ object Queries {
       counts.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("user_id", "event_type", "count", "rank")
-    })
+    }),
+
+    // --- per-series delta + per-second rate (oracle-backed): the PromQL
+    // counter-derivative primitive; one keyed window pass
+    "q41_delta_rate" -> ((s, dir) =>
+      ops.AnalyticsOps.deltaRate(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("delta"), 6).as("delta"), round(col("rate"), 8).as("rate"))),
+
+    // --- per-(user, day) z-score outliers (oracle-backed): agg-join shape,
+    // NOT an unbounded window — group state stays O(groups) at scale
+    "q42_zscore_outliers" -> ((s, dir) =>
+      ops.AnalyticsOps.zscore(events(s, dir),
+          col("user_id"), date_trunc("day", col("ts")), col("value"), 2.5)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("user_id"),
+          date_trunc("day", col("ts")).as("day"), round(col("z"), 6).as("z"))),
+
+    // --- fixed-width value histogram per (user, day) (oracle-backed):
+    // globally aligned bins, single partial+final hash aggregate
+    "q43_value_histogram" -> ((s, dir) =>
+      ops.AnalyticsOps.histogram(events(s, dir),
+        col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value"), 10.0))
   )
 
   // ------------------------------------------------------------- oracles
@@ -677,6 +701,33 @@ object Queries {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY count(*) DESC, event_type) AS rank
         |  FROM events GROUP BY 1,2)
-        |WHERE rank <= 3""".stripMargin
+        |WHERE rank <= 3""".stripMargin,
+
+    "q41_delta_rate" ->
+      """SELECT event_id, user_id, ts,
+        |  round(value - lag(value) OVER w, 6) AS delta,
+        |  round(CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 0
+        |        THEN (value - lag(value) OVER w)
+        |             / ((epoch_ms(ts) - epoch_ms(lag(ts) OVER w)) / 1000.0)
+        |        END, 8) AS rate
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q42_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         avg(value) AS mu, stddev_pop(value) AS sd
+        |  FROM events GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, s.day,
+        |  round((e.value - s.mu) / s.sd, 6) AS z
+        |FROM events e JOIN s
+        |  ON e.user_id = s.user_id AND date_trunc('day', e.ts) = s.day
+        |WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 2.5""".stripMargin,
+
+    "q43_value_histogram" ->
+      """SELECT user_id, date_trunc('day', ts) AS day,
+        |  CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt,
+        |  round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+        |FROM events GROUP BY 1,2,3""".stripMargin
   )
 }

@@ -368,18 +368,511 @@ final class BossClassifier(subLens: Array[Int] = Array(8, 16), wordLen: Int = 4,
   }
 }
 
+/** WEASEL-style word-frequency classifier, from scratch from the public
+  * method (Schäfer & Leser 2017, "Fast and Accurate Time Series
+  * Classification with WEASEL"): sliding sub-windows at several lengths are
+  * Fourier-transformed, the first complex DFT coefficients are quantized
+  * into an SFA word per window, and word-frequency histograms feed the
+  * shared ridge head. Simplifications vs the paper (which targets long
+  * series): fixed Gaussian-quantile bins instead of per-coefficient MCB
+  * training, no bigrams, no chi-squared selection — the windows CLaP feeds
+  * are ~10 points, where the full machinery is overkill. Deterministic.
+  * Fills the `weasel` slot of clap.py:195-197. */
+final class WeaselClassifier(subLens: Array[Int] = Array(4, 6, 8),
+    nCoefs: Int = 2, lambda: Double = 1.0) extends WindowClassifier {
+  val name = "weasel"
+  private val alphabet = 4
+  private val breaks = Array(-0.6744897501960817, 0.0, 0.6744897501960817)
+  private val symbolsPerWord = nCoefs * 2 // real + imag per kept coefficient
+  private val nWords = {
+    var p = 1; var i = 0
+    while (i < symbolsPerWord) { p *= alphabet; i += 1 }
+    p
+  }
+
+  private def features(x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](subLens.length * nWords)
+    var li = 0
+    while (li < subLens.length) {
+      val L = math.min(subLens(li), x.length)
+      if (L >= 2) {
+        val base = li * nWords
+        var s = 0
+        while (s + L <= x.length) {
+          // z-norm the sub-window so the fixed bins are calibrated
+          var mu = 0.0; var j = 0
+          while (j < L) { mu += x(s + j); j += 1 }
+          mu /= L
+          var v = 0.0; j = 0
+          while (j < L) { val d = x(s + j) - mu; v += d * d; j += 1 }
+          val sd = math.sqrt(v / L).max(1e-12)
+          // first nCoefs non-DC DFT coefficients of the z-normed window
+          var word = 0
+          var k = 1
+          while (k <= nCoefs) {
+            var re = 0.0; var im = 0.0
+            j = 0
+            while (j < L) {
+              val z = (x(s + j) - mu) / sd
+              val ang = -2.0 * math.Pi * k * j / L
+              re += z * math.cos(ang)
+              im += z * math.sin(ang)
+              j += 1
+            }
+            // scale to unit-ish variance before binning
+            val norm = math.sqrt(L / 2.0)
+            for (c <- Array(re / norm, im / norm)) {
+              var sym = 0
+              while (sym < breaks.length && c > breaks(sym)) sym += 1
+              word = word * alphabet + sym
+            }
+            k += 1
+          }
+          out(base + word) += 1.0
+          s += 1
+        }
+      }
+      li += 1
+    }
+    out
+  }
+
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    RidgeHead.fitPredict(xTrain.map(features), yTrain, xTest.map(features), lambda, classes)
+  }
+}
+
+/** RDST-style random dilated shapelet classifier, from scratch from the
+  * public method (Guillaume, Vrain & Elloumi 2022, "Random Dilated Shapelet
+  * Transform"): shapelets are sampled from the TRAINING windows (fixed seed
+  * + train-set-size-derived stream, so a fresh draw per fold like the
+  * paper's fit), each contributing three features per test window — min
+  * z-normalized distance, argmin position, and occurrence count under a
+  * threshold — into the shared ridge head. Fills the `rdst` slot of
+  * clap.py:199-201. */
+final class RdstClassifier(nShapelets: Int = 100, lambda: Double = 1.0,
+    seed: Long = 4217L) extends WindowClassifier {
+  val name = "rdst"
+
+  private final case class Shapelet(vals: Array[Double], dilation: Int, threshold: Double)
+
+  /** z-normalized values of `x[start, start + len*dil)` at stride `dil`. */
+  private def slice(x: Array[Double], start: Int, len: Int, dil: Int): Array[Double] = {
+    val out = new Array[Double](len)
+    var i = 0
+    while (i < len) { out(i) = x(start + i * dil); i += 1 }
+    var mu = 0.0; i = 0
+    while (i < len) { mu += out(i); i += 1 }
+    mu /= len
+    var v = 0.0; i = 0
+    while (i < len) { val d = out(i) - mu; v += d * d; i += 1 }
+    val sd = math.sqrt(v / len).max(1e-12)
+    i = 0
+    while (i < len) { out(i) = (out(i) - mu) / sd; i += 1 }
+    out
+  }
+
+  /** (minDist, argminPos, occurrences under threshold) of shapelet in x. */
+  private def transform(x: Array[Double], sh: Shapelet): (Double, Double, Double) = {
+    val len = sh.vals.length
+    val span = (len - 1) * sh.dilation + 1
+    if (span > x.length) return (0.0, 0.0, 0.0)
+    val nPos = x.length - span + 1
+    var best = Double.PositiveInfinity
+    var bestP = 0
+    var occ = 0.0
+    var p = 0
+    while (p < nPos) {
+      val w = slice(x, p, len, sh.dilation)
+      var d = 0.0; var i = 0
+      while (i < len) { val t = w(i) - sh.vals(i); d += t * t; i += 1 }
+      if (d < best) { best = d; bestP = p }
+      if (d < sh.threshold) occ += 1.0
+      p += 1
+    }
+    (best, bestP.toDouble / math.max(nPos - 1, 1), occ)
+  }
+
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    val wlen = xTrain(0).length
+    val rng = new java.util.Random(seed + xTrain.length * 31 + wlen)
+    val lens = Array(3, 5, 7).filter(_ <= wlen)
+    val shapelets = Array.fill(nShapelets) {
+      val len = lens(rng.nextInt(lens.length))
+      val maxDil = math.max((wlen - 1) / math.max(len - 1, 1), 1)
+      val dil = 1 + rng.nextInt(math.min(maxDil, 2))
+      val span = (len - 1) * dil + 1
+      val src = xTrain(rng.nextInt(xTrain.length))
+      val start = rng.nextInt(math.max(src.length - span + 1, 1))
+      val vals = slice(src, start, len, dil)
+      // occurrence threshold calibrated on one other random train window
+      val other = xTrain(rng.nextInt(xTrain.length))
+      val probe = transform(other, Shapelet(vals, dil, Double.PositiveInfinity))._1
+      Shapelet(vals, dil, math.max(probe, 1e-6))
+    }
+    def feats(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](shapelets.length * 3)
+      var i = 0
+      while (i < shapelets.length) {
+        val (d, p, o) = transform(x, shapelets(i))
+        out(i * 3) = d; out(i * 3 + 1) = p; out(i * 3 + 2) = o
+        i += 1
+      }
+      out
+    }
+    RidgeHead.fitPredict(xTrain.map(feats), yTrain, xTest.map(feats), lambda, classes)
+  }
+}
+
+/** FreshPRINCE-style summary-feature classifier, from scratch from the
+  * public method (Middlehurst & Bagnall 2022, "The FreshPRINCE: A Simple
+  * Transformation-Based Pipeline"): a tsfresh-like panel of statistical
+  * features per window (moments, quantiles, trend slope, mean-crossings,
+  * autocorrelations, strike lengths, binned entropy, energy) into the
+  * shared ridge head (the paper uses rotation forest; ridge keeps it
+  * dependency-free and deterministic). Fills the `freshprince` slot of
+  * clap.py:203-205. */
+final class FreshPrinceClassifier(lambda: Double = 1.0) extends WindowClassifier {
+  val name = "freshprince"
+
+  private def features(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    val buf = new scala.collection.mutable.ArrayBuffer[Double](32)
+    var mu = 0.0; var i = 0
+    while (i < n) { mu += x(i); i += 1 }
+    mu /= n
+    var m2 = 0.0; var m3 = 0.0; var m4 = 0.0
+    i = 0
+    while (i < n) {
+      val d = x(i) - mu; val d2 = d * d
+      m2 += d2; m3 += d2 * d; m4 += d2 * d2
+      i += 1
+    }
+    val variance = m2 / n
+    val sd = math.sqrt(variance).max(1e-12)
+    buf += mu += sd
+    buf += m3 / n / (sd * sd * sd)                  // skewness
+    buf += m4 / n / (variance * variance).max(1e-24) // kurtosis
+    val sorted = x.clone(); java.util.Arrays.sort(sorted)
+    buf += sorted(0) += sorted(n - 1)
+    for (q <- Array(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val h = (n - 1) * q
+      val lo = h.toInt; val hi = math.min(lo + 1, n - 1)
+      buf += sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    // linear trend slope over index
+    val tMean = (n - 1) / 2.0
+    var sxy = 0.0; var sxx = 0.0
+    i = 0
+    while (i < n) { sxy += (i - tMean) * (x(i) - mu); sxx += (i - tMean) * (i - tMean); i += 1 }
+    buf += (if (sxx > 0) sxy / sxx else 0.0)
+    // mean abs change + mean-crossings
+    var mac = 0.0; var crossings = 0.0
+    i = 1
+    while (i < n) {
+      mac += math.abs(x(i) - x(i - 1))
+      if ((x(i) - mu) * (x(i - 1) - mu) < 0) crossings += 1
+      i += 1
+    }
+    buf += mac / math.max(n - 1, 1) += crossings
+    // autocorrelation at small lags
+    for (lag <- Array(1, 2, 3, 5)) {
+      var s = 0.0
+      if (lag < n) {
+        i = lag
+        while (i < n) { s += (x(i) - mu) * (x(i - lag) - mu); i += 1 }
+        s /= m2.max(1e-24)
+      }
+      buf += s
+    }
+    // count above mean + longest strike above mean + energy
+    var above = 0.0; var strike = 0; var maxStrike = 0
+    i = 0
+    while (i < n) {
+      if (x(i) > mu) { above += 1; strike += 1; if (strike > maxStrike) maxStrike = strike }
+      else strike = 0
+      i += 1
+    }
+    buf += above += maxStrike.toDouble
+    var energy = 0.0
+    i = 0
+    while (i < n) { energy += x(i) * x(i); i += 1 }
+    buf += energy
+    // binned entropy (8 equal-width bins over [min, max])
+    val lo = sorted(0); val range = (sorted(n - 1) - lo).max(1e-12)
+    val bins = new Array[Int](8)
+    i = 0
+    while (i < n) {
+      bins(math.min(((x(i) - lo) / range * 8).toInt, 7)) += 1
+      i += 1
+    }
+    var ent = 0.0
+    for (b <- bins) if (b > 0) { val p = b.toDouble / n; ent -= p * math.log(p) }
+    buf += ent
+    buf.toArray
+  }
+
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    RidgeHead.fitPredict(xTrain.map(features), yTrain, xTest.map(features), lambda, classes)
+  }
+}
+
+/** Hydra-style competing-kernel dictionary classifier, from scratch from the
+  * public method (Dempster, Schmidt & Webb 2023, "Hydra: Competing
+  * convolutional kernels for fast and accurate time series classification"):
+  * groups of random N(0,1) kernels compete at every timestep — the winner's
+  * count (hard) and winning activation (soft) are accumulated per kernel,
+  * per dilation — and the count vectors feed the shared ridge head. Fills
+  * the `mrhydra` slot of clap.py:191-193 (MultiRocketHydra's Hydra half;
+  * the Rocket half is [[RocketClassifier]]). Deterministic for a fixed seed. */
+final class HydraClassifier(nGroups: Int = 16, groupSize: Int = 8,
+    kernelLen: Int = 5, lambda: Double = 1.0, seed: Long = 7919L)
+    extends WindowClassifier {
+  val name = "mrhydra"
+
+  private def makeKernels(rng: java.util.Random): Array[Array[Array[Double]]] =
+    Array.fill(nGroups, groupSize) {
+      val w = Array.fill(kernelLen)(rng.nextGaussian())
+      var mu = 0.0; var i = 0
+      while (i < kernelLen) { mu += w(i); i += 1 }
+      mu /= kernelLen
+      i = 0
+      while (i < kernelLen) { w(i) -= mu; i += 1 }
+      w
+    }
+
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    val wlen = xTrain(0).length
+    val kLen = math.min(kernelLen, wlen)
+    val rng = new java.util.Random(seed)
+    val kernels = makeKernels(rng)
+    val dilations = Array(1, 2).filter(d => (kLen - 1) * d + 1 <= wlen)
+    val nf = nGroups * groupSize * dilations.length * 2
+    def feats(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](nf)
+      var di = 0
+      while (di < dilations.length) {
+        val dil = dilations(di)
+        val span = (kLen - 1) * dil + 1
+        val nPos = x.length - span + 1
+        var g = 0
+        while (g < nGroups) {
+          val base = (di * nGroups + g) * groupSize * 2
+          var p = 0
+          while (p < nPos) {
+            var bestK = 0; var bestA = Double.NegativeInfinity
+            var k = 0
+            while (k < groupSize) {
+              val w = kernels(g)(k)
+              var a = 0.0; var i = 0
+              while (i < kLen) { a += w(i) * x(p + i * dil); i += 1 }
+              if (a > bestA) { bestA = a; bestK = k }
+              k += 1
+            }
+            out(base + bestK * 2) += 1.0        // hard count of wins
+            out(base + bestK * 2 + 1) += bestA  // soft sum of winning activations
+            p += 1
+          }
+          g += 1
+        }
+        di += 1
+      }
+      out
+    }
+    RidgeHead.fitPredict(xTrain.map(feats), yTrain, xTest.map(feats), lambda, classes)
+  }
+}
+
+/** Proximity-forest-style elastic-distance tree ensemble, from scratch from
+  * the public method (Lucas et al. 2019, "Proximity Forest: an effective and
+  * scalable distance-based classifier"): each tree node draws one random
+  * exemplar per class and a random distance measure (squared Euclidean,
+  * constrained DTW, or derivative DTW), routes series to the nearest
+  * exemplar's branch, and recurses until purity; the forest votes. Fills
+  * the `proximityforest` slot of clap.py:201-203. Deterministic for a fixed
+  * seed. Tree count is modest — CLaP calls fitPredict once per CV fold. */
+final class ProximityForestClassifier(nTrees: Int = 5, maxDepth: Int = 8,
+    seed: Long = 6131L) extends WindowClassifier {
+  val name = "proximityforest"
+
+  private def sqEuclid(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Sakoe-Chiba-banded DTW on the raw values (band = 20% of length). */
+  private def dtw(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length; val m = b.length
+    val band = math.max(math.max(n, m) / 5, 1)
+    val prev = Array.fill(m + 1)(Double.PositiveInfinity)
+    val cur = new Array[Double](m + 1)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, Double.PositiveInfinity)
+      var j = math.max(1, i - band)
+      val jEnd = math.min(m, i + band)
+      while (j <= jEnd) {
+        val d = a(i - 1) - b(j - 1)
+        val best = math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        cur(j) = d * d + best
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  private def derive(x: Array[Double]): Array[Double] = {
+    // Keogh derivative: ((x[i]-x[i-1]) + (x[i+1]-x[i-1])/2) / 2
+    if (x.length < 3) return x.clone()
+    val out = new Array[Double](x.length - 2)
+    var i = 1
+    while (i < x.length - 1) {
+      out(i - 1) = ((x(i) - x(i - 1)) + (x(i + 1) - x(i - 1)) / 2.0) / 2.0
+      i += 1
+    }
+    out
+  }
+
+  private def dist(measure: Int, a: Array[Double], b: Array[Double]): Double =
+    measure match {
+      case 0 => sqEuclid(a, b)
+      case 1 => dtw(a, b)
+      case _ => dtw(derive(a), derive(b))
+    }
+
+  private final class Node {
+    var label: Int = -1 // leaf label, or -1 for internal
+    var measure: Int = 0
+    var exemplars: Array[Array[Double]] = _
+    var children: Array[Node] = _
+  }
+
+  private def build(idx: Array[Int], x: Array[Array[Double]], y: Array[Int],
+      depth: Int, rng: java.util.Random): Node = {
+    val node = new Node
+    val first = y(idx(0))
+    var pure = true
+    var i = 1
+    while (i < idx.length && pure) { if (y(idx(i)) != first) pure = false; i += 1 }
+    if (pure || depth >= maxDepth || idx.length < 2) {
+      // leaf: majority label (first-seen tie-break for determinism)
+      val counts = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      for (j <- idx) counts(y(j)) = counts.getOrElse(y(j), 0) + 1
+      node.label = counts.maxBy(_._2)._1
+      return node
+    }
+    node.measure = rng.nextInt(3)
+    // one random exemplar per class present at this node
+    val byClass = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    for (j <- idx) byClass.getOrElseUpdate(y(j), scala.collection.mutable.ArrayBuffer.empty) += j
+    val exIdx = byClass.valuesIterator.map(c => c(rng.nextInt(c.length))).toArray
+    node.exemplars = exIdx.map(x(_))
+    val parts = Array.fill(exIdx.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (j <- idx) {
+      var bestE = 0; var bestD = Double.PositiveInfinity
+      var e = 0
+      while (e < node.exemplars.length) {
+        val d = dist(node.measure, x(j), node.exemplars(e))
+        if (d < bestD) { bestD = d; bestE = e }
+        e += 1
+      }
+      parts(bestE) += j
+    }
+    if (parts.count(_.nonEmpty) < 2) {
+      // split failed to separate: fall back to a majority leaf
+      val counts = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      for (j <- idx) counts(y(j)) = counts.getOrElse(y(j), 0) + 1
+      node.label = counts.maxBy(_._2)._1
+      return node
+    }
+    node.children = parts.map { p =>
+      if (p.isEmpty) {
+        val leaf = new Node; leaf.label = first; leaf
+      } else build(p.toArray, x, y, depth + 1, rng)
+    }
+    node
+  }
+
+  private def predictOne(node: Node, x: Array[Double]): Int = {
+    var cur = node
+    while (cur.label < 0) {
+      var bestE = 0; var bestD = Double.PositiveInfinity
+      var e = 0
+      while (e < cur.exemplars.length) {
+        val d = dist(cur.measure, x, cur.exemplars(e))
+        if (d < bestD) { bestD = d; bestE = e }
+        e += 1
+      }
+      cur = cur.children(bestE)
+    }
+    cur.label
+  }
+
+  def fitPredict(xTrain: Array[Array[Double]], yTrain: Array[Int],
+      xTest: Array[Array[Double]]): Array[Int] = {
+    if (xTrain.isEmpty || xTest.isEmpty) return new Array[Int](xTest.length)
+    val classes = yTrain.distinct.sorted
+    if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
+    val rng = new java.util.Random(seed + xTrain.length * 31 + xTrain(0).length)
+    val trees = Array.fill(nTrees)(
+      build(Array.range(0, xTrain.length), xTrain, yTrain, 0, rng))
+    xTest.map { row =>
+      val votes = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      for (t <- trees) {
+        val p = predictOne(t, row)
+        votes(p) = votes.getOrElse(p, 0) + 1
+      }
+      // majority vote; ties broken by smallest class label for determinism
+      val maxV = votes.valuesIterator.max
+      votes.collect { case (c, v) if v == maxV => c }.min
+    }
+  }
+}
+
 object WindowClassifier {
   /** Dispatch mirroring `map`-style string config (clap.py:189-209). "dummy"
     * aliases the deterministic 1-NN: the golden harness substitutes the same
     * 1-NN for the external aeon classifier on the Python side, so this name
-    * is the exact-parity path; "rocket" is the production default; "quant"
-    * (interval-quantile) and "boss" (dictionary) are the alternatives. */
+    * is the exact-parity path; "rocket" is the production default; the rest
+    * fill the reference's aeon slots with from-scratch implementations of
+    * the same public methods (quant = interval quantiles, boss = SAX
+    * dictionary, weasel = SFA word frequencies, rdst = random dilated
+    * shapelets, freshprince = tsfresh-style summary features, mrhydra =
+    * competing convolution kernels). Unsupported names throw, matching the
+    * reference's ValueError (clap.py:209). */
   def byName(name: String): WindowClassifier = name match {
     case "nn1" | "dummy" => NN1Classifier
     case "rocket" => new RocketClassifier()
     case "quant" => new QuantClassifier()
     case "boss" => new BossClassifier()
+    case "weasel" => new WeaselClassifier()
+    case "rdst" => new RdstClassifier()
+    case "freshprince" => new FreshPrinceClassifier()
+    case "mrhydra" => new HydraClassifier()
+    case "proximityforest" => new ProximityForestClassifier()
     case other => throw new IllegalArgumentException(
-      s"The classifier $other is not supported. Implementations include: nn1, dummy, rocket, quant, boss")
+      s"The classifier $other is not supported. Implementations include: " +
+        "nn1, dummy, rocket, quant, boss, weasel, rdst, freshprince, " +
+        "mrhydra, proximityforest")
   }
 }

@@ -139,8 +139,14 @@ class ClapGoldenSpec extends AnyFunSuite {
     assert(mean >= 0.77, s"mean AMI $mean (per-case: $scores)")
 
     // every alternative production classifier must clear the same floor on
-    // the same fixtures (quant = interval quantiles, boss = SAX dictionary)
-    for (clfName <- Seq("quant", "boss")) {
+    // the same fixtures (quant = interval quantiles, boss = SAX dictionary,
+    // weasel = SFA words, rdst = dilated shapelets, freshprince = summary
+    // features, mrhydra = competing kernels, proximityforest =
+    // elastic-distance tree ensemble — the full clap.py:189-209 grid minus
+    // inception, the one slot that needs a deep net we can't honestly
+    // rebuild here)
+    for (clfName <- Seq("quant", "boss", "weasel", "rdst", "freshprince",
+        "mrhydra", "proximityforest")) {
       val altScores = for ((pattern, segLen, seed) <- Seq(
           (Array(0, 1, 0, 1), 150, 1),
           (Array(0, 1, 2, 0, 1, 2), 120, 2),

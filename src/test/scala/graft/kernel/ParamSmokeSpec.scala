@@ -49,10 +49,12 @@ class ParamSmokeSpec extends AnyFunSuite {
     val dir = new java.io.File(getClass.getResource("/loaders/tssb").toURI).getAbsolutePath
     val d = DataLoaders.loadTssb(dir).head
     // mirrors claspy/tests/clap_test.py:26-48 (window x classifier x splits
-    // x sample_size product) with string dispatch, across ALL 3 classifiers
+    // x sample_size product) with string dispatch, across every implemented
+    // classifier name from the clap.py:189-209 grid
     for {
       w <- Seq(10, 50)
-      clfName <- Seq("nn1", "rocket", "quant", "boss")
+      clfName <- Seq("nn1", "rocket", "quant", "boss", "weasel", "rdst",
+        "freshprince", "mrhydra", "proximityforest")
       nSplits <- Seq(3, 5)
       sampleSize <- Seq(50, 1000)
     } {

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the derivative/outlier/histogram analytics (their
+  * cross-engine checks are the q41/q42/q43 DuckDB oracles; these specs pin
+  * the semantics on hand-built edges). */
+class AnalyticsOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("deltaRate computes per-key diffs and per-second rates, NULL at heads") {
+    val ev = Seq(
+      ("u1", 0L, 1L, 10.0), ("u1", 2000L, 2L, 16.0),  // +6 over 2s -> 3/s
+      ("u1", 2000L, 3L, 20.0),                         // dup ts -> rate NULL
+      ("u2", 0L, 4L, 5.0)
+    ).map { case (u, ms, id, v) => (u, new java.sql.Timestamp(ms), id, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AnalyticsOps.deltaRate(ev,
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select("event_id", "delta", "rate")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) == ((None, None)), "series head has no delta/rate")
+    assert(out(2L) == ((Some(6.0), Some(3.0))))
+    assert(out(3L)._1 == Some(4.0))
+    assert(out(3L)._2.isEmpty, "zero time gap yields NULL rate, not Inf")
+    assert(out(4L) == ((None, None)), "keys are independent")
+  }
+
+  test("zscore flags outliers per group and NULLs zero-variance groups") {
+    // group g1: nine 0.0 and one 10.0 -> mu=1, sd=3 -> z(10)=3 (outlier at 2.5)
+    val g1 = (1 to 9).map(i => ("g1", i.toLong, 0.0)) :+ (("g1", 10L, 10.0))
+    val g2 = Seq(("g2", 11L, 7.0), ("g2", 12L, 7.0)) // sd = 0
+    val ev = (g1 ++ g2).toDF("k", "id", "value").withColumn("b", lit(1))
+    val out = AnalyticsOps.zscore(ev, col("k"), col("b"), col("value"), 2.5)
+      .select("id", "z", "is_outlier")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((Some(3.0), true)))
+    assert(out(1L)._2 == false)
+    assert(math.abs(out(1L)._1.get - (-1.0 / 3.0)) < 1e-12)
+    assert(out(11L) == ((None, false)), "zero-variance group: z NULL, not flagged")
+  }
+
+  test("histogram bins are globally aligned and carry per-bin extremes") {
+    val ev = Seq(("k", 1, -0.5), ("k", 1, 3.0), ("k", 1, 9.9), ("k", 1, 10.0))
+      .toDF("k", "b", "value")
+    val out = AnalyticsOps.histogram(ev, col("k"), col("b"), col("value"), 10.0)
+      .collect().map(r => r.getLong(r.fieldIndex("bin")) ->
+        ((r.getLong(r.fieldIndex("cnt")),
+          r.getDouble(r.fieldIndex("bin_min")), r.getDouble(r.fieldIndex("bin_max"))))).toMap
+    assert(out(-1L) == ((1L, -0.5, -0.5)), "negative values floor downward")
+    assert(out(0L) == ((2L, 3.0, 9.9)))
+    assert(out(1L) == ((1L, 10.0, 10.0)), "boundary value opens the next bin")
+  }
+}
