@@ -389,16 +389,35 @@ object Queries {
 
     // --- retention/TTL expiry across tiers (oracle-backed)
     "q37_retention_expiry" -> ((s, dir) => {
+      // tier fan-out WITHOUT rescanning events: aggregate to 1m once, then
+      // explode each 1m row into its (1m, 1h, 1d) tier buckets and
+      // re-aggregate. ONE events scan + one event-sized shuffle; the tier
+      // shuffle moves only 3× the (much smaller) 1m aggregate — the 100-TB
+      // shape. (A union of per-tier groupBys rescans the source per tier:
+  // Catalyst pushes tier-specific null filters into each branch's
+      // scan, so exchange reuse can never collapse them.)
       val ev = events(s, dir)
-      def tier(trunc: String, tag: String) =
-        ev.groupBy(col("user_id").cast("string").as("key"),
-            date_trunc(trunc, col("ts")).as("bucket_start"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("tier", lit(tag))
-      val tiers = tier("minute", "1m").unionByName(tier("hour", "1h"))
-        .unionByName(tier("day", "1d"))
-      ops.RetentionOps.applyRetention(tiers,
-          Map("1m" -> 3L * 86400000L, "1h" -> 14L * 86400000L))
+      val m1 = ev.groupBy(col("user_id").cast("string").as("key"),
+          date_trunc("minute", col("ts")).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"))
+      val tiers = m1
+        .select(col("key"), col("cnt"), explode(array(
+          struct(lit("1m").as("tier"), col("bucket_start").as("bucket_start")),
+          struct(lit("1h").as("tier"),
+            date_trunc("hour", col("bucket_start")).as("bucket_start")),
+          struct(lit("1d").as("tier"),
+            date_trunc("day", col("bucket_start")).as("bucket_start")))).as("t"))
+        .groupBy(col("t.tier").as("tier"), col("key"),
+          col("t.bucket_start").as("bucket_start"))
+        .agg(sum("cnt").as("cnt"))
+      // anchor = max 1m bucket = minute-trunc of max ts (truncation is
+      // monotone): a pruned single-agg scan instead of re-running the
+      // whole tier lineage for one scalar
+      val anchor = ev.agg(max(unix_millis(
+        date_trunc("minute", col("ts")).cast("timestamp"))).as("anchor_ms"))
+      ops.RetentionOps.applyRetention(tiers, anchor,
+          Map("1m" -> 3L * 86400000L, "1h" -> 14L * 86400000L),
+          "tier", "bucket_start")
         .groupBy("tier")
         .agg(count(lit(1)).as("kept_rows"), sum("cnt").as("kept_events"),
           min("bucket_start").as("min_bucket"), max("bucket_start").as("max_bucket"))

@@ -23,9 +23,24 @@ object RetentionOps {
       tiers: DataFrame,
       horizonMs: Map[String, Long],
       tierCol: String = "tier",
-      bucketCol: String = "bucket_start"): DataFrame = {
-    val anchor = tiers.agg(
-      max(unix_millis(col(bucketCol).cast("timestamp"))).as("anchor_ms"))
+      bucketCol: String = "bucket_start"): DataFrame =
+    applyRetention(tiers,
+      tiers.agg(max(unix_millis(col(bucketCol).cast("timestamp"))).as("anchor_ms")),
+      horizonMs, tierCol, bucketCol)
+
+  /** Variant taking a precomputed 1-row `anchor` frame (column `anchor_ms`).
+    *
+    * Deriving the anchor from `tiers` itself re-executes the whole tier
+    * lineage just for one scalar; when the finest tier's max bucket is
+    * computable upstream (e.g. minute-trunc of max raw ts — truncation is
+    * monotone, so coarser tiers can never exceed it), pass that as a
+    * column-pruned single-agg scan instead. */
+  def applyRetention(
+      tiers: DataFrame,
+      anchor: DataFrame,
+      horizonMs: Map[String, Long],
+      tierCol: String,
+      bucketCol: String): DataFrame = {
     val horizon = horizonMs.foldLeft(lit(Long.MaxValue)) { case (acc, (t, h)) =>
       when(col(tierCol) === t, lit(h)).otherwise(acc)
     }

@@ -60,4 +60,29 @@ class PlanSpec extends SparkTestBase {
     for (l <- p.split("\n") if l.trim.startsWith("Window"))
       assert(l.contains("user_id"), s"window must be partitioned: $l")
   }
+
+  test("q37 retention tiers: tier fan-out on the 1m aggregate, cheap anchor") {
+    val p = plan("q37_retention_expiry")
+    // exactly 2 scans: the tier pipeline + the 1-row anchor max (a
+    // data-derived TTL anchor inherently needs its own pass; it is pruned
+    // to the ts column). The old shape was one event-sized scan+shuffle
+    // PER TIER.
+    val scans = p.split("\n").filter(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans.length == 2, s"expected tier + anchor scans, saw ${scans.length}:\n$p")
+    assert(scans.forall(!_.contains("value")), "both scans prune the value column")
+    assert(p.contains("Generate explode"), "tiers come from explode, not a re-scan union")
+    assert(p.split("\n").count(_.contains("Generate explode")) == 1,
+      "anchor must not re-run the tier fan-out")
+  }
+
+  test("q41/q43: keyed window + single partial+final aggregate") {
+    val w = plan("q41_delta_rate")
+    for (l <- w.split("\n") if l.trim.startsWith("Window"))
+      assert(l.contains("user_id"), s"window must be partitioned: $l")
+    val h = plan("q43_value_histogram")
+    assert(h.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "histogram needs map-side partial aggregation")
+    assert(!h.contains("CartesianProduct") && !h.contains("BroadcastNestedLoopJoin"))
+  }
 }
