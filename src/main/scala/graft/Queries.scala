@@ -475,7 +475,29 @@ object Queries {
     "q43_value_histogram" -> ((s, dir) =>
       ops.AnalyticsOps.histogram(events(s, dir),
         col("user_id"), date_trunc("day", col("ts")).as("day"),
-        col("value"), 10.0))
+        col("value"), 10.0)),
+
+    // --- sketch percentiles (rows-only; AnalyticsOpsSpec bounds the error
+    // vs the exact q39 values): GK-summary mergeable sketches are the
+    // 100-TB path — bounded memory per group regardless of group size,
+    // where q39's exact percentile must buffer whole groups
+    "q44_sketch_percentiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"),
+          expr("percentile_approx(value, 0.95, 1000)").as("p95_approx"))),
+
+    // --- sketch distinct counts (rows-only; spec bounds relative error):
+    // HLL++ is the 100-TB path for cardinality — O(1) state per group,
+    // mergeable map-side, where countDistinct expands to an extra
+    // per-distinct-value shuffle
+    "q45_sketch_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"),
+          approx_count_distinct(col("user_id"), 0.02).as("users_approx"),
+          approx_count_distinct(col("event_type"), 0.02).as("types_approx")))
   )
 
   // ------------------------------------------------------------- oracles

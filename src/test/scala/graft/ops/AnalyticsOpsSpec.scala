@@ -44,6 +44,62 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out(11L) == ((None, false)), "zero-variance group: z NULL, not flagged")
   }
 
+  test("sketch percentiles and distinct counts stay within their error bounds") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists(), s"$dir not present")
+    // percentile sketch vs exact: GK summaries guarantee rank error <=
+    // n/accuracy; with day-group sizes << accuracy=1000 the sketch answer
+    // must be AN ELEMENT within one rank of the interpolated exact value,
+    // so |approx - exact| is bounded by the widest adjacent-value gap.
+    // Assert the practical bound: approx within the group's [min, max] and
+    // p50 <= p95.
+    val approx = graft.Queries.all("q44_sketch_percentiles")(spark, dir)
+    val exact = graft.Queries.all("q39_percentile_rollup")(spark, dir)
+      .withColumnRenamed("day", "day_e")
+    // per-group value range: with group size << accuracy the sketch answer
+    // is an exact order statistic, so |element - interpolated| is bounded
+    // by one inter-element gap: <= range/2 for the median (interpolation
+    // halves a gap), <= range for p95
+    val ranges = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id").as("uid_r"), date_trunc("day", col("ts")).as("day_r"))
+      .agg((max("value") - min("value")).as("range"),
+        min("value").as("vmin"), max("value").as("vmax"))
+    val joined = approx.join(exact,
+        approx("user_id") === exact("user_id") && approx("day") === col("day_e"))
+      .join(ranges, approx("user_id") === col("uid_r") && approx("day") === col("day_r"))
+      .select(col("p50_approx"), col("p95_approx"), col("range"),
+        col("vmin"), col("vmax"),
+        abs(col("p50_approx") - col("p50")).as("d50"),
+        abs(col("p95_approx") - col("p95")).as("d95"))
+    val stats = joined.agg(count(lit(1)),
+      sum(when(col("d50") > col("range") / 2 + 1e-9, 1).otherwise(0)),
+      sum(when(col("d95") > col("range") + 1e-9, 1).otherwise(0)),
+      sum(when(col("p50_approx") > col("p95_approx"), 1).otherwise(0)),
+      sum(when(col("p50_approx") < col("vmin") ||
+        col("p95_approx") > col("vmax"), 1).otherwise(0))).collect()(0)
+    assert(stats.getLong(0) == 4006L, "all groups joined")
+    assert(stats.getLong(1) == 0L, "median within half a gap of exact")
+    assert(stats.getLong(2) == 0L, "p95 within one gap of exact")
+    assert(stats.getLong(3) == 0L, "p50 <= p95 monotonicity")
+    assert(stats.getLong(4) == 0L, "sketch values inside the group range")
+
+    // HLL++ rsd=0.02: assert observed relative error under 3x the nominal
+    val d = graft.Queries.all("q45_sketch_distinct")(spark, dir)
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("day", col("ts")).as("day_e"))
+      .agg(countDistinct("user_id").as("users_exact"),
+        countDistinct("event_type").as("types_exact"))
+    val rel = d.join(e, d("day") === col("day_e"))
+      .select(
+        (abs(col("users_approx") - col("users_exact")) /
+          col("users_exact").cast("double")).as("ru"),
+        (abs(col("types_approx") - col("types_exact")) /
+          col("types_exact").cast("double")).as("rt"))
+      .agg(max("ru"), max("rt")).collect()(0)
+    assert(rel.getDouble(0) <= 0.06, s"user-cardinality rel err ${rel.getDouble(0)}")
+    assert(rel.getDouble(1) <= 0.06, s"type-cardinality rel err ${rel.getDouble(1)}")
+  }
+
   test("histogram bins are globally aligned and carry per-bin extremes") {
     val ev = Seq(("k", 1, -0.5), ("k", 1, 3.0), ("k", 1, 9.9), ("k", 1, 10.0))
       .toDF("k", "b", "value")
