@@ -497,7 +497,17 @@ object Queries {
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"),
           approx_count_distinct(col("user_id"), 0.02).as("users_approx"),
-          approx_count_distinct(col("event_type"), 0.02).as("types_approx")))
+          approx_count_distinct(col("event_type"), 0.02).as("types_approx"))),
+
+    // --- distributed EWMA (rows-only; AnalyticsOpsSpec pins it to the
+    // sequential recurrence): segmented-scan affine composition — the
+    // sequential smoother without per-series group walks
+    "q46_ewma" -> ((s, dir) =>
+      ops.AnalyticsOps.ewma(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          alpha = 0.3, bucketMs = 86400000L)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("ts"), col("value"), col("ewma")))
   )
 
   // ------------------------------------------------------------- oracles

@@ -1,8 +1,17 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+
+/** Phase-1 row of [[AnalyticsOps.ewma]]: the input row plus the prefix
+  * affine (cPre, dPre) of its chunk, so the final value is one fused
+  * multiply-add once the chunk's incoming state is known. */
+final case class EwmaRow(key: String, bucket: Long, ts: Long, tie: Long,
+    value: Double, cPre: Double, dPre: Double)
+private[ops] final case class EwmaChunk(key: String, bucket: Long,
+    c: Double, d: Double, firstVal: Double)
+private[ops] final case class EwmaInit(key: String, bucket: Long, yIn: Double)
 
 /** Per-series derivative/outlier/histogram analytics — the PromQL-style
   * `delta`/`rate`, anomaly flagging, and distribution-rollup primitives a
@@ -54,6 +63,98 @@ object AnalyticsOps {
       .withColumn("z", when(col("__sd") > 0, (valueCol - col("__mu")) / col("__sd")))
       .withColumn("is_outlier", coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("__key", "__bucket", "__mu", "__sd")
+  }
+
+  /** Per-key exponentially weighted moving average, distributed.
+    *
+    * EWMA is a sequential recurrence (y_i = (1-α)·y_{i-1} + α·x_i), but
+    * each element is an affine map of the running state, and affine maps
+    * compose — so it parallelizes as a segmented scan instead of a
+    * per-series group walk:
+    *
+    *   phase 1: rows are chunked by (key, time bucket); each chunk is
+    *     sorted locally (bucket-bounded memory, NEVER the whole series)
+    *     and every row gets its chunk-prefix affine (cPre, dPre), i.e.
+    *     ewma_i = cPre_i · y_in + dPre_i for the chunk's unknown incoming
+    *     state y_in. One hash shuffle of the events.
+    *   phase 2: per key, the chunk summaries (last prefix affine + first
+    *     value) are scanned in bucket order to resolve each chunk's y_in —
+    *     data volume = chunks, not rows. The series head seeds
+    *     y_in = first value (so ewma_1 = x_1, pandas adjust=False).
+    *   phase 3: join y_in back (aggregate-sized; AQE broadcasts it) and
+    *     finalize with one multiply-add per row.
+    *
+    * At 100 TB this is the shape that survives: no operator ever holds a
+    * whole series, skewed mega-series cost O(chunk) memory, and the only
+    * event-sized movement is the initial chunk shuffle. Ties on ts are
+    * broken by `tieCol`, so results are deterministic at any parallelism
+    * (exact FP equality to a sequential evaluation is NOT guaranteed —
+    * affine composition reassociates the arithmetic — but agreement is at
+    * ulp scale; see the spec's tolerance). */
+  def ewma(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      alpha: Double,
+      bucketMs: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = events.sparkSession
+    val beta = 1.0 - alpha
+
+    val base = events.select(
+        keyCol.cast("string").as("key"),
+        unix_millis(tsCol.cast("timestamp")).as("ts"),
+        tieCol.cast("long").as("tie"),
+        valueCol.cast("double").as("value"))
+      .withColumn("bucket", floor(col("ts") / lit(bucketMs)).cast("long"))
+      .select("key", "bucket", "ts", "tie", "value")
+
+    // phase 1: chunk-local prefix affines
+    val rowsPrefix = base.as(Encoders.product[(String, Long, Long, Long, Double)])
+      .groupByKey { case (k, b, _, _, _) => (k, b) }(
+        Encoders.product[(String, Long)])
+      .flatMapGroups { (kb: (String, Long), it: Iterator[(String, Long, Long, Long, Double)]) =>
+        val (k, b) = kb
+        val rows = it.toArray.sortBy { case (_, _, ts, tie, _) => (ts, tie) }
+        var c = 1.0
+        var d = 0.0
+        rows.iterator.map { case (_, _, ts, tie, v) =>
+          c *= beta
+          d = beta * d + alpha * v
+          EwmaRow(k, b, ts, tie, v, c, d)
+        }
+      }(Encoders.product[EwmaRow])
+      .toDF()
+
+    // chunk summaries from the phase-1 output (map-side partial agg over the
+    // already-shuffled rows): cPre is strictly decreasing in row order, so
+    // the chunk-final affine is at min(cPre)
+    val chunks = rowsPrefix.groupBy("key", "bucket")
+      .agg(min("cPre").as("c"), expr("min_by(dPre, cPre)").as("d"),
+        expr("min_by(value, struct(ts, tie))").as("firstVal"))
+
+    // phase 2: per-key scan over chunk summaries (chunk-count-sized)
+    val inits = chunks.as(Encoders.product[EwmaChunk])
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroups { (k: String, it: Iterator[EwmaChunk]) =>
+        val cs = it.toArray.sortBy(_.bucket)
+        var yIn = cs(0).firstVal
+        cs.iterator.map { ch =>
+          val out = EwmaInit(k, ch.bucket, yIn)
+          yIn = ch.c * yIn + ch.d
+          out
+        }
+      }(Encoders.product[EwmaInit])
+      .toDF()
+
+    // phase 3: finalize
+    rowsPrefix.join(inits, Seq("key", "bucket"))
+      .withColumn("ewma", col("cPre") * col("yIn") + col("dPre"))
+      .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
+        col("value"), col("ewma"))
   }
 
   /** Fixed-width value histogram per (key, bucket): bin = floor(value /

@@ -100,6 +100,45 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(rel.getDouble(1) <= 0.06, s"type-cardinality rel err ${rel.getDouble(1)}")
   }
 
+  test("ewma matches the sequential recurrence across chunk boundaries") {
+    // reference: plain sequential y_1 = x_1; y_i = (1-a)y_{i-1} + a x_i
+    def seqEwma(xs: Seq[Double], a: Double): Seq[Double] =
+      xs.tail.scanLeft(xs.head)((y, x) => (1 - a) * y + a * x)
+
+    val rng = new scala.util.Random(7)
+    val series = Map(
+      "u1" -> Seq.fill(137)(rng.nextDouble() * 100),   // spans many chunks
+      "u2" -> Seq(42.0),                               // single element
+      "u3" -> Seq.fill(5)(rng.nextDouble() * 10))      // single chunk
+    val rows = series.toSeq.flatMap { case (u, xs) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        // 6h spacing -> 1d chunks hold <= 4 rows, with boundary crossings
+        (u, new java.sql.Timestamp(i * 6L * 3600 * 1000), i.toLong, x)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = AnalyticsOps.ewma(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.3, bucketMs = 86400000L)
+      .select("key", "tie", "ewma")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((u, xs) <- series) {
+      val expect = seqEwma(xs, 0.3)
+      for (i <- xs.indices) {
+        val got = out((u, i.toLong))
+        assert(math.abs(got - expect(i)) <= 1e-9 * math.max(1.0, math.abs(expect(i))),
+          s"$u[$i]: got $got expected ${expect(i)}")
+      }
+    }
+    // chunking must not change results: one giant chunk == daily chunks
+    val single = AnalyticsOps.ewma(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.3, bucketMs = Long.MaxValue / 4)
+      .select("key", "tie", "ewma")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((k, v) <- out)
+      assert(math.abs(single(k) - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"chunking changed $k: $v vs ${single(k)}")
+  }
+
   test("histogram bins are globally aligned and carry per-bin extremes") {
     val ev = Seq(("k", 1, -0.5), ("k", 1, 3.0), ("k", 1, 9.9), ("k", 1, 10.0))
       .toDF("k", "b", "value")
