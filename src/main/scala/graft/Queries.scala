@@ -507,7 +507,34 @@ object Queries {
           col("user_id"), col("ts"), col("event_id"), col("value"),
           alpha = 0.3, bucketMs = 86400000L)
         .select(col("tie").as("event_id"), col("key").as("user_id"),
-          col("ts"), col("value"), col("ewma")))
+          col("ts"), col("value"), col("ewma"))),
+
+    // --- min-gap throttle (oracle-backed): drop events arriving within
+    // 60s of the previous same-(user, type) event — one keyed window pass
+    "q47_throttle_dups" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      events(s, dir)
+        .withColumn("gap", tsMs - lag(tsMs, 1).over(w))
+        .filter(col("gap").isNull || col("gap") > 60000L)
+        .select("event_id", "user_id", "event_type", "ts")
+    }),
+
+    // --- 3-bucket moving average over the 1h rollup (oracle-backed):
+    // window-over-aggregate, the continuous-aggregate smoothing pattern;
+    // both shuffles key on user_id so the exchange is reused
+    "q48_moving_avg" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(col("user_id").cast("string").as("user_id"),
+          date_trunc("hour", col("ts")).as("bucket_start"))
+        .agg(avg("value").as("mean"))
+      val w = Window.partitionBy("user_id").orderBy("bucket_start")
+        .rowsBetween(-2, Window.currentRow)
+      agg.withColumn("ma3", round(avg("mean").over(w), 6))
+        .select(col("user_id"), col("bucket_start"),
+          round(col("mean"), 6).as("mean"), col("ma3"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -779,6 +806,24 @@ object Queries {
       """SELECT user_id, date_trunc('day', ts) AS day,
         |  CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt,
         |  round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
-        |FROM events GROUP BY 1,2,3""".stripMargin
+        |FROM events GROUP BY 1,2,3""".stripMargin,
+
+    "q47_throttle_dups" ->
+      """SELECT event_id, user_id, event_type, ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |WHERE gap IS NULL OR gap > 60000""".stripMargin,
+
+    "q48_moving_avg" ->
+      """WITH agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |         date_trunc('hour', ts) AS bucket_start, avg(value) AS mean
+        |  FROM events GROUP BY 1,2)
+        |SELECT user_id, bucket_start, round(mean, 6) AS mean,
+        |  round(avg(mean) OVER (PARTITION BY user_id ORDER BY bucket_start
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        |FROM agg""".stripMargin
   )
 }
