@@ -21,6 +21,15 @@ final case class SessionOut(url: String, session_start: Long, session_end: Long,
 /** Open-session state for [[StreamStage.sessionizeStream]] (product-encoded). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
+/** One smoothed point from [[StreamStage.ewmaStream]] (epoch millis). */
+final case class EwmaOut(url: String, ts: Long, value: Double, ewma: Double)
+
+/** Per-url state for [[StreamStage.ewmaStream]] (product-encoded): rows
+  * still above the watermark, parallel arrays (ts, value), plus the running
+  * smoother. Buffer size is O(lateness-window points), never the stream. */
+final case class EwmaBuf(ts: Array[Long], vs: Array[Double],
+    y: Double, primed: Boolean)
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -129,6 +138,57 @@ object StreamStage {
             }
             closed.result().iterator
           }
+        })
+  }
+
+  /** STREAMING per-url EWMA with correct event-time ordering.
+    *
+    * EWMA is order-sensitive, so rows cannot be smoothed as they arrive
+    * when the stream can reorder within the lateness window. Each url
+    * buffers rows still above the watermark and, whenever the watermark
+    * advances (new rows or event-time timeout), drains the now-final
+    * prefix in (ts, value) order through the recurrence — emitting exactly
+    * the sequential batch result. State per url is the running (y, primed)
+    * pair plus the O(lateness-window) row buffer; an event-time timeout
+    * flushes tail rows without requiring new data for that url. */
+  def ewmaStream(
+      points: Dataset[SeriesPoint],
+      alpha: Double,
+      lateness: String = "10 minutes"): Dataset[EwmaOut] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val beta = 1.0 - alpha
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[EwmaBuf]) => {
+          val st = state.getOption.getOrElse(
+            EwmaBuf(Array.emptyLongArray, Array.emptyDoubleArray, 0.0, false))
+          val incoming = rows.map(r => (r._2, r._3)).toArray
+          val all = (st.ts.zip(st.vs) ++ incoming).sortBy(identity)
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          var y = st.y
+          var primed = st.primed
+          val out = ready.iterator.map { case (t, v) =>
+            y = if (!primed) { primed = true; v } else beta * y + alpha * v
+            EwmaOut(url, t, v, y)
+          }.toVector
+          if (hold.isEmpty && !primed && ready.isEmpty) state.remove()
+          else {
+            state.update(EwmaBuf(hold.map(_._1), hold.map(_._2), y, primed))
+            if (hold.nonEmpty)
+              // fire once the watermark passes the earliest held row
+              state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
+          }
+          out.iterator
         })
   }
 

@@ -154,4 +154,56 @@ class StreamStageSpec extends SparkTestBase {
     assert(streamCps == batchCps,
       s"stream $streamCps vs batch $batchCps")
   }
+
+  test("streaming ewma equals the sequential recurrence despite late arrivals") {
+    import org.apache.spark.sql.functions._
+    val alpha = 0.3
+    val rng = new scala.util.Random(11)
+    // start at ts = 1h, not 0: Spark's initial watermark is 0 and its
+    // late-row filter for stateful ops is inclusive at the boundary, so an
+    // epoch-0 event would be dropped in every batch
+    val all = for (u <- Seq("a", "b"); i <- 0 until 60)
+      yield SeriesPoint(u, 3600000L + i * 60000L, rng.nextDouble() * 100)
+    // sequential truth per url, in ts order
+    def seqEwma(xs: Seq[Double]): Seq[Double] =
+      xs.tail.scanLeft(xs.head)((y, x) => (1 - alpha) * y + alpha * x)
+    val expect = all.groupBy(_.url).flatMap { case (u, pts) =>
+      val sorted = pts.sortBy(_.ts)
+      sorted.map(_.ts).zip(seqEwma(sorted.map(_.value))).map {
+        case (t, y) => (u, t) -> y
+      }
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.ewmaStream(mem.toDS(), alpha, "10 minutes")
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    // arrival order perturbed by up to +-2 min: rows cross micro-batch
+    // boundaries out of event-time order. Max event-time displacement =
+    // chunk span (10 rows / 2 urls = 5 min) + 2x noise (4 min) = 9 min,
+    // inside the 10 min lateness, so no row is watermark-dropped.
+    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    for (chunk <- perturbed.grouped(10)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // two sentinel rounds: advance the watermark past all held rows, then
+    // fire the event-time timeouts that flush them
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(SeriesPoint("sentinel", far, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sentinel", far + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewma_stream").as[EwmaOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.ts) -> e.ewma).toMap
+    val missing = expect.keySet -- streamed.keySet
+    assert(streamed.size == all.size, s"every point must be emitted exactly once " +
+      s"(got ${streamed.size} of ${all.size}; missing $missing)")
+    for (((k, t), y) <- expect)
+      assert(math.abs(streamed((k, t)) - y) <= 1e-12 * math.max(1.0, math.abs(y)),
+        s"$k@$t: stream ${streamed((k, t))} vs sequential $y")
+  }
 }
