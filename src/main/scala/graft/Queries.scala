@@ -509,6 +509,16 @@ object Queries {
         .select(col("tie").as("event_id"), col("key").as("user_id"),
           col("ts"), col("value"), col("ewma"))),
 
+    // --- Holt double-exponential smoothing (rows-only; AnalyticsOpsSpec
+    // pins level/trend to the sequential recurrence): the EWMA segmented
+    // scan generalized to 2x2 matrix composition for a linear-trend state
+    "q49_holt_trend" -> ((s, dir) =>
+      ops.AnalyticsOps.holt(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          alpha = 0.3, betaT = 0.1, bucketMs = 86400000L)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("ts"), col("value"), col("level"), col("trend"), col("forecast"))),
+
     // --- min-gap throttle (oracle-backed): drop events arriving within
     // 60s of the previous same-(user, type) event — one keyed window pass
     "q47_throttle_dups" -> ((s, dir) => {

@@ -13,6 +13,17 @@ private[ops] final case class EwmaChunk(key: String, bucket: Long,
     c: Double, d: Double, firstVal: Double)
 private[ops] final case class EwmaInit(key: String, bucket: Long, yIn: Double)
 
+/** Phase-1 row of [[AnalyticsOps.holt]]: the chunk-prefix affine on the
+  * (level, trend) state — 2×2 matrix (m00..m11) + offset (d0, d1). */
+final case class HoltRow(key: String, bucket: Long, ts: Long, tie: Long,
+    value: Double, m00: Double, m01: Double, m10: Double, m11: Double,
+    d0: Double, d1: Double)
+private[ops] final case class HoltChunk(key: String, bucket: Long,
+    m00: Double, m01: Double, m10: Double, m11: Double,
+    d0: Double, d1: Double, firstVal: Double)
+private[ops] final case class HoltInit(key: String, bucket: Long,
+    lIn: Double, bIn: Double)
+
 /** Per-series derivative/outlier/histogram analytics — the PromQL-style
   * `delta`/`rate`, anomaly flagging, and distribution-rollup primitives a
   * time-series store serves next to its continuous aggregates. */
@@ -155,6 +166,95 @@ object AnalyticsOps {
       .withColumn("ewma", col("cPre") * col("yIn") + col("dPre"))
       .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
         col("value"), col("ewma"))
+  }
+
+  /** Per-key Holt double-exponential smoothing (level + linear trend),
+    * distributed by the same segmented-scan trick as [[ewma]] — here the
+    * running state is the 2-vector (level, trend) and each element applies
+    * the affine map s ↦ A·s + c(x) with
+    *   A = [[1−α, 1−α], [−αβ, 1−αβ]],  c(x) = (α·x, αβ·x),
+    * so chunk prefixes are 2×2-matrix compositions instead of scalars.
+    * Initialization is l₁ = x₁, b₁ = 0: the seed state (x₁, 0) is a fixed
+    * point of the first element's map, so phase 2 seeds each series with
+    * its first value exactly like the EWMA scan. Emits the smoothed level,
+    * trend, and one-step forecast (level + trend) per row. Same 100-TB
+    * properties: chunk-bounded memory, chunk-count-sized phase 2, one
+    * event-sized shuffle. */
+  def holt(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      alpha: Double,
+      betaT: Double,
+      bucketMs: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(betaT >= 0 && betaT <= 1, s"beta must be in [0, 1], got $betaT")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val a00 = 1.0 - alpha; val a01 = 1.0 - alpha
+    val a10 = -alpha * betaT; val a11 = 1.0 - alpha * betaT
+
+    val base = events.select(
+        keyCol.cast("string").as("key"),
+        unix_millis(tsCol.cast("timestamp")).as("ts"),
+        tieCol.cast("long").as("tie"),
+        valueCol.cast("double").as("value"))
+      .withColumn("bucket", floor(col("ts") / lit(bucketMs)).cast("long"))
+      .select("key", "bucket", "ts", "tie", "value")
+
+    val rowsPrefix = base.as(Encoders.product[(String, Long, Long, Long, Double)])
+      .groupByKey { case (k, b, _, _, _) => (k, b) }(
+        Encoders.product[(String, Long)])
+      .flatMapGroups { (kb: (String, Long), it: Iterator[(String, Long, Long, Long, Double)]) =>
+        val (k, b) = kb
+        val rows = it.toArray.sortBy { case (_, _, ts, tie, _) => (ts, tie) }
+        var m00 = 1.0; var m01 = 0.0; var m10 = 0.0; var m11 = 1.0
+        var d0 = 0.0; var d1 = 0.0
+        rows.iterator.map { case (_, _, ts, tie, v) =>
+          // prefix ← A · prefix;  offset ← A · offset + c(v)
+          val n00 = a00 * m00 + a01 * m10; val n01 = a00 * m01 + a01 * m11
+          val n10 = a10 * m00 + a11 * m10; val n11 = a10 * m01 + a11 * m11
+          val e0 = a00 * d0 + a01 * d1 + alpha * v
+          val e1 = a10 * d0 + a11 * d1 + alpha * betaT * v
+          m00 = n00; m01 = n01; m10 = n10; m11 = n11; d0 = e0; d1 = e1
+          HoltRow(k, b, ts, tie, v, m00, m01, m10, m11, d0, d1)
+        }
+      }(Encoders.product[HoltRow])
+      .toDF()
+
+    val lastBy = "struct(ts, tie)"
+    val chunks = rowsPrefix.groupBy("key", "bucket")
+      .agg(expr(s"max_by(m00, $lastBy)").as("m00"),
+        expr(s"max_by(m01, $lastBy)").as("m01"),
+        expr(s"max_by(m10, $lastBy)").as("m10"),
+        expr(s"max_by(m11, $lastBy)").as("m11"),
+        expr(s"max_by(d0, $lastBy)").as("d0"),
+        expr(s"max_by(d1, $lastBy)").as("d1"),
+        expr(s"min_by(value, $lastBy)").as("firstVal"))
+
+    val inits = chunks.as(Encoders.product[HoltChunk])
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroups { (k: String, it: Iterator[HoltChunk]) =>
+        val cs = it.toArray.sortBy(_.bucket)
+        var lIn = cs(0).firstVal
+        var bIn = 0.0
+        cs.iterator.map { ch =>
+          val out = HoltInit(k, ch.bucket, lIn, bIn)
+          val lNext = ch.m00 * lIn + ch.m01 * bIn + ch.d0
+          val bNext = ch.m10 * lIn + ch.m11 * bIn + ch.d1
+          lIn = lNext; bIn = bNext
+          out
+        }
+      }(Encoders.product[HoltInit])
+      .toDF()
+
+    rowsPrefix.join(inits, Seq("key", "bucket"))
+      .withColumn("level", col("m00") * col("lIn") + col("m01") * col("bIn") + col("d0"))
+      .withColumn("trend", col("m10") * col("lIn") + col("m11") * col("bIn") + col("d1"))
+      .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
+        col("value"), col("level"), col("trend"),
+        (col("level") + col("trend")).as("forecast"))
   }
 
   /** Fixed-width value histogram per (key, bucket): bin = floor(value /

@@ -139,6 +139,48 @@ class AnalyticsOpsSpec extends SparkTestBase {
         s"chunking changed $k: $v vs ${single(k)}")
   }
 
+  test("holt level/trend match the sequential recurrence across chunk boundaries") {
+    // reference: l1 = x1, b1 = 0; then l = a*x + (1-a)(l+b), b = g(l-l')+(1-g)b
+    def seqHolt(xs: Seq[Double], a: Double, g: Double): Seq[(Double, Double)] = {
+      var l = xs.head; var b = 0.0
+      (l, b) +: xs.tail.map { x =>
+        val lPrev = l
+        l = a * x + (1 - a) * (l + b)
+        b = g * (l - lPrev) + (1 - g) * b
+        (l, b)
+      }
+    }
+    val rng = new scala.util.Random(13)
+    // trending series so the trend component is non-trivial
+    val series = Map(
+      "u1" -> (0 until 120).map(i => 2.0 * i + 10 * rng.nextDouble()),
+      "u2" -> Seq(7.0),
+      "u3" -> (0 until 6).map(i => 50.0 - 3.0 * i))
+    val rows = series.toSeq.flatMap { case (u, xs) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        (u, new java.sql.Timestamp(i * 6L * 3600 * 1000), i.toLong, x)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = AnalyticsOps.holt(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.4, betaT = 0.2,
+        bucketMs = 86400000L)
+      .select("key", "tie", "level", "trend", "forecast")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for ((u, xs) <- series) {
+      val expect = seqHolt(xs, 0.4, 0.2)
+      for (i <- xs.indices) {
+        val (l, b, f) = out((u, i.toLong))
+        val (el, eb) = expect(i)
+        val tol = 1e-9 * math.max(1.0, math.abs(el))
+        assert(math.abs(l - el) <= tol, s"$u[$i] level: $l vs $el")
+        assert(math.abs(b - eb) <= tol, s"$u[$i] trend: $b vs $eb")
+        assert(math.abs(f - (l + b)) <= 1e-12, "forecast = level + trend")
+      }
+    }
+  }
+
   test("histogram bins are globally aligned and carry per-bin extremes") {
     val ev = Seq(("k", 1, -0.5), ("k", 1, 3.0), ("k", 1, 9.9), ("k", 1, 10.0))
       .toDF("k", "b", "value")
