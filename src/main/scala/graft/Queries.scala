@@ -358,7 +358,9 @@ object Queries {
     "q35_mv_series_column" -> ((s, dir) => {
       // generic multivariate surface (SURVEY §1.4): a true
       // ArrayType(ArrayType(Double)) dim-major series column assembled in
-      // Catalyst, segmented by the multivariate kernel in a pure map stage
+      // Catalyst and segmented by the multivariate kernel — TWO-PHASE like
+      // q28/Rollup: assembly keys are (url, chunk) so no task ever collects
+      // a whole mega url, and a chunk-count-sized hash-agg merges per url
       val nUrls = synthScale(dir, 12, 32, 96)
       val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 300)
       val base = pages.select(col("url"), unix_millis(col("warc_ts")).as("ts"),
@@ -366,11 +368,10 @@ object Queries {
         length(col("text")).cast("double").as("tlen"))
         .groupBy(col("url"), (col("ts") - pmod(col("ts"), lit(60000L))).as("bucket"))
         .agg(avg("size").as("size"), avg("tlen").as("tlen"))
-      val series = ops.MultivarOps.assembleSeriesColumn(base, "url", "bucket", Seq("size", "tlen"))
-      ops.MultivarOps.segmentSeries(series, "key", "series")
-        .toDF()
-        .select(col("key").as("url"), col("n_dims"), col("n_points"), col("n_cps"),
-          when(size(col("cps")) > 0, element_at(col("cps"), 1)).otherwise(-1).as("first_cp"))
+      ops.MultivarOps.segmentChunked(base, "url", "bucket", Seq("size", "tlen"),
+          chunkSpan = 60000L * Rollup.MegaSeriesBuckets)
+        .select(col("key").as("url"), col("n_dims"), col("n_points"),
+          col("n_cps"), col("first_cp"))
     }),
 
     // --- gap-fill by linear interpolation (oracle-backed)
@@ -503,15 +504,21 @@ object Queries {
     // sequential recurrence): segmented-scan affine composition — the
     // sequential smoother without per-series group walks
     "q46_ewma" -> ((s, dir) =>
+      // RAW doubles, no rounding: the oracle is an exact FP MIRROR of the
+      // engine's segmented scan (same op order per phase), so values match
+      // bit-for-bit — a sequential-recurrence oracle would differ at ~1e-10
+      // from the scan's reassociated arithmetic and flip rounding
+      // boundaries (~1 row in 10k at 6 decimals, measured)
       ops.AnalyticsOps.ewma(events(s, dir),
           col("user_id"), col("ts"), col("event_id"), col("value"),
           alpha = 0.3, bucketMs = 86400000L)
         .select(col("tie").as("event_id"), col("key").as("user_id"),
           col("ts"), col("value"), col("ewma"))),
 
-    // --- Holt double-exponential smoothing (rows-only; AnalyticsOpsSpec
-    // pins level/trend to the sequential recurrence): the EWMA segmented
-    // scan generalized to 2x2 matrix composition for a linear-trend state
+    // --- Holt double-exponential smoothing (oracle-backed; AnalyticsOpsSpec
+    // additionally pins level/trend to the sequential recurrence): the EWMA
+    // segmented scan generalized to 2x2 matrix composition for a
+    // linear-trend state. Raw doubles — exact-mirror oracle, like q46.
     "q49_holt_trend" -> ((s, dir) =>
       ops.AnalyticsOps.holt(events(s, dir),
           col("user_id"), col("ts"), col("event_id"), col("value"),
@@ -544,10 +551,125 @@ object Queries {
       agg.withColumn("ma3", round(avg("mean").over(w), 6))
         .select(col("user_id"), col("bucket_start"),
           round(col("mean"), 6).as("mean"), col("ma3"))
-    })
+    }),
+
+    // --- Holt-Winters additive seasonal smoothing (oracle-backed): the
+    // segmented scan generalized to the (level, trend, seasonal-vector)
+    // state — per-chunk composed affine maps, chunk-count-sized phase 2,
+    // exact sequential re-walk per chunk (see AnalyticsOps.holtWinters).
+    // period=7: the seasonal slot a weekly-cycle metric would use.
+    // Raw doubles — exact-mirror oracle, like q46/q49.
+    "q50_holt_winters" -> ((s, dir) =>
+      ops.AnalyticsOps.holtWinters(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          alpha = 0.3, betaT = 0.1, gamma = 0.2, period = 7,
+          bucketMs = 86400000L)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("ts"), col("value"), col("level"), col("trend"),
+          col("seasonal"), col("forecast")))
   )
 
   // ------------------------------------------------------------- oracles
+
+  /** Generated DuckDB oracle for q50: an EXACT FP MIRROR of
+    * [[graft.ops.AnalyticsOps.holtWinters]]'s three-phase segmented scan —
+    * `rec` composes the per-chunk (m+2)×(m+2) affine map row by row in the
+    * engine's exact coefficient/op order (logical row layout: the engine's
+    * circular-index rotation is a physical permutation of the same values),
+    * `scan` resolves chunk-incoming states per key (off(i) first, then
+    * products in column order, like the engine's inner loop), and `walk`
+    * re-runs the sequential recurrence per chunk from that state — so raw
+    * doubles match the engine BIT-FOR-BIT and no rounding is needed. The
+    * 90-column matrix CTE is machine-generated here because a hand-rolled
+    * list/struct formulation would hit DuckDB 1.0's lambda bug (struct
+    * fields repeating an acc subexpression miscompute). NOTE: recursive
+    * CTEs bind UNION ALL columns positionally — seed and step emit the
+    * matrix in the same row-major order. */
+  private lazy val q50MirrorSql: String = {
+    val dim = 9 // period 7 + level + trend
+    val (a, b, g) = ("0.3", "0.1", "0.2")
+    def mexpr(r: Int, c: Int): String = {
+      val (ml, mb, mq) = (s"r.m_0_$c", s"r.m_1_$c", s"r.m_8_$c")
+      r match {
+        case 0 => s"(1.0-$a)*($ml + $mb) - $a*$mq AS m_0_$c"
+        case 1 => s"((-$b)*$a)*$ml + ($b*(1.0-$a) + (1.0-$b))*$mb - $b*$a*$mq AS m_1_$c"
+        case 2 => s"((-$g)*(1.0-$a))*$ml - $g*(1.0-$a)*$mb + ($g*$a + (1.0-$g))*$mq AS m_2_$c"
+        case k => s"r.m_${k - 1}_$c AS m_${k}_$c"
+      }
+    }
+    val stepM = (for (r <- 0 until dim; c <- 0 until dim) yield mexpr(r, c)).mkString(",\n    ")
+    val (dl, db, dq) = ("r.o_0", "r.o_1", "r.o_8")
+    val stepO = (Seq(
+      s"(1.0-$a)*($dl + $db) - $a*$dq + $a*o.value AS o_0",
+      s"((-$b)*$a)*$dl + ($b*(1.0-$a) + (1.0-$b))*$db - $b*$a*$dq + $b*$a*o.value AS o_1",
+      s"((-$g)*(1.0-$a))*$dl - $g*(1.0-$a)*$db + ($g*$a + (1.0-$g))*$dq + $g*(1.0-$a)*o.value AS o_2") ++
+      (3 until dim).map(k => s"r.o_${k - 1} AS o_$k")).mkString(",\n    ")
+    val seedM = (for (r <- 0 until dim; c <- 0 until dim)
+      yield s"${if (r == c) "1.0" else "0.0"}::DOUBLE AS m_${r}_$c").mkString(", ")
+    val seedO = (0 until dim).map(r => s"0.0::DOUBLE AS o_$r").mkString(", ")
+    val allMo = (for (r <- 0 until dim; c <- 0 until dim) yield s"m_${r}_$c") ++
+      (0 until dim).map(r => s"o_$r")
+    val chkAggs = allMo.map(x => s"max_by($x, rn) AS $x").mkString(",\n    ")
+    val scanStep = (0 until dim).map(i =>
+      s"s.o_$i + " + (0 until dim).map(j => s"s.m_${i}_$j*s.s_$j").mkString(" + ") +
+        s" AS s_$i").mkString(",\n    ")
+    val scanSeed = "firstval AS s_0, " +
+      (1 until dim).map(i => s"0.0::DOUBLE AS s_$i").mkString(", ")
+    val carry = allMo.map(x => s"k.$x").mkString(", ")
+    val lExpr = s"(1.0-$a)*(w.l + w.b) + $a*(o.value - w.q7)"
+    val bExpr = s"$b*(($lExpr) - w.l) + (1.0-$b)*w.b"
+    val sExpr = s"$g*(o.value - ($lExpr)) + (1.0-$g)*w.q7"
+    val qShift = (2 to 7).map(k => s"w.q${k - 1} AS q$k").mkString(", ")
+    val walkSeedQ = (0 until 7).map(i => s"s.s_${i + 2} AS q${i + 1}").mkString(", ")
+    s"""WITH RECURSIVE ord AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
+    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket
+  FROM events
+), rord AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+    ORDER BY tms, event_id) AS rn FROM ord
+), rec AS (
+  SELECT user_id, bucket, 0::BIGINT AS rn, NULL::DOUBLE AS value,
+    $seedM, $seedO
+  FROM (SELECT DISTINCT user_id, bucket FROM rord)
+  UNION ALL
+  SELECT o.user_id, o.bucket, o.rn, o.value,
+    $stepM,
+    $stepO
+  FROM rord o JOIN rec r
+    ON o.user_id = r.user_id AND o.bucket = r.bucket AND o.rn = r.rn + 1
+), chk AS (
+  SELECT user_id, bucket, $chkAggs, min_by(value, rn) AS firstval,
+    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS ci
+  FROM rec WHERE rn >= 1 GROUP BY user_id, bucket
+), scan AS (
+  SELECT user_id, bucket, ci, $scanSeed, ${allMo.mkString(", ")}
+  FROM chk WHERE ci = 1
+  UNION ALL
+  SELECT k.user_id, k.bucket, k.ci,
+    $scanStep,
+    $carry
+  FROM chk k JOIN scan s ON k.user_id = s.user_id AND k.ci = s.ci + 1
+), walk AS (
+  SELECT s.user_id, s.bucket, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
+    NULL::BIGINT AS tms, NULL::DOUBLE AS value,
+    s.s_0 AS l, s.s_1 AS b, $walkSeedQ,
+    NULL::DOUBLE AS fc
+  FROM scan s
+  UNION ALL
+  SELECT o.user_id, o.bucket, o.rn, o.event_id, o.tms, o.value,
+    $lExpr AS l,
+    $bExpr AS b,
+    $sExpr AS q1,
+    $qShift,
+    (($lExpr) + ($bExpr)) + w.q6 AS fc
+  FROM rord o JOIN walk w
+    ON o.user_id = w.user_id AND o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts, value,
+  l AS level, b AS trend, q1 AS seasonal, fc AS forecast
+FROM walk WHERE rn >= 1"""
+  }
 
   private val tokExpr = "string_split_regex(trim(text), '\\s+')"
 
@@ -817,6 +939,110 @@ object Queries {
         |  CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt,
         |  round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
         |FROM events GROUP BY 1,2,3""".stripMargin,
+
+    // EWMA oracle as an EXACT FP MIRROR of the engine's segmented scan
+    // (not the sequential recurrence, which reassociates differently and
+    // flips round boundaries): recursive CTE `rec` = phase-1 chunk-prefix
+    // affines c*=β, d=βd+αx in (ms-ts, event_id) order; `chk` = chunk-final
+    // affine + first value; `scan` = phase-2 per-key chunk walk y' = c·y+d;
+    // final = phase-3 cPre·yIn + dPre. Identical IEEE op order per phase →
+    // bit-identical raw doubles, no rounding needed. (A struct list_reduce
+    // formulation is avoided deliberately: DuckDB 1.0 miscomputes lambdas
+    // whose struct fields repeat an acc subexpression.)
+    "q46_ewma" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
+        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket
+        |  FROM events
+        |), rord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+        |    ORDER BY tms, event_id) AS rn FROM ord
+        |), rec AS (
+        |  SELECT user_id, bucket, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
+        |    NULL::BIGINT AS tms, NULL::DOUBLE AS value,
+        |    1.0::DOUBLE AS c, 0.0::DOUBLE AS d
+        |  FROM (SELECT DISTINCT user_id, bucket FROM rord)
+        |  UNION ALL
+        |  SELECT o.user_id, o.bucket, o.rn, o.event_id, o.tms, o.value,
+        |    r.c * (1.0 - 0.3) AS c,
+        |    (1.0 - 0.3) * r.d + 0.3 * o.value AS d
+        |  FROM rord o JOIN rec r
+        |    ON o.user_id = r.user_id AND o.bucket = r.bucket AND o.rn = r.rn + 1
+        |), chk AS (
+        |  SELECT user_id, bucket, max_by(c, rn) AS c, max_by(d, rn) AS d,
+        |    min_by(value, rn) AS firstval,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS ci
+        |  FROM rec WHERE rn >= 1 GROUP BY user_id, bucket
+        |), scan AS (
+        |  SELECT user_id, bucket, ci, firstval AS y, c, d FROM chk WHERE ci = 1
+        |  UNION ALL
+        |  SELECT k.user_id, k.bucket, k.ci, s.c * s.y + s.d AS y, k.c, k.d
+        |  FROM chk k JOIN scan s ON k.user_id = s.user_id AND k.ci = s.ci + 1
+        |)
+        |SELECT p.event_id, p.user_id, make_timestamp(p.tms * 1000) AS ts,
+        |  p.value, p.c * s.y + p.d AS ewma
+        |FROM rec p JOIN scan s ON p.user_id = s.user_id AND p.bucket = s.bucket
+        |WHERE p.rn >= 1""".stripMargin,
+
+    // Holt level+trend oracle as an EXACT FP MIRROR of the engine's scan:
+    // phase-1 CTE carries the 2×2 prefix matrix + offset (the engine's
+    // exact coefficient expressions, e.g. a10 = (-0.3)*0.1, a11 = 1-0.3*0.1),
+    // phase-2 walks chunk summaries (l,b), phase-3 finalizes m·state+d —
+    // identical IEEE op order → bit-identical raw doubles.
+    "q49_holt_trend" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
+        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket
+        |  FROM events
+        |), rord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+        |    ORDER BY tms, event_id) AS rn FROM ord
+        |), rec AS (
+        |  SELECT user_id, bucket, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
+        |    NULL::BIGINT AS tms, NULL::DOUBLE AS value,
+        |    1.0::DOUBLE AS m00, 0.0::DOUBLE AS m01, 0.0::DOUBLE AS m10,
+        |    1.0::DOUBLE AS m11, 0.0::DOUBLE AS d0, 0.0::DOUBLE AS d1
+        |  FROM (SELECT DISTINCT user_id, bucket FROM rord)
+        |  UNION ALL
+        |  SELECT o.user_id, o.bucket, o.rn, o.event_id, o.tms, o.value,
+        |    (1.0-0.3)*r.m00 + (1.0-0.3)*r.m10 AS m00,
+        |    (1.0-0.3)*r.m01 + (1.0-0.3)*r.m11 AS m01,
+        |    ((-0.3)*0.1)*r.m00 + (1.0 - 0.3*0.1)*r.m10 AS m10,
+        |    ((-0.3)*0.1)*r.m01 + (1.0 - 0.3*0.1)*r.m11 AS m11,
+        |    (1.0-0.3)*r.d0 + (1.0-0.3)*r.d1 + 0.3*o.value AS d0,
+        |    ((-0.3)*0.1)*r.d0 + (1.0 - 0.3*0.1)*r.d1 + 0.3*0.1*o.value AS d1
+        |  FROM rord o JOIN rec r
+        |    ON o.user_id = r.user_id AND o.bucket = r.bucket AND o.rn = r.rn + 1
+        |), chk AS (
+        |  SELECT user_id, bucket, max_by(m00, rn) AS m00, max_by(m01, rn) AS m01,
+        |    max_by(m10, rn) AS m10, max_by(m11, rn) AS m11,
+        |    max_by(d0, rn) AS d0, max_by(d1, rn) AS d1,
+        |    min_by(value, rn) AS firstval,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS ci
+        |  FROM rec WHERE rn >= 1 GROUP BY user_id, bucket
+        |), scan AS (
+        |  SELECT user_id, bucket, ci, firstval AS l, 0.0::DOUBLE AS b,
+        |    m00, m01, m10, m11, d0, d1 FROM chk WHERE ci = 1
+        |  UNION ALL
+        |  SELECT k.user_id, k.bucket, k.ci,
+        |    s.m00 * s.l + s.m01 * s.b + s.d0 AS l,
+        |    s.m10 * s.l + s.m11 * s.b + s.d1 AS b,
+        |    k.m00, k.m01, k.m10, k.m11, k.d0, k.d1
+        |  FROM chk k JOIN scan s ON k.user_id = s.user_id AND k.ci = s.ci + 1
+        |), fin AS (
+        |  SELECT p.event_id, p.user_id, p.tms, p.value,
+        |    p.m00 * s.l + p.m01 * s.b + p.d0 AS level,
+        |    p.m10 * s.l + p.m11 * s.b + p.d1 AS trend
+        |  FROM rec p JOIN scan s ON p.user_id = s.user_id AND p.bucket = s.bucket
+        |  WHERE p.rn >= 1
+        |)
+        |SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts, value,
+        |  level, trend, level + trend AS forecast
+        |FROM fin""".stripMargin,
+
+    // Holt-Winters oracle: the generated exact FP mirror of the engine's
+    // three-phase scan (see q50MirrorSql's scaladoc).
+    "q50_holt_winters" -> q50MirrorSql,
 
     "q47_throttle_dups" ->
       """SELECT event_id, user_id, event_type, ts FROM (

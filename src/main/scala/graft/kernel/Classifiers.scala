@@ -504,7 +504,11 @@ final class RdstClassifier(nShapelets: Int = 100, lambda: Double = 1.0,
     if (classes.length == 1) return Array.fill(xTest.length)(classes(0))
     val wlen = xTrain(0).length
     val rng = new java.util.Random(seed + xTrain.length * 31 + wlen)
-    val lens = Array(3, 5, 7).filter(_ <= wlen)
+    // windows shorter than 3 would leave the filter empty (nextInt(0)
+    // throws) — fall back to a degenerate min(3, wlen) shapelet like
+    // RocketClassifier's short-input guard
+    val lens0 = Array(3, 5, 7).filter(_ <= wlen)
+    val lens = if (lens0.isEmpty) Array(math.max(2, math.min(3, wlen))) else lens0
     val shapelets = Array.fill(nShapelets) {
       val len = lens(rng.nextInt(lens.length))
       val maxDil = math.max((wlen - 1) / math.max(len - 1, 1), 1)
@@ -870,6 +874,21 @@ object WindowClassifier {
     case "freshprince" => new FreshPrinceClassifier()
     case "mrhydra" => new HydraClassifier()
     case "proximityforest" => new ProximityForestClassifier()
+    case "inception" =>
+      // The reference's 9th grid slot (clap.py:206-208) lazily imports an
+      // InceptionTime deep CNN from an external deep-learning package. A
+      // from-scratch GPU-less CNN training loop is deliberately out of
+      // scope for this engine (SURVEY §7): the slot is a RECORDED exclusion,
+      // not a gap — mirroring the reference, which also fails at use time
+      // when its optional dependency is absent.
+      throw new UnsupportedOperationException(
+        "The 'inception' classifier (InceptionTime deep CNN) is " +
+          "intentionally not implemented: the reference fills this slot by " +
+          "lazily importing an external deep-learning framework, and a " +
+          "from-scratch neural-network training stack is out of scope for " +
+          "this engine. Use one of the 8 implemented grid classifiers: " +
+          "nn1, rocket, quant, boss, weasel, rdst, freshprince, mrhydra " +
+          "(or proximityforest).")
     case other => throw new IllegalArgumentException(
       s"The classifier $other is not supported. Implementations include: " +
         "nn1, dummy, rocket, quant, boss, weasel, rdst, freshprince, " +

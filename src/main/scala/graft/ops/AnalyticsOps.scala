@@ -24,6 +24,14 @@ private[ops] final case class HoltChunk(key: String, bucket: Long,
 private[ops] final case class HoltInit(key: String, bucket: Long,
     lIn: Double, bIn: Double)
 
+/** Output row of [[AnalyticsOps.holtWinters]]. */
+final case class HwOut(key: String, ts: Long, tie: Long, value: Double,
+    level: Double, trend: Double, seasonal: Double, forecast: Double)
+private[ops] final case class HwChunkSummary(key: String, chunk: Long,
+    mat: Array[Double], off: Array[Double], firstVal: Double)
+private[ops] final case class HwInit(key: String, chunk: Long,
+    state: Array[Double])
+
 /** Per-series derivative/outlier/histogram analytics — the PromQL-style
   * `delta`/`rate`, anomaly flagging, and distribution-rollup primitives a
   * time-series store serves next to its continuous aggregates. */
@@ -141,11 +149,16 @@ object AnalyticsOps {
       .toDF()
 
     // chunk summaries from the phase-1 output (map-side partial agg over the
-    // already-shuffled rows): cPre is strictly decreasing in row order, so
-    // the chunk-final affine is at min(cPre)
+    // already-shuffled rows): the chunk-final affine is the LAST row's
+    // (cPre, dPre) in (ts, tie) order. Selecting it by min(cPre) would rely
+    // on cPre = beta^n being strictly decreasing, which fails once beta^n
+    // underflows to 0.0 (~2k rows at alpha=0.3) and min_by ties become
+    // partition-order dependent — so select positionally, like holt().
+    val lastBy = "struct(ts, tie)"
     val chunks = rowsPrefix.groupBy("key", "bucket")
-      .agg(min("cPre").as("c"), expr("min_by(dPre, cPre)").as("d"),
-        expr("min_by(value, struct(ts, tie))").as("firstVal"))
+      .agg(expr(s"max_by(cPre, $lastBy)").as("c"),
+        expr(s"max_by(dPre, $lastBy)").as("d"),
+        expr(s"min_by(value, $lastBy)").as("firstVal"))
 
     // phase 2: per-key scan over chunk summaries (chunk-count-sized)
     val inits = chunks.as(Encoders.product[EwmaChunk])
@@ -255,6 +268,186 @@ object AnalyticsOps {
       .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
         col("value"), col("level"), col("trend"),
         (col("level") + col("trend")).as("forecast"))
+  }
+
+  /** Per-key additive Holt-Winters triple-exponential smoothing (level +
+    * trend + period-m seasonal), distributed.
+    *
+    * The recurrence (public textbook form, zero-seeded seasonals):
+    *   l_t = (1−α)(l_{t−1} + b_{t−1}) + α(x_t − s_{t−m})
+    *   b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ) s_{t−m}
+    * over the state vector (l, b, s_{t−1..t−m}) ∈ R^{m+2}, seeded
+    * (x_1, 0, 0…0) — a fixed point of the first element's map, so row 1
+    * yields l=x_1, b=0, seasonal=0 exactly like the EWMA/Holt seeds.
+    *
+    * Each element applies an AFFINE map of the state, so the series
+    * parallelizes as the same segmented scan as [[ewma]]/[[holt]] — but the
+    * state is (m+2)-dimensional, so materializing a per-row prefix matrix
+    * (the scalar/2×2 trick) would carry O(m²) doubles per ROW. Instead:
+    *
+    *   phase 1: per (key, bucket-chunk), compose the chunk's whole affine
+    *     map (one (m+2)² matrix + offset per CHUNK, never per row; the
+    *     seasonal shift is a circular-index rotation, so each row costs
+    *     three O(m) row combinations, not an O(m²) copy);
+    *   phase 2: per key, scan the chunk summaries in bucket order to
+    *     resolve each chunk's exact incoming state — chunk-count-sized;
+    *   phase 3: COGROUP rows with their chunk's incoming state and re-walk
+    *     each chunk sequentially from it — within-chunk arithmetic is the
+    *     exact sequential recurrence, so only the chunk-boundary
+    *     compositions reassociate FP (tighter than the EWMA/Holt shape).
+    *
+    * Same 100-TB properties: no task holds a series (chunk-bounded), phase
+    * 2 moves chunk summaries (~(m+2)² doubles each), and events shuffle
+    * once into the phase-1/phase-3 chunk partitioning. Emits level, trend,
+    * the updated seasonal s_t, and the one-step forecast
+    * l_t + b_t + s_{t+1−m}. */
+  def holtWinters(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      alpha: Double,
+      betaT: Double,
+      gamma: Double,
+      period: Int,
+      bucketMs: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(betaT >= 0 && betaT <= 1, s"beta must be in [0, 1], got $betaT")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0, 1], got $gamma")
+    require(period >= 1, s"period must be >= 1, got $period")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = period
+    val dim = m + 2
+
+    val base = events.select(
+        keyCol.cast("string").as("key"),
+        unix_millis(tsCol.cast("timestamp")).as("ts"),
+        tieCol.cast("long").as("tie"),
+        valueCol.cast("double").as("value"))
+      .withColumn("bucket", floor(col("ts") / lit(bucketMs)).cast("long"))
+      .select("key", "bucket", "ts", "tie", "value")
+      .as(Encoders.product[(String, Long, Long, Long, Double)])
+
+    val grouped = base.groupByKey { case (k, b, _, _, _) => (k, b) }(
+      Encoders.product[(String, Long)])
+
+    // phase 1: one composed affine map per chunk. M is row-major dim×dim
+    // with ROT-INDEXED seasonal rows (slot of s-lag-j = 2 + (rot+j-1) % m),
+    // normalized to rot = 0 before serialization.
+    val chunks = grouped.mapGroups { (kb: (String, Long),
+        it: Iterator[(String, Long, Long, Long, Double)]) =>
+      val (k, b) = kb
+      val rows = it.toArray.sortBy { case (_, _, ts, tie, _) => (ts, tie) }
+      val mat = Array.ofDim[Double](dim * dim)
+      var i = 0
+      while (i < dim) { mat(i * dim + i) = 1.0; i += 1 }
+      val off = new Array[Double](dim)
+      val tl = new Array[Double](dim); val tb = new Array[Double](dim)
+      val ts0 = new Array[Double](dim)
+      var rot = 0
+      var r = 0
+      while (r < rows.length) {
+        val x = rows(r)._5
+        val qmSlot = 2 + (rot + m - 1) % m
+        // new rows as combos of old rows l(0), b(1), qm(qmSlot)
+        var j = 0
+        while (j < dim) {
+          val ml = mat(j); val mb = mat(dim + j); val mq = mat(qmSlot * dim + j)
+          tl(j) = (1 - alpha) * (ml + mb) - alpha * mq
+          tb(j) = -betaT * alpha * ml + (betaT * (1 - alpha) + (1 - betaT)) * mb -
+            betaT * alpha * mq
+          ts0(j) = -gamma * (1 - alpha) * ml - gamma * (1 - alpha) * mb +
+            (gamma * alpha + (1 - gamma)) * mq
+          j += 1
+        }
+        val dl = off(0); val db = off(1); val dq = off(qmSlot)
+        val nl = (1 - alpha) * (dl + db) - alpha * dq + alpha * x
+        val nb = -betaT * alpha * dl + (betaT * (1 - alpha) + (1 - betaT)) * db -
+          betaT * alpha * dq + betaT * alpha * x
+        val ns = -gamma * (1 - alpha) * dl - gamma * (1 - alpha) * db +
+          (gamma * alpha + (1 - gamma)) * dq + gamma * (1 - alpha) * x
+        System.arraycopy(tl, 0, mat, 0, dim)
+        System.arraycopy(tb, 0, mat, dim, dim)
+        System.arraycopy(ts0, 0, mat, qmSlot * dim, dim)
+        off(0) = nl; off(1) = nb; off(qmSlot) = ns
+        // the written slot becomes the NEW most-recent seasonal (lag 1)
+        rot = (rot + m - 1) % m
+        r += 1
+      }
+      // normalize seasonal row order to rot = 0 for serialization
+      val normM = Array.ofDim[Double](dim * dim)
+      val normD = new Array[Double](dim)
+      System.arraycopy(mat, 0, normM, 0, 2 * dim)
+      normD(0) = off(0); normD(1) = off(1)
+      var jj = 0
+      while (jj < m) {
+        val phys = 2 + (rot + jj) % m
+        System.arraycopy(mat, phys * dim, normM, (2 + jj) * dim, dim)
+        normD(2 + jj) = off(phys)
+        jj += 1
+      }
+      HwChunkSummary(k, b, normM, normD, rows(0)._5)
+    }(Encoders.product[HwChunkSummary])
+
+    // phase 2: per-key scan over chunk summaries (chunk-count-sized)
+    val inits = chunks.groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroups { (k: String, it: Iterator[HwChunkSummary]) =>
+        val cs = it.toArray.sortBy(_.chunk)
+        val state = new Array[Double](dim)
+        state(0) = cs(0).firstVal
+        cs.iterator.map { ch =>
+          val out = HwInit(k, ch.chunk, state.clone())
+          val next = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            var acc = ch.off(i)
+            val row = i * dim
+            var j = 0
+            while (j < dim) { acc += ch.mat(row + j) * state(j); j += 1 }
+            next(i) = acc
+            i += 1
+          }
+          System.arraycopy(next, 0, state, 0, dim)
+          out
+        }
+      }(Encoders.product[HwInit])
+
+    // phase 3: cogroup rows with the chunk's incoming state; the walk is
+    // the exact sequential recurrence from that state
+    grouped.cogroup(
+        inits.groupByKey(c => (c.key, c.chunk))(Encoders.product[(String, Long)])) {
+      (kb: (String, Long), rowIt: Iterator[(String, Long, Long, Long, Double)],
+       initIt: Iterator[HwInit]) =>
+        val rows = rowIt.toArray.sortBy { case (_, _, ts, tie, _) => (ts, tie) }
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val st = initIt.next().state
+          var l = st(0); var b = st(1)
+          val q = new Array[Double](m) // q(rot+j-1 % m) = seasonal lag j
+          System.arraycopy(st, 2, q, 0, m)
+          var rot = 0
+          rows.iterator.map { case (k, _, ts, tie, x) =>
+            val qmIdx = (rot + m - 1) % m
+            val qm = q(qmIdx)
+            val lPrev = l
+            l = (1 - alpha) * (l + b) + alpha * (x - qm)
+            b = betaT * (l - lPrev) + (1 - betaT) * b
+            val sNew = gamma * (x - l) + (1 - gamma) * qm
+            q(qmIdx) = sNew
+            rot = (rot + m - 1) % m
+            // next-step seasonal lag m (s_{t+1-m}) now sits at the new qm slot
+            val fc = l + b + q((rot + m - 1) % m)
+            HwOut(k, ts, tie, x, l, b, sNew, fc)
+          }
+        }
+    }(Encoders.product[HwOut])
+      .toDF()
+      .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
+        col("value"), col("level"), col("trend"), col("seasonal"), col("forecast"))
   }
 
   /** Fixed-width value histogram per (key, bucket): bin = floor(value /

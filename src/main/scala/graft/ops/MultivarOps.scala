@@ -53,4 +53,65 @@ object MultivarOps {
     collected.select(col("key"),
       array(valueCols.map(c => expr(s"transform(pts, p -> p.$c)")): _*).as("series"))
   }
+
+  private[ops] final case class MvChunkRow(
+      key: String, chunk: Long, n_dims: Int, n_points: Long, n_cps: Int,
+      first_cp: Int)
+
+  /** Two-phase multivariate segmentation for mega series — the chunked twin
+    * of [[assembleSeriesColumn]]+[[segmentSeries]], in the exact shape of
+    * the q28 signal pipeline and Rollup phase 1/2:
+    *
+    *   phase 1: rows are assembled per `(key, floorDiv(order, chunkSpan))`,
+    *     so NO task ever collects a whole mega key — per-task memory and
+    *     the O(n²) kernel cost are both bounded by the chunk width;
+    *   phase 2: per-chunk results merge per key with a hash aggregate
+    *     (chunk-count-sized data); each chunk's first in-chunk change point
+    *     is rebased to a whole-series index via the cumulative point count
+    *     of earlier chunks (a chunk-count-sized window, never row-sized).
+    *
+    * Per-chunk segmentation is the documented semantics at scale (identical
+    * to q28): change points are detected within chunk-local context, which
+    * bounds the straggler a 100×-scale mega key would otherwise create.
+    * Output: `(key, n_dims, n_points, n_cps, first_cp)` with
+    * `first_cp = -1` when no chunk yields a change point. */
+  def segmentChunked(
+      df: DataFrame, keyCol: String, orderCol: String, valueCols: Seq[String],
+      chunkSpan: Long): DataFrame = {
+    require(chunkSpan > 0, s"chunkSpan must be positive, got $chunkSpan")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val collected = df
+      .groupBy(col(keyCol).cast("string").as("key"),
+        floor(col(orderCol).cast("long") / lit(chunkSpan)).cast("long").as("chunk"))
+      .agg(sort_array(collect_list(struct(
+        (col(orderCol).cast("long").as("o") +:
+          valueCols.map(c => col(c).cast("double").as(c))): _*))).as("pts"))
+    val series = collected.select(col("key"), col("chunk"),
+      array(valueCols.map(c => expr(s"transform(pts, p -> p.$c)")): _*).as("series"))
+    val perChunk = series.as[(String, Long, Array[Array[Double]])]
+      .map { case (key, chunk, dims) =>
+        val n = if (dims.isEmpty) 0L else dims(0).length.toLong
+        val cps =
+          try new BinaryClaSPSegmentation().fitPredict(dims)
+          catch {
+            case e: Exception =>
+              Rollup.logKernelFailure("multivariate ClaSP (chunked)", "no change points", e)
+              Array.empty[Int]
+          }
+        MvChunkRow(key, chunk, dims.length, n, cps.length,
+          if (cps.nonEmpty) cps(0) else -1)
+      }.toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("chunk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perChunk
+      .withColumn("offset", coalesce(sum("n_points").over(w), lit(0L)))
+      .groupBy("key")
+      .agg(max("n_dims").as("n_dims"), sum("n_points").as("n_points"),
+        sum("n_cps").cast("int").as("n_cps"),
+        min(when(col("first_cp") >= 0, col("offset") + col("first_cp"))).as("fc"))
+      .select(col("key"), col("n_dims"), col("n_points"), col("n_cps"),
+        coalesce(col("fc"), lit(-1L)).cast("int").as("first_cp"))
+  }
 }

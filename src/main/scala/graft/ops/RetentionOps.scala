@@ -11,22 +11,31 @@ import org.apache.spark.sql.functions._
   * deterministic and oracle-comparable. */
 object RetentionOps {
 
-  /** Filter `tiers` to in-horizon rows.
+  /** Filter `tiers` to in-horizon rows, deriving the anchor from `tiers`
+    * itself.
     *
-    * Scale shape: one partial-agg scan computes the 1-row global anchor,
-    * broadcast back via a 1-row cross join; the expiry itself is a map-side
-    * filter (the policy is a nested CASE over the tier tag, fully
-    * codegen'd — no join with a policy table). No shuffle of the big side;
-    * in a real deployment the same predicate pushes into the table format's
-    * partition-level delete when bucketCol is the partition key. */
+    * FOOTGUN GUARD: deriving the anchor self-referentially would execute
+    * the whole tier lineage twice (once for one scalar, once for the
+    * expiry), so this overload persists `tiers` first — the anchor pass
+    * materializes the cache and the expiry pass reuses it. That trades
+    * cluster memory/disk for the rescan; when the anchor is computable
+    * upstream (e.g. minute-trunc of max raw ts — truncation is monotone, so
+    * coarser tiers can never exceed it), prefer the explicit-anchor variant
+    * with a column-pruned single-agg scan, which is what the q37 pipeline
+    * does. */
+  @deprecated("derives the anchor by persisting and re-reading the whole " +
+    "tier lineage; pass a precomputed pruned anchor to the explicit-anchor " +
+    "variant instead", "round-4")
   def applyRetention(
       tiers: DataFrame,
       horizonMs: Map[String, Long],
       tierCol: String = "tier",
-      bucketCol: String = "bucket_start"): DataFrame =
-    applyRetention(tiers,
-      tiers.agg(max(unix_millis(col(bucketCol).cast("timestamp"))).as("anchor_ms")),
+      bucketCol: String = "bucket_start"): DataFrame = {
+    val cached = tiers.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    applyRetention(cached,
+      cached.agg(max(unix_millis(col(bucketCol).cast("timestamp"))).as("anchor_ms")),
       horizonMs, tierCol, bucketCol)
+  }
 
   /** Variant taking a precomputed 1-row `anchor` frame (column `anchor_ms`).
     *

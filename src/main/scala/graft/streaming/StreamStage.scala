@@ -21,14 +21,44 @@ final case class SessionOut(url: String, session_start: Long, session_end: Long,
 /** Open-session state for [[StreamStage.sessionizeStream]] (product-encoded). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
+/** Input row for the order-sensitive streaming twins ([[StreamStage.ewmaStream]],
+  * [[StreamStage.deltaRateStream]]): a [[graft.pipeline.SeriesPoint]] plus the
+  * explicit tie-break sequence the batch contracts
+  * ([[graft.ops.AnalyticsOps.ewma]]/`deltaRate`) use for duplicate
+  * timestamps, so stream ≡ batch holds on dup-ts inputs too. */
+final case class TiedPoint(url: String, ts: Long, tie: Long, value: Double)
+
 /** One smoothed point from [[StreamStage.ewmaStream]] (epoch millis). */
-final case class EwmaOut(url: String, ts: Long, value: Double, ewma: Double)
+final case class EwmaOut(url: String, ts: Long, tie: Long, value: Double,
+    ewma: Double)
+
+/** One differenced point from [[StreamStage.deltaRateStream]]: NULL (None)
+  * delta/rate at series heads, NULL rate on duplicate timestamps — the
+  * batch [[graft.ops.AnalyticsOps.deltaRate]] semantics. */
+final case class DeltaOut(url: String, ts: Long, tie: Long, value: Double,
+    delta: Option[Double], rate: Option[Double])
 
 /** Per-url state for [[StreamStage.ewmaStream]] (product-encoded): rows
-  * still above the watermark, parallel arrays (ts, value), plus the running
-  * smoother. Buffer size is O(lateness-window points), never the stream. */
-final case class EwmaBuf(ts: Array[Long], vs: Array[Double],
+  * still above the watermark, parallel arrays (ts, tie, value), plus the
+  * running smoother. Buffer size is O(lateness-window points), never the
+  * stream. */
+final case class EwmaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     y: Double, primed: Boolean)
+
+/** Per-url state for [[StreamStage.deltaRateStream]]: the above-watermark
+  * buffer plus the last drained (ts, value) pair the next delta differences
+  * against. */
+final case class DeltaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
+    prevTs: Long, prevVal: Double, primed: Boolean)
+
+/** One smoothed point from [[StreamStage.holtStream]]. */
+final case class HoltOut(url: String, ts: Long, tie: Long, value: Double,
+    level: Double, trend: Double, forecast: Double)
+
+/** Per-url state for [[StreamStage.holtStream]]: the above-watermark buffer
+  * plus the running (level, trend) pair. */
+final case class HoltBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
+    l: Double, b: Double, primed: Boolean)
 
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
@@ -152,7 +182,7 @@ object StreamStage {
     * pair plus the O(lateness-window) row buffer; an event-time timeout
     * flushes tail rows without requiring new data for that url. */
   def ewmaStream(
-      points: Dataset[SeriesPoint],
+      points: Dataset[TiedPoint],
       alpha: Double,
       lateness: String = "10 minutes"): Dataset[EwmaOut] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
@@ -163,29 +193,147 @@ object StreamStage {
     points.toDF()
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
-      .select(col("url"), col("ts"), col("value"), col("event_time"))
-      .as[(String, Long, Double, java.sql.Timestamp)]
+      .select(col("url"), col("ts"), col("tie"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+        (url: String, rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
          state: GroupState[EwmaBuf]) => {
           val st = state.getOption.getOrElse(
-            EwmaBuf(Array.emptyLongArray, Array.emptyDoubleArray, 0.0, false))
-          val incoming = rows.map(r => (r._2, r._3)).toArray
-          val all = (st.ts.zip(st.vs) ++ incoming).sortBy(identity)
+            EwmaBuf(Array.emptyLongArray, Array.emptyLongArray,
+              Array.emptyDoubleArray, 0.0, false))
+          val incoming = rows.map(r => (r._2, r._3, r._4)).toArray
+          // dup-ts rows order by the explicit tie, matching batch ewma()
+          val all = (st.ts.lazyZip(st.tie).lazyZip(st.vs).toArray ++ incoming)
+            .sortBy { case (t, q, _) => (t, q) }
           val wm = state.getCurrentWatermarkMs()
           val (ready, hold) = all.partition(_._1 <= wm)
           var y = st.y
           var primed = st.primed
-          val out = ready.iterator.map { case (t, v) =>
+          val out = ready.iterator.map { case (t, q, v) =>
             y = if (!primed) { primed = true; v } else beta * y + alpha * v
-            EwmaOut(url, t, v, y)
+            EwmaOut(url, t, q, v, y)
           }.toVector
           if (hold.isEmpty && !primed && ready.isEmpty) state.remove()
           else {
-            state.update(EwmaBuf(hold.map(_._1), hold.map(_._2), y, primed))
+            state.update(EwmaBuf(hold.map(_._1), hold.map(_._2), hold.map(_._3),
+              y, primed))
             if (hold.nonEmpty)
               // fire once the watermark passes the earliest held row
+              state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
+          }
+          out.iterator
+        })
+  }
+
+  /** STREAMING per-url first-difference / per-second rate — the unbounded
+    * twin of [[graft.ops.AnalyticsOps.deltaRate]], with the same
+    * watermark-buffered in-order replay as [[ewmaStream]]: rows above the
+    * watermark are held in group state and drained in (ts, tie) order once
+    * final, so each emitted row differences against its true event-time
+    * predecessor even when arrival order is perturbed. Series heads carry
+    * None delta/rate; duplicate timestamps carry None rate (not Inf) —
+    * exactly the batch q41 semantics. State per url is the O(lateness)
+    * buffer plus one (prevTs, prevVal) pair. */
+  def deltaRateStream(
+      points: Dataset[TiedPoint],
+      lateness: String = "10 minutes"): Dataset[DeltaOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("tie"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[DeltaBuf]) => {
+          val st = state.getOption.getOrElse(
+            DeltaBuf(Array.emptyLongArray, Array.emptyLongArray,
+              Array.emptyDoubleArray, 0L, 0.0, false))
+          val incoming = rows.map(r => (r._2, r._3, r._4)).toArray
+          val all = (st.ts.lazyZip(st.tie).lazyZip(st.vs).toArray ++ incoming)
+            .sortBy { case (t, q, _) => (t, q) }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          var prevTs = st.prevTs
+          var prevVal = st.prevVal
+          var primed = st.primed
+          val out = ready.iterator.map { case (t, q, v) =>
+            val row = if (!primed) DeltaOut(url, t, q, v, None, None)
+            else {
+              val d = v - prevVal
+              val rate = if (t > prevTs) Some(d / ((t - prevTs) / 1000.0)) else None
+              DeltaOut(url, t, q, v, Some(d), rate)
+            }
+            primed = true; prevTs = t; prevVal = v
+            row
+          }.toVector
+          if (hold.isEmpty && !primed && ready.isEmpty) state.remove()
+          else {
+            state.update(DeltaBuf(hold.map(_._1), hold.map(_._2), hold.map(_._3),
+              prevTs, prevVal, primed))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
+          }
+          out.iterator
+        })
+  }
+
+  /** STREAMING per-url Holt double-exponential smoothing — the unbounded
+    * twin of [[graft.ops.AnalyticsOps.holt]], with the same
+    * watermark-buffered in-order replay as [[ewmaStream]]. Seeds
+    * (level, trend) = (x₁, 0) and applies the sequential recurrence
+    *   l' = α·x + (1−α)(l + b);  b' = β(l' − l) + (1−β)b
+    * to the drained ≤watermark prefix in (ts, tie) order. Emits level,
+    * trend, and the one-step forecast level + trend per point. State per
+    * url is the O(lateness) buffer plus two doubles. */
+  def holtStream(
+      points: Dataset[TiedPoint],
+      alpha: Double,
+      betaT: Double,
+      lateness: String = "10 minutes"): Dataset[HoltOut] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(betaT >= 0 && betaT <= 1, s"beta must be in [0, 1], got $betaT")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("tie"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[HoltBuf]) => {
+          val st = state.getOption.getOrElse(
+            HoltBuf(Array.emptyLongArray, Array.emptyLongArray,
+              Array.emptyDoubleArray, 0.0, 0.0, false))
+          val incoming = rows.map(r => (r._2, r._3, r._4)).toArray
+          val all = (st.ts.lazyZip(st.tie).lazyZip(st.vs).toArray ++ incoming)
+            .sortBy { case (t, q, _) => (t, q) }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          var l = st.l
+          var b = st.b
+          var primed = st.primed
+          val out = ready.iterator.map { case (t, q, v) =>
+            if (!primed) { primed = true; l = v; b = 0.0 }
+            else {
+              val lPrev = l
+              l = alpha * v + (1 - alpha) * (l + b)
+              b = betaT * (l - lPrev) + (1 - betaT) * b
+            }
+            HoltOut(url, t, q, v, l, b, l + b)
+          }.toVector
+          if (hold.isEmpty && !primed && ready.isEmpty) state.remove()
+          else {
+            state.update(HoltBuf(hold.map(_._1), hold.map(_._2), hold.map(_._3),
+              l, b, primed))
+            if (hold.nonEmpty)
               state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
           }
           out.iterator

@@ -67,4 +67,17 @@ class ParamSmokeSpec extends AnyFunSuite {
       assert(score >= 0.0 && score <= 1.0, s"score $score out of range")
     }
   }
+
+  test("the inception grid slot is a recorded exclusion, not a silent gap") {
+    // clap.py:206-208 lazily imports an InceptionTime deep CNN; the engine
+    // records the decision not to reimplement a neural-net training stack
+    val e = intercept[UnsupportedOperationException] {
+      WindowClassifier.byName("inception")
+    }
+    assert(e.getMessage.contains("intentionally not implemented"))
+    assert(e.getMessage.contains("out of scope"))
+    // unknown names still get the reference's ValueError-style message
+    val u = intercept[IllegalArgumentException](WindowClassifier.byName("nope"))
+    assert(u.getMessage.contains("not supported"))
+  }
 }

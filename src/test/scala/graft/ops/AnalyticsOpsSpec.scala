@@ -139,6 +139,38 @@ class AnalyticsOpsSpec extends SparkTestBase {
         s"chunking changed $k: $v vs ${single(k)}")
   }
 
+  test("ewma long chunks survive beta^n underflow (chunk-final affine is positional)") {
+    // (1-alpha)^n underflows to exactly 0.0 after ~2090 rows at alpha=0.3,
+    // so every row past that point in a chunk has cPre == 0.0. Selecting
+    // the chunk-final affine by min(cPre)/min_by(dPre, cPre) would then tie
+    // across thousands of rows and hand an arbitrary mid-chunk dPre to the
+    // next chunk. A 3500-row first chunk followed by a short second chunk
+    // pins the positional (max_by struct(ts, tie)) selection: the second
+    // chunk's values are only right if the first chunk's OUTGOING state was
+    // taken from its true last row.
+    def seqEwma(xs: Seq[Double], a: Double): Seq[Double] =
+      xs.tail.scanLeft(xs.head)((y, x) => (1 - a) * y + a * x)
+    val rng = new scala.util.Random(99)
+    val xs = Seq.fill(3500)(rng.nextDouble() * 100) ++ Seq.fill(8)(rng.nextDouble() * 100)
+    val dayMs = 86400000L
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      // first 3500 rows in day 0 (24s spacing), the rest in day 1
+      val ms = if (i < 3500) i * 24000L else dayMs + (i - 3500) * 24000L
+      ("u1", new java.sql.Timestamp(ms), i.toLong, x)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value").repartition(8)
+    val out = AnalyticsOps.ewma(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.3, bucketMs = dayMs)
+      .select("tie", "ewma")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = seqEwma(xs, 0.3)
+    for (i <- xs.indices) {
+      val got = out(i.toLong)
+      assert(math.abs(got - expect(i)) <= 1e-9 * math.max(1.0, math.abs(expect(i))),
+        s"row $i: got $got expected ${expect(i)}")
+    }
+  }
+
   test("holt level/trend match the sequential recurrence across chunk boundaries") {
     // reference: l1 = x1, b1 = 0; then l = a*x + (1-a)(l+b), b = g(l-l')+(1-g)b
     def seqHolt(xs: Seq[Double], a: Double, g: Double): Seq[(Double, Double)] = {
@@ -178,6 +210,68 @@ class AnalyticsOpsSpec extends SparkTestBase {
         assert(math.abs(b - eb) <= tol, s"$u[$i] trend: $b vs $eb")
         assert(math.abs(f - (l + b)) <= 1e-12, "forecast = level + trend")
       }
+    }
+  }
+
+  test("holtWinters matches the sequential recurrence across chunk boundaries") {
+    // reference: seed (l,b,q)=(x1,0,0..0); l'=(1-a)(l+b)+a(x-q_m);
+    // b'=bt(l'-l)+(1-bt)b; s=g(x-l')+(1-g)q_m; lag window shifts
+    def seqHw(xs: Seq[Double], a: Double, bt: Double, g: Double, m: Int)
+        : Seq[(Double, Double, Double, Double)] = {
+      var l = xs.head; var b = 0.0
+      var q = Vector.fill(m)(0.0)
+      xs.map { x =>
+        val qm = q.last
+        val lPrev = l
+        l = (1 - a) * (l + b) + a * (x - qm)
+        b = bt * (l - lPrev) + (1 - bt) * b
+        val s = g * (x - l) + (1 - g) * qm
+        q = s +: q.init
+        (l, b, s, l + b + q.last)
+      }
+    }
+    val m = 7
+    val rng = new scala.util.Random(31)
+    // trending series with a planted period-m seasonal pattern + noise
+    val season = Array.tabulate(m)(j => 5.0 * math.sin(2 * math.Pi * j / m))
+    val series = Map(
+      "u1" -> (0 until 150).map(i => 0.5 * i + season(i % m) + rng.nextDouble()),
+      "u2" -> Seq(9.0),
+      "u3" -> (0 until 10).map(i => 40.0 - i + season(i % m)))
+    val rows = series.toSeq.flatMap { case (u, xs) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        // 6h spacing -> 1d chunks hold <= 4 rows, with boundary crossings
+        (u, new java.sql.Timestamp(i * 6L * 3600 * 1000), i.toLong, x)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    def run(bucketMs: Long) =
+      AnalyticsOps.holtWinters(df, col("user_id"), col("ts"),
+          col("event_id"), col("value"), alpha = 0.4, betaT = 0.2,
+          gamma = 0.3, period = m, bucketMs = bucketMs)
+        .select("key", "tie", "level", "trend", "seasonal", "forecast")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val out = run(86400000L)
+    for ((u, xs) <- series) {
+      val expect = seqHw(xs, 0.4, 0.2, 0.3, m)
+      for (i <- xs.indices) {
+        val (l, b, s, f) = out((u, i.toLong))
+        val (el, eb, es, ef) = expect(i)
+        def ck(g0: Double, e: Double, what: String) =
+          assert(math.abs(g0 - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+            s"$u[$i] $what: $g0 vs $e")
+        ck(l, el, "level"); ck(b, eb, "trend"); ck(s, es, "seasonal"); ck(f, ef, "forecast")
+      }
+    }
+    // chunking must not change results: one giant chunk == daily chunks
+    val single = run(Long.MaxValue / 4)
+    for ((k, (l, b, s, f)) <- out) {
+      val (l2, b2, s2, f2) = single(k)
+      for (((x, y), what) <- Seq((l, l2), (b, b2), (s, s2), (f, f2))
+          .zip(Seq("level", "trend", "seasonal", "forecast")))
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+          s"chunking changed $k $what: $x vs $y")
     }
   }
 

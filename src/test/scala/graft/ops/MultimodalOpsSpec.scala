@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Real header decode (BMP / RIFF-WAV, public formats) + stub fallback for
+  * codec-less formats, and the q20 plumbing over the mixed media table. */
+class MultimodalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("BMP header decode yields exact pixel dimensions") {
+    val m = MultimodalOps.decodeMedia(7L, MultimodalOps.bmpBytes(640, 480))
+    assert(m.media_type == "image" && m.width == 640 && m.height == 480 &&
+      m.n_frames == 1)
+    // top-down BMPs store a negative height; magnitude is the pixel count
+    val neg = MultimodalOps.bmpBytes(64, 0)
+    def w32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    w32(neg, 22, -48)
+    assert(MultimodalOps.decodeMedia(7L, neg).height == 48)
+  }
+
+  test("WAV header decode yields rate, bits, and frame count from the chunk walk") {
+    val m = MultimodalOps.decodeMedia(9L, MultimodalOps.wavBytes(16000, 2, 16, 12345))
+    assert(m.media_type == "audio" && m.width == 16000 && m.height == 16 &&
+      m.n_frames == 12345)
+    // an extra odd-sized chunk before fmt must be skipped with word alignment
+    val base = MultimodalOps.wavBytes(8000, 1, 16, 10)
+    val extra = new Array[Byte](12 + 8 + 3 + 1 + 32) // RIFF hdr + LIST(3 + pad) + rest
+    System.arraycopy(base, 0, extra, 0, 12)
+    extra(12) = 'L'; extra(13) = 'I'; extra(14) = 'S'; extra(15) = 'T'
+    extra(16) = 3 // chunk size 3, padded to 4
+    System.arraycopy(base, 12, extra, 24, 32)
+    val m2 = MultimodalOps.decodeMedia(9L, extra)
+    assert(m2.media_type == "audio" && m2.width == 8000 && m2.n_frames == 10,
+      s"chunk walk failed: $m2")
+  }
+
+  test("unknown payloads fall back to the deterministic stub") {
+    val bytes = "not a media file at all".getBytes("UTF-8")
+    val m = MultimodalOps.decodeMedia(3L, bytes)
+    assert(m == MultimodalOps.decodeStub(3L, bytes))
+    assert(Set("image", "audio", "video").contains(m.media_type))
+  }
+
+  test("q20 decodes the mixed media table: real BMP/WAV rows carry header-derived metadata") {
+    val out = graft.Queries.all("q20_media_meta")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.nonEmpty)
+    for ((id, r) <- out) {
+      if (id % 6 == 0) {
+        assert(r.getAs[String]("media_type") == "image")
+        assert(r.getAs[Int]("width") == 64 + (id % 13).toInt * 16, s"doc $id")
+        assert(r.getAs[Int]("height") == 48 + (id % 7).toInt * 16, s"doc $id")
+      } else if (id % 6 == 3) {
+        assert(r.getAs[String]("media_type") == "audio")
+        assert(r.getAs[Int]("width") == 8000 * (1 + (id % 3).toInt), s"doc $id")
+        assert(r.getAs[Int]("n_frames") == 1000 + (id % 500).toInt, s"doc $id")
+      }
+    }
+  }
+}

@@ -161,21 +161,27 @@ class StreamStageSpec extends SparkTestBase {
     val rng = new scala.util.Random(11)
     // start at ts = 1h, not 0: Spark's initial watermark is 0 and its
     // late-row filter for stateful ops is inclusive at the boundary, so an
-    // epoch-0 event would be dropped in every batch
-    val all = for (u <- Seq("a", "b"); i <- 0 until 60)
-      yield SeriesPoint(u, 3600000L + i * 60000L, rng.nextDouble() * 100)
-    // sequential truth per url, in ts order
+    // epoch-0 event would be dropped in every batch.
+    // Row 30 of url "a" duplicates row 29's timestamp (distinct tie): the
+    // batch ewma() contract orders dup-ts rows by the tie column, and the
+    // stream must agree.
+    val all = for (u <- Seq("a", "b"); i <- 0 until 60) yield {
+      val ts = if (u == "a" && i == 30) 3600000L + 29 * 60000L
+               else 3600000L + i * 60000L
+      TiedPoint(u, ts, i.toLong, rng.nextDouble() * 100)
+    }
+    // sequential truth per url, in (ts, tie) order
     def seqEwma(xs: Seq[Double]): Seq[Double] =
       xs.tail.scanLeft(xs.head)((y, x) => (1 - alpha) * y + alpha * x)
     val expect = all.groupBy(_.url).flatMap { case (u, pts) =>
-      val sorted = pts.sortBy(_.ts)
-      sorted.map(_.ts).zip(seqEwma(sorted.map(_.value))).map {
-        case (t, y) => (u, t) -> y
+      val sorted = pts.sortBy(p => (p.ts, p.tie))
+      sorted.map(_.tie).zip(seqEwma(sorted.map(_.value))).map {
+        case (q, y) => (u, q) -> y
       }
     }
 
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[SeriesPoint]
+    val mem = MemoryStream[TiedPoint]
     val q = StreamStage.ewmaStream(mem.toDS(), alpha, "10 minutes")
       .writeStream.format("memory").queryName("ewma_stream")
       .outputMode("append").start()
@@ -191,19 +197,124 @@ class StreamStageSpec extends SparkTestBase {
     // two sentinel rounds: advance the watermark past all held rows, then
     // fire the event-time timeouts that flush them
     val far = all.map(_.ts).max + 365L * 86400000L
-    mem.addData(Seq(SeriesPoint("sentinel", far, 0.0)))
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
     q.processAllAvailable()
-    mem.addData(Seq(SeriesPoint("sentinel", far + 1, 0.0)))
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("ewma_stream").as[EwmaOut]
       .filter(col("url") =!= "sentinel")
-      .collect().map(e => (e.url, e.ts) -> e.ewma).toMap
+      .collect().map(e => (e.url, e.tie) -> e.ewma).toMap
     val missing = expect.keySet -- streamed.keySet
     assert(streamed.size == all.size, s"every point must be emitted exactly once " +
       s"(got ${streamed.size} of ${all.size}; missing $missing)")
-    for (((k, t), y) <- expect)
-      assert(math.abs(streamed((k, t)) - y) <= 1e-12 * math.max(1.0, math.abs(y)),
-        s"$k@$t: stream ${streamed((k, t))} vs sequential $y")
+    for (((k, q2), y) <- expect)
+      assert(math.abs(streamed((k, q2)) - y) <= 1e-12 * math.max(1.0, math.abs(y)),
+        s"$k#$q2: stream ${streamed((k, q2))} vs sequential $y")
+  }
+
+  test("streaming holt equals the sequential recurrence despite late arrivals") {
+    import org.apache.spark.sql.functions._
+    val (alpha, betaT) = (0.4, 0.2)
+    val rng = new scala.util.Random(17)
+    val all = for (u <- Seq("a", "b"); i <- 0 until 60)
+      yield TiedPoint(u, 3600000L + i * 60000L, i.toLong, 0.5 * i + rng.nextDouble() * 10)
+    def seqHolt(xs: Seq[Double]): Seq[(Double, Double)] = {
+      var l = xs.head; var b = 0.0
+      (l, b) +: xs.tail.map { x =>
+        val lPrev = l
+        l = alpha * x + (1 - alpha) * (l + b)
+        b = betaT * (l - lPrev) + (1 - betaT) * b
+        (l, b)
+      }
+    }
+    val expect = all.groupBy(_.url).flatMap { case (u, pts) =>
+      val sorted = pts.sortBy(p => (p.ts, p.tie))
+      sorted.map(_.tie).zip(seqHolt(sorted.map(_.value))).map {
+        case (q, lb) => (u, q) -> lb
+      }
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.holtStream(mem.toDS(), alpha, betaT, "10 minutes")
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("append").start()
+    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    for (chunk <- perturbed.grouped(10)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("holt_stream").as[HoltOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.tie) -> ((e.level, e.trend, e.forecast))).toMap
+    assert(streamed.size == all.size,
+      s"every point emitted exactly once (got ${streamed.size} of ${all.size})")
+    for (((k, qq), (el, eb)) <- expect) {
+      val (l, b, f) = streamed((k, qq))
+      assert(math.abs(l - el) <= 1e-12 * math.max(1.0, math.abs(el)), s"$k#$qq level $l vs $el")
+      assert(math.abs(b - eb) <= 1e-12 * math.max(1.0, math.abs(eb)), s"$k#$qq trend $b vs $eb")
+      assert(f == l + b, "forecast = level + trend")
+    }
+  }
+
+  test("streaming delta/rate equals batch under late arrivals") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(23)
+    // irregular spacing so rates differ row to row; url "a" gets one dup-ts
+    // pair (ties 29/30) to pin NULL-rate and tie-order semantics
+    val all = for (u <- Seq("a", "b"); i <- 0 until 60) yield {
+      val ts = if (u == "a" && i == 30) 3600000L + 29 * 60000L
+               else 3600000L + i * 60000L + (if (i % 7 == 3) 15000L else 0L)
+      TiedPoint(u, ts, i.toLong, rng.nextDouble() * 100)
+    }
+    // batch truth over the same rows
+    val batchDf = all.toDF()
+    val batch = graft.ops.AnalyticsOps.deltaRate(batchDf,
+        col("url"), timestamp_millis(col("ts")), col("tie"), col("value"))
+      .select(col("url"), col("tie"), col("delta"), col("rate"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.deltaRateStream(mem.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("delta_stream")
+      .outputMode("append").start()
+    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    for (chunk <- perturbed.grouped(10)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("delta_stream").as[DeltaOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.tie) -> ((e.delta, e.rate))).toMap
+    assert(streamed.size == all.size,
+      s"every point emitted exactly once (got ${streamed.size} of ${all.size})")
+    for ((k, (bd, br)) <- batch) {
+      val (sd, sr) = streamed(k)
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) <= 1e-12 * math.max(1.0, math.abs(y))
+        case _ => false
+      }
+      assert(close(sd, bd), s"$k delta: stream $sd vs batch $bd")
+      assert(close(sr, br), s"$k rate: stream $sr vs batch $br")
+    }
+    // the dup-ts row must have a delta but a NULL rate in both engines
+    assert(batch(("a", 30L))._1.isDefined && batch(("a", 30L))._2.isEmpty,
+      "fixture's dup-ts row must exercise the NULL-rate edge")
   }
 }

@@ -64,7 +64,7 @@ def main():
             failures += 1
             continue
         sr = con.execute(
-            f"SELECT * FROM read_parquet({files!r})".replace("[", "[", 1)
+            f"SELECT * FROM read_parquet({files!r})"
         ).fetchall()
         scols = [d[0] for d in con.description]
         orr = con.execute(oracles[name])
