@@ -76,6 +76,38 @@ class PlanSpec extends SparkTestBase {
       "anchor must not re-run the tier fan-out")
   }
 
+  test("q35 chunked multivariate: series assembly groups on (url, chunk)") {
+    val p = plan("q35_mv_series_column")
+    // the collect_list assembly must shuffle on the CHUNK key, not the raw
+    // url — a url-keyed exchange would hand a whole mega url to one task
+    // (the q28-measured straggler shape this query used to have)
+    // Catalyst names the computed floor(bucket/chunkSpan) key
+    // `_groupingexpression#N` in the exchange
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+    assert(exchanges.exists(e =>
+        e.contains("_groupingexpression") || e.contains("chunk")),
+      s"assembly exchange must include the chunk key:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q50 holt-winters: phases share ONE event-sized exchange at runtime") {
+    assume(available, s"$dir not present")
+    // phase 1 (chunk-map compose) and phase 3 (cogroup walk) both need the
+    // events shuffled on (key, chunk); their subplans are identical, so AQE
+    // must materialize the exchange once and reuse it — at 100 TB that is
+    // the difference between one event-sized shuffle and two (plus a
+    // second source scan)
+    val df = graft.Queries.all("q50_holt_winters")(spark, dir)
+    // collect() (not count()) so THIS QueryExecution's adaptive plan
+    // finalizes — count() would plan and execute a different query
+    assert(df.collect().nonEmpty)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the phase-1/phase-3 event exchange to be reused:\n" +
+        finalPlan.split("\n").filter(l => l.contains("Exchange") ||
+          l.contains("FileScan")).mkString("\n"))
+  }
+
   test("q41/q43: keyed window + single partial+final aggregate") {
     val w = plan("q41_delta_rate")
     for (l <- w.split("\n") if l.trim.startsWith("Window"))
