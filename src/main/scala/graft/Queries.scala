@@ -566,7 +566,22 @@ object Queries {
           bucketMs = 86400000L)
         .select(col("tie").as("event_id"), col("key").as("user_id"),
           col("ts"), col("value"), col("level"), col("trend"),
-          col("seasonal"), col("forecast")))
+          col("seasonal"), col("forecast"))),
+
+    // --- corpus vocabulary (oracle-backed): the tokenizer-building /
+    // corpus-stats primitive — explode + map-side-combined count, then a
+    // DISTRIBUTED top-N (TakeOrderedAndProject), rank window over N rows
+    "q51_vocab" -> ((s, dir) => TextOps.vocabulary(documents(s, dir), 200)),
+
+    // --- SpaceSaving heavy hitters per day (oracle-backed in the exact
+    // regime): the O(capacity)-state approximate twin of exact top-k
+    // (q40) — capacity 64 >> per-day event_type cardinality, so estimates
+    // are exact and err = 0; the sketchy-regime guarantee is spec-pinned
+    // (HeavyHittersSpec)
+    "q52_heavy_hitters" -> ((s, dir) =>
+      ops.HeavyHitters.perBucket(events(s, dir),
+        date_trunc("day", col("ts")), col("event_type"),
+        capacity = 64, k = 5))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1043,6 +1058,27 @@ FROM walk WHERE rn >= 1"""
     // Holt-Winters oracle: the generated exact FP mirror of the engine's
     // three-phase scan (see q50MirrorSql's scaladoc).
     "q50_holt_winters" -> q50MirrorSql,
+
+    "q51_vocab" ->
+      s"""SELECT token, cnt, rank FROM (
+         |  SELECT token, count(*) AS cnt,
+         |    row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+         |  FROM (SELECT unnest($tokExpr) AS token FROM documents)
+         |  GROUP BY token)
+         |WHERE rank <= 200""".stripMargin,
+
+    // exact regime: capacity (64) exceeds per-day event_type cardinality,
+    // so SpaceSaving estimates are exact counts with zero error
+    "q52_heavy_hitters" ->
+      // DuckDB's date_trunc('day') yields DATE; go through TIMESTAMP so the
+      // string form matches Spark's "yyyy-MM-dd HH:mm:ss"
+      """SELECT bucket, item, est, err, rank FROM (
+        |  SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS bucket,
+        |    event_type AS item, count(*) AS est, 0::BIGINT AS err,
+        |    row_number() OVER (PARTITION BY date_trunc('day', ts)
+        |      ORDER BY count(*) DESC, event_type) AS rank
+        |  FROM events GROUP BY date_trunc('day', ts), event_type)
+        |WHERE rank <= 5""".stripMargin,
 
     "q47_throttle_dups" ->
       """SELECT event_id, user_id, event_type, ts FROM (

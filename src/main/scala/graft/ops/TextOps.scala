@@ -31,6 +31,24 @@ object TextOps {
         lit(0L), (acc, x) => acc + x).as("n_subtokens"),
       length(col("text")).as("n_chars"))
 
+  /** Corpus vocabulary: global token counts, deterministic top-N.
+    *
+    * Scale shape: explode + partial/final hash aggregate (map-side combine
+    * collapses each partition to its distinct tokens before the shuffle),
+    * then a DISTRIBUTED top-N — `orderBy().limit()` compiles to
+    * TakeOrderedAndProject (per-partition heaps + driver merge of N rows),
+    * never a global sort. The rank window runs over the N surviving rows
+    * only, so the unpartitioned window is N-sized, not vocabulary-sized. */
+  def vocabulary(documents: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topN)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length; `keep` mirrors common crawl-cleaning heuristics. */
   def qualityScore(documents: DataFrame): DataFrame = {
