@@ -505,10 +505,11 @@ final class RdstClassifier(nShapelets: Int = 100, lambda: Double = 1.0,
     val wlen = xTrain(0).length
     val rng = new java.util.Random(seed + xTrain.length * 31 + wlen)
     // windows shorter than 3 would leave the filter empty (nextInt(0)
-    // throws) — fall back to a degenerate min(3, wlen) shapelet like
+    // throws) — fall back to a degenerate shapelet no longer than the
+    // window itself (wlen=1 must yield length 1, not 2), like
     // RocketClassifier's short-input guard
     val lens0 = Array(3, 5, 7).filter(_ <= wlen)
-    val lens = if (lens0.isEmpty) Array(math.max(2, math.min(3, wlen))) else lens0
+    val lens = if (lens0.isEmpty) Array(math.min(3, math.max(1, wlen))) else lens0
     val shapelets = Array.fill(nShapelets) {
       val len = lens(rng.nextInt(lens.length))
       val maxDil = math.max((wlen - 1) / math.max(len - 1, 1), 1)

@@ -63,9 +63,13 @@ object MultimodalOps {
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
       return None
-    var o = 12
+    // Long cursor: a (possibly malformed or truncated-blob) chunk may
+    // declare a size near Int.MaxValue, and an Int `o += size` would wrap
+    // negative and index out of bounds instead of ending the walk
+    var oL = 12L
     var sampleRate = 0; var bits = 0; var blockAlign = 0; var dataBytes = -1
-    while (o + 8 <= bytes.length && (sampleRate == 0 || dataBytes < 0)) {
+    while (oL + 8 <= bytes.length && (sampleRate == 0 || dataBytes < 0)) {
+      val o = oL.toInt
       val size = le32(bytes, o + 4)
       if (size < 0) return None
       val isFmt = bytes(o) == 'f' && bytes(o + 1) == 'm' &&
@@ -81,7 +85,7 @@ object MultimodalOps {
         // size is the authoritative frame count
         dataBytes = size
       }
-      o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      oL += 8L + size.toLong + (size & 1) // RIFF chunks are word-aligned
     }
     if (sampleRate <= 0 || blockAlign <= 0 || dataBytes < 0) return None
     Some(MediaMeta(docId, bytes.length, "audio", sampleRate, bits,

@@ -40,19 +40,27 @@ object MultivarOps {
       }
   }
 
-  /** Assemble a dim-major nested-array series column from long-form rows
-    * `(key, order, v1..vd)` — sort_array over collected structs keeps the
-    * assembly fully in Catalyst (no kernel shuffle); bounded per key by the
-    * caller (chunk keys for mega-series, same contract as Rollup phase 1). */
-  def assembleSeriesColumn(
-      df: DataFrame, keyCol: String, orderCol: String, valueCols: Seq[String]): DataFrame = {
-    val collected = df
-      .groupBy(col(keyCol).as("key"))
+  /** Shared dim-major assembly: group by `keyCols`, collect (order, v1..vd)
+    * structs, sort by order, transform into one array per dim. Keeps the
+    * assembly fully in Catalyst (no kernel shuffle); group width is bounded
+    * by the caller's choice of keys. */
+  private def assemble(
+      df: DataFrame, keyCols: Seq[org.apache.spark.sql.Column],
+      orderCol: org.apache.spark.sql.Column, valueCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols: _*)
       .agg(sort_array(collect_list(struct(
-        (col(orderCol).as("o") +: valueCols.map(c => col(c).cast("double").as(c))): _*))).as("pts"))
-    collected.select(col("key"),
-      array(valueCols.map(c => expr(s"transform(pts, p -> p.$c)")): _*).as("series"))
-  }
+        (orderCol.as("o") +: valueCols.map(c => col(c).cast("double").as(c))): _*))).as("pts"))
+      .withColumn("series",
+        array(valueCols.map(c => expr(s"transform(pts, p -> p.$c)")): _*))
+      .drop("pts")
+
+  /** Assemble a dim-major nested-array series column from long-form rows
+    * `(key, order, v1..vd)` — bounded per key by the caller (chunk keys for
+    * mega-series, same contract as Rollup phase 1; see [[segmentChunked]]
+    * for the built-in chunked variant). */
+  def assembleSeriesColumn(
+      df: DataFrame, keyCol: String, orderCol: String, valueCols: Seq[String]): DataFrame =
+    assemble(df, Seq(col(keyCol).as("key")), col(orderCol), valueCols)
 
   private[ops] final case class MvChunkRow(
       key: String, chunk: Long, n_dims: Int, n_points: Long, n_cps: Int,
@@ -81,14 +89,11 @@ object MultivarOps {
     require(chunkSpan > 0, s"chunkSpan must be positive, got $chunkSpan")
     val spark = df.sparkSession
     import spark.implicits._
-    val collected = df
-      .groupBy(col(keyCol).cast("string").as("key"),
-        floor(col(orderCol).cast("long") / lit(chunkSpan)).cast("long").as("chunk"))
-      .agg(sort_array(collect_list(struct(
-        (col(orderCol).cast("long").as("o") +:
-          valueCols.map(c => col(c).cast("double").as(c))): _*))).as("pts"))
-    val series = collected.select(col("key"), col("chunk"),
-      array(valueCols.map(c => expr(s"transform(pts, p -> p.$c)")): _*).as("series"))
+    val series = assemble(df,
+        Seq(col(keyCol).cast("string").as("key"),
+          floor(col(orderCol).cast("long") / lit(chunkSpan)).cast("long").as("chunk")),
+        col(orderCol).cast("long"), valueCols)
+      .select("key", "chunk", "series")
     val perChunk = series.as[(String, Long, Array[Array[Double]])]
       .map { case (key, chunk, dims) =>
         val n = if (dims.isEmpty) 0L else dims(0).length.toLong

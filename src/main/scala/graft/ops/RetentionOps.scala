@@ -18,11 +18,13 @@ object RetentionOps {
     * the whole tier lineage twice (once for one scalar, once for the
     * expiry), so this overload persists `tiers` first — the anchor pass
     * materializes the cache and the expiry pass reuses it. That trades
-    * cluster memory/disk for the rescan; when the anchor is computable
-    * upstream (e.g. minute-trunc of max raw ts — truncation is monotone, so
-    * coarser tiers can never exceed it), prefer the explicit-anchor variant
-    * with a column-pruned single-agg scan, which is what the q37 pipeline
-    * does. */
+    * cluster memory/disk for the rescan, and the CALLER owns the cache
+    * lifetime: call `tiers.unpersist()` after the expiry output is
+    * materialized, or the cached partitions stay pinned for the session.
+    * When the anchor is computable upstream (e.g. minute-trunc of max raw
+    * ts — truncation is monotone, so coarser tiers can never exceed it),
+    * prefer the explicit-anchor variant with a column-pruned single-agg
+    * scan, which is what the q37 pipeline does. */
   @deprecated("derives the anchor by persisting and re-reading the whole " +
     "tier lineage; pass a precomputed pruned anchor to the explicit-anchor " +
     "variant instead", "round-4")

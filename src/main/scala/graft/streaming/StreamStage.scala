@@ -181,15 +181,25 @@ object StreamStage {
     * the sequential batch result. State per url is the running (y, primed)
     * pair plus the O(lateness-window) row buffer; an event-time timeout
     * flushes tail rows without requiring new data for that url. */
-  def ewmaStream(
+  /** Shared scaffolding of the order-correct streaming twins (EWMA,
+    * delta/rate, Holt): rows above the watermark are buffered in group
+    * state and the now-final ≤watermark prefix is drained in (ts, tie)
+    * order on every invocation (and on event-time timeout, so tails flush
+    * without new data). The op supplies only its running-state fields and
+    * the per-row step; buffer merge, watermark split, state carry, and
+    * timeout arming live here ONCE. */
+  private def bufferedReplay[S, O](
       points: Dataset[TiedPoint],
-      alpha: Double,
-      lateness: String = "10 minutes"): Dataset[EwmaOut] = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+      lateness: String,
+      init: S)(
+      buf: S => (Array[Long], Array[Long], Array[Double]),
+      rebuf: (S, Array[Long], Array[Long], Array[Double]) => S,
+      removable: S => Boolean,
+      drain: (String, S, Array[(Long, Long, Double)]) => (Vector[O], S))(
+      implicit se: Encoder[S], oe: Encoder[O]): Dataset[O] = {
     val spark = points.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val beta = 1.0 - alpha
     points.toDF()
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
@@ -198,32 +208,50 @@ object StreamStage {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (url: String, rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
-         state: GroupState[EwmaBuf]) => {
-          val st = state.getOption.getOrElse(
-            EwmaBuf(Array.emptyLongArray, Array.emptyLongArray,
-              Array.emptyDoubleArray, 0.0, false))
+         state: GroupState[S]) => {
+          val st = state.getOption.getOrElse(init)
+          val (bts, btie, bvs) = buf(st)
           val incoming = rows.map(r => (r._2, r._3, r._4)).toArray
-          // dup-ts rows order by the explicit tie, matching batch ewma()
-          val all = (st.ts.lazyZip(st.tie).lazyZip(st.vs).toArray ++ incoming)
+          // dup-ts rows order by the explicit tie, matching the batch ops
+          val all = (bts.lazyZip(btie).lazyZip(bvs).toArray ++ incoming)
             .sortBy { case (t, q, _) => (t, q) }
           val wm = state.getCurrentWatermarkMs()
           val (ready, hold) = all.partition(_._1 <= wm)
-          var y = st.y
-          var primed = st.primed
-          val out = ready.iterator.map { case (t, q, v) =>
-            y = if (!primed) { primed = true; v } else beta * y + alpha * v
-            EwmaOut(url, t, q, v, y)
-          }.toVector
-          if (hold.isEmpty && !primed && ready.isEmpty) state.remove()
+          val (out, drained) = drain(url, st, ready)
+          if (hold.isEmpty && ready.isEmpty && removable(drained)) state.remove()
           else {
-            state.update(EwmaBuf(hold.map(_._1), hold.map(_._2), hold.map(_._3),
-              y, primed))
+            state.update(rebuf(drained, hold.map(_._1), hold.map(_._2), hold.map(_._3)))
             if (hold.nonEmpty)
               // fire once the watermark passes the earliest held row
               state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
           }
           out.iterator
         })
+  }
+
+  def ewmaStream(
+      points: Dataset[TiedPoint],
+      alpha: Double,
+      lateness: String = "10 minutes"): Dataset[EwmaOut] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    bufferedReplay[EwmaBuf, EwmaOut](points, lateness,
+        EwmaBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0.0, false))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.primed,
+      (url, st, ready) => {
+        var y = st.y
+        var primed = st.primed
+        val out = ready.iterator.map { case (t, q, v) =>
+          y = if (!primed) { primed = true; v } else beta * y + alpha * v
+          EwmaOut(url, t, q, v, y)
+        }.toVector
+        (out, st.copy(y = y, primed = primed))
+      })
   }
 
   /** STREAMING per-url first-difference / per-second rate — the unbounded
@@ -240,46 +268,28 @@ object StreamStage {
       lateness: String = "10 minutes"): Dataset[DeltaOut] = {
     val spark = points.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    points.toDF()
-      .withColumn("event_time", timestamp_millis(col("ts")))
-      .withWatermark("event_time", lateness)
-      .select(col("url"), col("ts"), col("tie"), col("value"), col("event_time"))
-      .as[(String, Long, Long, Double, java.sql.Timestamp)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (url: String, rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
-         state: GroupState[DeltaBuf]) => {
-          val st = state.getOption.getOrElse(
-            DeltaBuf(Array.emptyLongArray, Array.emptyLongArray,
-              Array.emptyDoubleArray, 0L, 0.0, false))
-          val incoming = rows.map(r => (r._2, r._3, r._4)).toArray
-          val all = (st.ts.lazyZip(st.tie).lazyZip(st.vs).toArray ++ incoming)
-            .sortBy { case (t, q, _) => (t, q) }
-          val wm = state.getCurrentWatermarkMs()
-          val (ready, hold) = all.partition(_._1 <= wm)
-          var prevTs = st.prevTs
-          var prevVal = st.prevVal
-          var primed = st.primed
-          val out = ready.iterator.map { case (t, q, v) =>
-            val row = if (!primed) DeltaOut(url, t, q, v, None, None)
-            else {
-              val d = v - prevVal
-              val rate = if (t > prevTs) Some(d / ((t - prevTs) / 1000.0)) else None
-              DeltaOut(url, t, q, v, Some(d), rate)
-            }
-            primed = true; prevTs = t; prevVal = v
-            row
-          }.toVector
-          if (hold.isEmpty && !primed && ready.isEmpty) state.remove()
+    bufferedReplay[DeltaBuf, DeltaOut](points, lateness,
+        DeltaBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0L, 0.0, false))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.primed,
+      (url, st, ready) => {
+        var prevTs = st.prevTs
+        var prevVal = st.prevVal
+        var primed = st.primed
+        val out = ready.iterator.map { case (t, q, v) =>
+          val row = if (!primed) DeltaOut(url, t, q, v, None, None)
           else {
-            state.update(DeltaBuf(hold.map(_._1), hold.map(_._2), hold.map(_._3),
-              prevTs, prevVal, primed))
-            if (hold.nonEmpty)
-              state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
+            val d = v - prevVal
+            val rate = if (t > prevTs) Some(d / ((t - prevTs) / 1000.0)) else None
+            DeltaOut(url, t, q, v, Some(d), rate)
           }
-          out.iterator
-        })
+          primed = true; prevTs = t; prevVal = v
+          row
+        }.toVector
+        (out, st.copy(prevTs = prevTs, prevVal = prevVal, primed = primed))
+      })
   }
 
   /** STREAMING per-url Holt double-exponential smoothing — the unbounded
@@ -299,45 +309,27 @@ object StreamStage {
     require(betaT >= 0 && betaT <= 1, s"beta must be in [0, 1], got $betaT")
     val spark = points.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    points.toDF()
-      .withColumn("event_time", timestamp_millis(col("ts")))
-      .withWatermark("event_time", lateness)
-      .select(col("url"), col("ts"), col("tie"), col("value"), col("event_time"))
-      .as[(String, Long, Long, Double, java.sql.Timestamp)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (url: String, rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
-         state: GroupState[HoltBuf]) => {
-          val st = state.getOption.getOrElse(
-            HoltBuf(Array.emptyLongArray, Array.emptyLongArray,
-              Array.emptyDoubleArray, 0.0, 0.0, false))
-          val incoming = rows.map(r => (r._2, r._3, r._4)).toArray
-          val all = (st.ts.lazyZip(st.tie).lazyZip(st.vs).toArray ++ incoming)
-            .sortBy { case (t, q, _) => (t, q) }
-          val wm = state.getCurrentWatermarkMs()
-          val (ready, hold) = all.partition(_._1 <= wm)
-          var l = st.l
-          var b = st.b
-          var primed = st.primed
-          val out = ready.iterator.map { case (t, q, v) =>
-            if (!primed) { primed = true; l = v; b = 0.0 }
-            else {
-              val lPrev = l
-              l = alpha * v + (1 - alpha) * (l + b)
-              b = betaT * (l - lPrev) + (1 - betaT) * b
-            }
-            HoltOut(url, t, q, v, l, b, l + b)
-          }.toVector
-          if (hold.isEmpty && !primed && ready.isEmpty) state.remove()
+    bufferedReplay[HoltBuf, HoltOut](points, lateness,
+        HoltBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0.0, 0.0, false))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.primed,
+      (url, st, ready) => {
+        var l = st.l
+        var b = st.b
+        var primed = st.primed
+        val out = ready.iterator.map { case (t, q, v) =>
+          if (!primed) { primed = true; l = v; b = 0.0 }
           else {
-            state.update(HoltBuf(hold.map(_._1), hold.map(_._2), hold.map(_._3),
-              l, b, primed))
-            if (hold.nonEmpty)
-              state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
+            val lPrev = l
+            l = alpha * v + (1 - alpha) * (l + b)
+            b = betaT * (l - lPrev) + (1 - betaT) * b
           }
-          out.iterator
-        })
+          HoltOut(url, t, q, v, l, b, l + b)
+        }.toVector
+        (out, st.copy(l = l, b = b, primed = primed))
+      })
   }
 
   private def feed(

@@ -38,6 +38,19 @@ class MultimodalOpsSpec extends SparkTestBase {
       s"chunk walk failed: $m2")
   }
 
+  test("malformed RIFF with a near-Int.MaxValue chunk size falls back, not crashes") {
+    // the chunk walk must use a Long cursor: an Int `o += size` would wrap
+    // negative and throw ArrayIndexOutOfBoundsException out of the decoder
+    val b = MultimodalOps.wavBytes(8000, 1, 16, 10)
+    val evil = b.clone()
+    // first chunk (fmt) declares size 0x7FFFFFF4
+    evil(16) = 0xf4.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
+    val m = MultimodalOps.decodeMedia(5L, evil)
+    assert(m == MultimodalOps.decodeStub(5L, evil),
+      "unwalkable chunk list must route to the stub")
+  }
+
   test("unknown payloads fall back to the deterministic stub") {
     val bytes = "not a media file at all".getBytes("UTF-8")
     val m = MultimodalOps.decodeMedia(3L, bytes)
