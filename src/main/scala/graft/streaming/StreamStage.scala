@@ -55,6 +55,13 @@ final case class DeltaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
 final case class HoltOut(url: String, ts: Long, tie: Long, value: Double,
     level: Double, trend: Double, forecast: Double)
 
+/** One item event for [[StreamStage.heavyHittersStream]] (epoch millis). */
+final case class ItemPoint(ts: Long, item: String)
+
+/** One reported heavy hitter of one closed bucket. */
+final case class HHBucketOut(bucket_start: Long, item: String, est: Long,
+    err: Long, rank: Long)
+
 /** Per-url state for [[StreamStage.holtStream]]: the above-watermark buffer
   * plus the running (level, trend) pair. */
 final case class HoltBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
@@ -330,6 +337,53 @@ object StreamStage {
         }.toVector
         (out, st.copy(l = l, b = b, primed = primed))
       })
+  }
+
+  /** STREAMING heavy hitters per event-time bucket — the unbounded twin of
+    * [[graft.ops.HeavyHitters.perBucket]]. Each open bucket holds ONE
+    * SpaceSaving summary (O(capacity) state, independent of stream length
+    * or item cardinality); items fold in as they arrive (the summary is
+    * order-insensitive in the exact regime the q52 oracle pins), and the
+    * bucket's top-k is emitted exactly once, when the watermark passes the
+    * bucket end (event-time timeout — same append-once discipline as
+    * [[sessionizeStream]]). */
+  def heavyHittersStream(
+      events: Dataset[ItemPoint],
+      bucketMs: Long,
+      capacity: Int,
+      k: Int,
+      lateness: String = "10 minutes"): Dataset[HHBucketOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ss = new graft.ops.SpaceSaving(capacity)
+    events.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select((col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("item"), col("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (bucket: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[graft.ops.HHState]) => {
+          if (state.hasTimedOut) {
+            val top = ss.finish(state.get).take(k)
+            state.remove()
+            top.iterator.zipWithIndex.map { case (h, i) =>
+              HHBucketOut(bucket, h.item, h.est, h.err, i + 1L)
+            }
+          } else {
+            var st = state.getOption.getOrElse(ss.zero)
+            rows.foreach { r => st = ss.reduce(st, r._2) }
+            state.update(st)
+            // fire once the watermark passes the bucket end
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
   }
 
   private def feed(

@@ -263,6 +263,51 @@ class StreamStageSpec extends SparkTestBase {
     }
   }
 
+  test("streaming heavy hitters equal batch per-bucket top-k on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(29)
+    val items = Seq("click", "view", "purchase", "error", "login", "logout")
+    val bucketMs = 3600000L
+    // 4 hourly buckets of skewed item draws, starting at ts = 1h
+    val all = for (b <- 0 until 4; i <- 0 until 200) yield {
+      val it = items(math.min(rng.nextInt(items.length), rng.nextInt(items.length)))
+      ItemPoint(3600000L + b * bucketMs + rng.nextInt(bucketMs.toInt), it)
+    }
+    // batch truth via the same operator family (exact regime: capacity 64)
+    val batch = graft.ops.HeavyHitters.perBucket(
+        all.toDF(), (col("ts") - pmod(col("ts"), lit(bucketMs))), col("item"),
+        capacity = 64, k = 3)
+      .collect().map(r => (r.getString(0).toLong, r.getLong(4)) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ItemPoint]
+    // lateness must cover the FULL shuffle displacement (the whole 5h
+    // span), or the watermark drops early-bucket rows arriving late
+    val q = StreamStage.heavyHittersStream(mem.toDS(), bucketMs,
+        capacity = 64, k = 3, "6 hours")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    // shuffled arrival: SpaceSaving is order-insensitive below capacity
+    for (chunk <- rng.shuffle(all).grouped(100)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(ItemPoint(far, "sentinel")))
+    q.processAllAvailable()
+    mem.addData(Seq(ItemPoint(far + 1, "sentinel")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hh_stream").as[HHBucketOut]
+      .filter(col("item") =!= "sentinel")
+      .collect().map(e => (e.bucket_start, e.rank) -> ((e.item, e.est))).toMap
+    assert(streamed.size == 12, s"4 closed buckets x top-3 (got ${streamed.size})")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("streaming delta/rate equals batch under late arrivals") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(23)
