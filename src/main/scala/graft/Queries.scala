@@ -581,7 +581,24 @@ object Queries {
     "q52_heavy_hitters" -> ((s, dir) =>
       ops.HeavyHitters.perBucket(events(s, dir),
         date_trunc("day", col("ts")), col("event_type"),
-        capacity = 64, k = 5))
+        capacity = 64, k = 5)),
+
+    // --- near-dup components (oracle-backed): dedup GROUPS over the exact
+    // Jaccard pairs (>= 0.5) of the bounded q29 slice — iterative min-label
+    // propagation; comp = min doc_id per component. The >= 0.5 threshold
+    // compares an exact small-integer ratio, so engine and oracle can never
+    // disagree at the boundary.
+    "q53_dedup_components" -> ((s, dir) => {
+      import graft.functions.functions.{hashed_shingles, sorted_jaccard}
+      val slice = documents(s, dir).filter(col("doc_id") < 60)
+      val docs = slice.select(col("doc_id"), hashed_shingles(col("text"), 3).as("sh"))
+      val pairs = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(sorted_jaccard(col("a.sh"), col("b.sh")) >= 0.5)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      ops.DedupOps.connectedComponents(
+          slice.select(col("doc_id").as("node")), pairs)
+        .select(col("node").as("doc_id"), col("comp").as("component"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -1066,6 +1083,32 @@ FROM walk WHERE rn >= 1"""
          |  FROM (SELECT unnest($tokExpr) AS token FROM documents)
          |  GROUP BY token)
          |WHERE rank <= 200""".stripMargin,
+
+    // connected components via a transitive-closure recursive CTE (reach =
+    // every (node, label-of-reachable-node) pair, deduped by UNION; min per
+    // node = the component's minimum id — identical semantics to the
+    // engine's min-label fixpoint). Pair predicate matches q29's shingle
+    // Jaccard with the same integer set sizes.
+    "q53_dedup_components" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokExpr AS t FROM documents WHERE doc_id < 60),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+         |  FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        greatest(len(list_distinct(a.s || b.s)), 1) >= 0.5),
+         |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS comp FROM toks
+         |  UNION
+         |  SELECT e.b AS node, r.comp FROM e JOIN reach r ON e.a = r.node)
+         |SELECT node AS doc_id, min(comp) AS component
+         |FROM reach GROUP BY node""".stripMargin,
 
     // exact regime: capacity (64) exceeds per-day event_type cardinality,
     // so SpaceSaving estimates are exact counts with zero error

@@ -139,4 +139,49 @@ object DedupOps {
     * (exact verification happens there); exposed for direct pair scoring. */
   def ngramJaccard(docs: DataFrame, k: Int = 3): DataFrame =
     minhashLshPairs(docs, k = k, threshold = 0.0)
+
+  /** Connected components over an undirected similarity-pair list — the
+    * dedup-GROUPS step a training-data pipeline runs after near-dup pair
+    * mining (keep one canonical doc per component). Iterative min-label
+    * propagation: every node adopts the smallest label among itself and
+    * its neighbours until a fixpoint, so each component converges to its
+    * minimum node id.
+    *
+    * Scale shape: each round is ONE equi-join of the symmetric edge list
+    * with the (node, comp) label table plus one hash aggregate — both keyed
+    * shuffles, no collect. Rounds = component DIAMETER (near-dup clusters
+    * are shallow; `maxIter` bounds pathological chains), and every round's
+    * result is `localCheckpoint`ed so the plan lineage stays flat instead
+    * of nesting one join tree per iteration. Convergence is detected
+    * distributedly (an isEmpty probe on changed labels).
+    *
+    * Input: `nodes(node)`, `pairs(a, b)`. Output: `(node, comp)` with
+    * comp = min node id of the component; isolated nodes keep themselves. */
+  def connectedComponents(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("comp", "comp_prev"), Seq("node"))
+        .filter(col("comp") =!= col("comp_prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

@@ -74,4 +74,21 @@ class DedupOpsSpec extends SparkTestBase {
     val pairs = DedupOps.simhashPairs(base.union(clones), maxHamming = 3)
     assert(pairs.filter($"doc_b" === $"doc_a" + 100000 && $"hamming" === 0).count() == 60)
   }
+
+  test("connectedComponents converges to min-id labels on chains, cliques, and singletons") {
+    import org.apache.spark.sql.functions.col
+    // graph: chain 1-2-3-4-5 (diameter 4, needs >1 round), clique {10,11,12},
+    // pair {20,21}, singletons 30, 31
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("a", "b").repartition(4)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L, 30L, 31L)
+      .toDF("node").repartition(3)
+    val out = DedupOps.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 31L)
+    assert(out == expect, s"got $out")
+  }
 }
