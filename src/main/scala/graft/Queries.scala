@@ -598,6 +598,42 @@ object Queries {
       ops.DedupOps.connectedComponents(
           slice.select(col("doc_id").as("node")), pairs)
         .select(col("node").as("doc_id"), col("comp").as("component"))
+    }),
+
+    // --- tier-CASCADED sketch percentiles (oracle-backed in the exact
+    // regime): per-minute quantile sketches merge into hours, hours into
+    // days — the partial sketch is a COLUMN value, so coarser tiers never
+    // re-read raw data (percentile_approx can't do this: its partial state
+    // never surfaces). Group sizes here stay far below k=256, so no
+    // compaction fires and the day quantiles are exactly quantile_cont;
+    // the compacted regime's rank-error bound is QuantileSketchSpec's job.
+    "q54_sketch_cascade" -> ((s, dir) => {
+      import s.implicits._
+      val k = 256
+      val skAgg = new ops.QuantileSketch.SketchAgg(k).toColumn
+      val mergeAgg = new ops.QuantileSketch.MergeAgg(k).toColumn
+      val m1 = events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          floor(unix_millis(col("ts").cast("timestamp")) / lit(60000L))
+            .cast("long").as("m"),
+          col("value").cast("double").as("v"))
+        .as[(String, Long, Double)]
+        .groupByKey(r => (r._1, r._2)).mapValues(_._3).agg(skAgg.name("sk"))
+      val h1 = m1
+        .groupByKey { case ((key, m), _) => (key, Math.floorDiv(m, 60L)) }
+        .mapValues(_._2).agg(mergeAgg.name("sk"))
+      val d1 = h1
+        .groupByKey { case ((key, h), _) => (key, Math.floorDiv(h, 24L)) }
+        .mapValues(_._2).agg(mergeAgg.name("sk"))
+      d1.map { case ((key, d), sk) =>
+          (key, d * 86400000L, sk.n,
+            ops.QuantileSketch.quantile(sk, 0.5),
+            ops.QuantileSketch.quantile(sk, 0.95))
+        }
+        .toDF("user_id", "day_ms", "cnt", "p50", "p95")
+        .select(col("user_id"), timestamp_millis(col("day_ms")).as("day"),
+          col("cnt"), round(col("p50"), 8).as("p50"),
+          round(col("p95"), 8).as("p95"))
     })
   )
 
@@ -1083,6 +1119,16 @@ FROM walk WHERE rn >= 1"""
          |  FROM (SELECT unnest($tokExpr) AS token FROM documents)
          |  GROUP BY token)
          |WHERE rank <= 200""".stripMargin,
+
+    // exact regime: every (user, day) group is far below the k=256 sketch
+    // capacity, so the cascaded sketch holds all raw values at weight 1 and
+    // its interpolated quantile IS quantile_cont
+    "q54_sketch_cascade" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt,
+        |  round(quantile_cont(value, 0.5), 8) AS p50,
+        |  round(quantile_cont(value, 0.95), 8) AS p95
+        |FROM events GROUP BY 1, date_trunc('day', ts)""".stripMargin,
 
     // connected components via a transitive-closure recursive CTE (reach =
     // every (node, label-of-reachable-node) pair, deduped by UNION; min per
