@@ -631,7 +631,8 @@ object Queries {
             ops.QuantileSketch.quantile(sk, 0.95))
         }
         .toDF("user_id", "day_ms", "cnt", "p50", "p95")
-        .select(col("user_id"), timestamp_millis(col("day_ms")).as("day"),
+        .select(col("user_id"),
+          timestamp_millis(col("day_ms")).cast("timestamp_ntz").as("day"),
           col("cnt"), round(col("p50"), 8).as("p50"),
           round(col("p95"), 8).as("p95"))
     })

@@ -142,20 +142,23 @@ object DedupOps {
 
   /** Connected components over an undirected similarity-pair list — the
     * dedup-GROUPS step a training-data pipeline runs after near-dup pair
-    * mining (keep one canonical doc per component). Iterative min-label
-    * propagation: every node adopts the smallest label among itself and
-    * its neighbours until a fixpoint, so each component converges to its
-    * minimum node id.
+    * mining (keep one canonical doc per component). Each round combines
+    * min-label propagation to neighbours with POINTER JUMPING (a node also
+    * adopts its current label's own label), so convergence is
+    * O(log diameter) rounds, not diameter — a 25-round cap covers any
+    * realistic graph, and exhausting it THROWS instead of returning
+    * silently split components.
     *
-    * Scale shape: each round is ONE equi-join of the symmetric edge list
-    * with the (node, comp) label table plus one hash aggregate — both keyed
-    * shuffles, no collect. Rounds = component DIAMETER (near-dup clusters
-    * are shallow; `maxIter` bounds pathological chains), and every round's
-    * result is `localCheckpoint`ed so the plan lineage stays flat instead
-    * of nesting one join tree per iteration. Convergence is detected
-    * distributedly (an isEmpty probe on changed labels).
+    * Scale shape: each round is two keyed equi-joins plus one hash
+    * aggregate — no collect; every round's result is `localCheckpoint`ed
+    * so the plan lineage stays flat instead of nesting one join tree per
+    * iteration (superseded label tables are reclaimed by Spark's
+    * ContextCleaner once the driver drops their references). Convergence
+    * is detected distributedly (an isEmpty probe on changed labels).
     *
-    * Input: `nodes(node)`, `pairs(a, b)`. Output: `(node, comp)` with
+    * Input: `nodes(node)`, `pairs(a, b)`. The label universe is
+    * nodes ∪ pair endpoints, so endpoints missing from `nodes` still relay
+    * connectivity (and appear in the output). Output: `(node, comp)` with
     * comp = min node id of the component; isolated nodes keep themselves. */
   def connectedComponents(
       nodes: DataFrame,
@@ -165,15 +168,27 @@ object DedupOps {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("comp"))
+    var labels = nodes.select(col("node"))
+      .union(edges.select(col("src").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("comp"))
-      val next = labels.union(prop)
+      // materialize the fold once: both the jump join's sides read it
+      val folded = labels.union(prop)
         .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      // pointer jump: relabel through the label's own current label (the
+      // renamed copy keeps the self-join's attributes unambiguous)
+      val jump = folded.toDF("jn", "jc")
+      val next = folded
+        .join(jump, folded("comp") === jump("jn"), "left")
+        .select(folded("node"),
+          least(folded("comp"), coalesce(jump("jc"), folded("comp"))).as("comp"))
         .localCheckpoint(true)
       converged = next
         .join(labels.withColumnRenamed("comp", "comp_prev"), Seq("node"))
@@ -182,6 +197,10 @@ object DedupOps {
       labels = next
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "raise maxIter (components deeper than ~2^25 hops)")
     labels
   }
 }

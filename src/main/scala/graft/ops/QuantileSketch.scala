@@ -28,8 +28,13 @@ final case class Kll(
 
 object QuantileSketch {
 
-  def empty(k: Int): Kll =
+  def empty(k: Int): Kll = {
+    // odd k would drop the last sorted value at every compaction (the MRL
+    // keep-every-other step halves an EVEN buffer), silently biasing high
+    // quantiles and leaking weight
+    require(k >= 2 && k % 2 == 0, s"capacity k must be even and >= 2, got $k")
     Kll(k, 0L, new Array[Double](k), 0, Array.empty, 0L)
+  }
 
   /** Append one value (mutates the level-0 ring in place; O(1) amortized
     * until a compaction cascade). */
@@ -81,7 +86,10 @@ object QuantileSketch {
       upper = upper, parity = s.parity + 1))
   }
 
-  /** Cascade compaction through the weighted levels. */
+  /** Cascade compaction through the weighted levels. An ODD buffer (merge
+    * concatenation can produce one when k/2 is odd) keeps its largest value
+    * at the current level instead of silently dropping it — otherwise the
+    * sketch's total weight drifts below n and high quantiles bias low. */
   private def compactUpper(s0: Kll): Kll = {
     var s = s0
     var h = 0
@@ -89,16 +97,20 @@ object QuantileSketch {
       if (s.upper(h).length >= s.k) {
         val buf = s.upper(h).clone()
         java.util.Arrays.sort(buf)
+        val pairs = buf.length / 2
         val keepOdd = (s.parity & 1L) == 1L
-        val kept = Array.tabulate(buf.length / 2)(j =>
+        val kept = Array.tabulate(pairs)(j =>
           buf(2 * j + (if (keepOdd) 1 else 0)))
+        val leftover =
+          if (buf.length % 2 == 1) Array(buf(buf.length - 1))
+          else Array.emptyDoubleArray
         val upper =
           if (h + 1 < s.upper.length) {
             val u = s.upper.clone()
-            u(h) = Array.emptyDoubleArray
+            u(h) = leftover
             u(h + 1) = u(h + 1) ++ kept
             u
-          } else s.upper.clone().patch(h, Seq(Array.emptyDoubleArray), 1)
+          } else s.upper.clone().patch(h, Seq(leftover), 1)
             .toArray :+ kept
         s = s.copy(upper = upper, parity = s.parity + 1)
       }

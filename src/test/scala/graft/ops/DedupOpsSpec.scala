@@ -91,4 +91,23 @@ class DedupOpsSpec extends SparkTestBase {
       30L -> 30L, 31L -> 31L)
     assert(out == expect, s"got $out")
   }
+
+  test("connectedComponents handles deep chains and relay-only endpoints") {
+    import org.apache.spark.sql.functions.col
+    // a 120-node chain has diameter 119: pure neighbour propagation would
+    // need 119 rounds and silently split at maxIter; pointer jumping must
+    // converge within the default 25
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 120L).toDF("node")
+    val out = DedupOps.connectedComponents(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 120 && out.values.forall(_ == 1L),
+      s"chain must collapse to component 1 (got ${out.values.toSet})")
+    // endpoints absent from `nodes` still relay connectivity: 2-1-3 with
+    // node 1 missing from the node list must still join 2 and 3
+    val out2 = DedupOps.connectedComponents(
+        Seq(2L, 3L).toDF("node"), Seq((1L, 2L), (1L, 3L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $out2")
+  }
 }

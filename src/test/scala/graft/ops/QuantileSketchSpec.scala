@@ -32,6 +32,24 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("odd capacities are rejected and small even ones conserve weight") {
+    intercept[IllegalArgumentException](QuantileSketch.empty(255))
+    intercept[IllegalArgumentException](QuantileSketch.empty(1))
+    // k=6 (k/2 odd): merges create odd upper buffers whose compaction must
+    // carry the leftover, not drop it — total weight always equals n
+    val rng = new scala.util.Random(73)
+    val parts = (0 until 8).map { _ =>
+      var s = QuantileSketch.empty(6)
+      (0 until 500).foreach(_ => s = QuantileSketch.update(s, rng.nextDouble()))
+      s
+    }
+    val merged = parts.reduce(QuantileSketch.merge)
+    val weight = merged.lvl0Len.toLong +
+      merged.upper.indices.map(h => merged.upper(h).length.toLong << (h + 1)).sum
+    assert(merged.n == 4000L)
+    assert(weight == merged.n, s"weight $weight must equal n ${merged.n}")
+  }
+
   test("compacted regime: rank error stays within 2.5% of n at k=256") {
     val rng = new scala.util.Random(67)
     val n = 50000
