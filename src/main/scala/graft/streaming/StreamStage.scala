@@ -62,6 +62,11 @@ final case class ItemPoint(ts: Long, item: String)
 final case class HHBucketOut(bucket_start: Long, item: String, est: Long,
     err: Long, rank: Long)
 
+/** Quantiles of one closed (url, bucket) group from
+  * [[StreamStage.sketchQuantilesStream]]. */
+final case class QuantileBucketOut(url: String, bucket_start: Long, n: Long,
+    p50: Double, p95: Double)
+
 /** Per-url state for [[StreamStage.holtStream]]: the above-watermark buffer
   * plus the running (level, trend) pair. */
 final case class HoltBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
@@ -379,6 +384,51 @@ object StreamStage {
             rows.foreach { r => st = ss.reduce(st, r._2) }
             state.update(st)
             // fire once the watermark passes the bucket end
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING per-(url, bucket) quantile sketch — the unbounded twin of
+    * the q54 tier cascade's finest level. Each open group holds ONE
+    * mergeable MRL sketch (O(k log(n/k)) state regardless of stream
+    * length); values fold in on arrival, and the group's interpolated
+    * p50/p95 are emitted exactly once when the watermark passes the bucket
+    * end. Downstream tiers can consume the emitted rows, or a sink can
+    * keep the sketches themselves and merge them batchwise with
+    * [[graft.ops.QuantileSketch.MergeAgg]]. */
+  def sketchQuantilesStream(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long,
+      k: Int = 256,
+      lateness: String = "10 minutes"): Dataset[QuantileBucketOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[graft.ops.Kll]) => {
+          val (url, bucket) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(QuantileBucketOut(url, bucket, s.n,
+              graft.ops.QuantileSketch.quantile(s, 0.5),
+              graft.ops.QuantileSketch.quantile(s, 0.95)))
+          } else {
+            var s = state.getOption.getOrElse(graft.ops.QuantileSketch.empty(k))
+            rows.foreach { r => s = graft.ops.QuantileSketch.update(s, r._3) }
+            state.update(s)
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty

@@ -308,6 +308,55 @@ class StreamStageSpec extends SparkTestBase {
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("streaming quantile sketches equal exact quantiles on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(37)
+    val bucketMs = 3600000L
+    // 2 urls x 3 hourly buckets x 50 points, all below the k=256 capacity,
+    // so the sketch quantile is EXACTLY quantile_cont on the group
+    val all = for (u <- Seq("a", "b"); b <- 0 until 3; _ <- 0 until 50)
+      yield SeriesPoint(u, 3600000L + b * bucketMs + rng.nextInt(bucketMs.toInt),
+        rng.nextDouble() * 100)
+    def cont(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = math.floor(pos).toInt
+      val f = pos - lo
+      if (f == 0) s(lo) else s(lo) + f * (s(lo + 1) - s(lo))
+    }
+    val expect = all.groupBy(p => (p.url, p.ts / bucketMs * bucketMs))
+      .map { case (k, ps) =>
+        k -> ((ps.size.toLong, cont(ps.map(_.value), 0.5), cont(ps.map(_.value), 0.95)))
+      }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    // full-shuffle arrival needs lateness covering the whole span
+    val q = StreamStage.sketchQuantilesStream(mem.toDS(), bucketMs, 256, "5 hours")
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(60)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(SeriesPoint("sentinel", far, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sentinel", far + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("quant_stream").as[QuantileBucketOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.bucket_start) -> ((e.n, e.p50, e.p95))).toMap
+    assert(streamed.size == 6, s"6 closed (url, bucket) groups (got ${streamed.size})")
+    for ((k, (n, p50, p95)) <- expect) {
+      val (sn, s50, s95) = streamed(k)
+      assert(sn == n, s"$k count $sn vs $n")
+      assert(s50 == p50, s"$k p50 $s50 vs $p50 (exact below capacity)")
+      assert(s95 == p95, s"$k p95 $s95 vs $p95")
+    }
+  }
+
   test("streaming delta/rate equals batch under late arrivals") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(23)
