@@ -98,6 +98,33 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("sketch columns round-trip through parquet and keep merging") {
+    // the property that makes the cascade a STORED continuous aggregate:
+    // write the finest tier's sketches to parquet, read them back later,
+    // and roll up coarser tiers without ever touching raw data again
+    val rng = new scala.util.Random(79)
+    val rows = for (key <- Seq("a", "b"); m <- 0L until 6L) yield {
+      var s = QuantileSketch.empty(256)
+      (0 until 30).foreach(_ => s = QuantileSketch.update(s, rng.nextDouble() * 50))
+      (key, m, s)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("kll_tier").toString
+    rows.toDS().toDF("key", "m", "sk").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .as[(String, Long, Kll)]
+      .groupByKey(_._1).mapValues(_._3)
+      .agg(new QuantileSketch.MergeAgg(256).toColumn)
+      .collect().toMap
+    for (key <- Seq("a", "b")) {
+      val direct = rows.filter(_._1 == key).map(_._3).reduce(QuantileSketch.merge)
+      val stored = back(key)
+      assert(stored.n == direct.n && stored.n == 180L)
+      for (q <- Seq(0.1, 0.5, 0.9))
+        assert(QuantileSketch.quantile(stored, q) == QuantileSketch.quantile(direct, q),
+          s"$key q=$q differs after the parquet round-trip")
+    }
+  }
+
   test("q54 cascade runs end-to-end with one row per (user, day)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists(), s"$dir not present")
