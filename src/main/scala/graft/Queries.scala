@@ -635,6 +635,53 @@ object Queries {
           timestamp_millis(col("day_ms")).cast("timestamp_ntz").as("day"),
           col("cnt"), round(col("p50"), 8).as("p50"),
           round(col("p95"), 8).as("p95"))
+    }),
+
+    // --- the at-scale near-dup dedup composition (oracle-backed): LSH
+    // candidates → exact-Jaccard verify → components → canonical doc. q53
+    // pins the component math on exact all-pairs edges; here the edge list
+    // comes from the banded MinHash path (8×2 banding: P[miss] ≤ 2e-6 per
+    // true pair at J ≥ 0.9 — this corpus's 25 true pairs all sit there, so
+    // engine ≡ exact-closure oracle deterministically)
+    "q55_dedup_pipeline" -> ((s, dir) =>
+      DedupOps.dedupPipeline(documents(s, dir))),
+
+    // --- Gopher-style repetition filter (oracle-backed)
+    "q56_repetition_filter" -> ((s, dir) =>
+      TextOps.repetitionStats(documents(s, dir))),
+
+    // --- corpus assembly (oracle-backed): per-stratum token budgeting and
+    // benchmark decontamination (eval set = doc_id % 50 == 0, a synthetic
+    // held-out benchmark)
+    "q57_token_budget" -> ((s, dir) =>
+      ops.CorpusOps.tokenBudget(documents(s, dir), 400L)),
+
+    "q58_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      ops.CorpusOps.decontaminate(
+        docs, docs.filter(col("doc_id") % 50 === 0).select("doc_id"), k = 5)
+    }),
+
+    // --- the full corpus-assembly composition (oracle-backed): quality ∧
+    // repetition ∧ near-dup-canonical ∧ decontaminated, reported as the
+    // per-stratum training mix. Every stage is an independently oracled op
+    // (q07/q56/q55/q58); this pins their COMPOSITION.
+    "q59_corpus_mix" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val quality = TextOps.qualityScore(docs).select(col("doc_id"), col("keep").as("q_keep"))
+      val rep = TextOps.repetitionStats(docs).select(col("doc_id"), col("keep").as("r_keep"))
+      val dedup = DedupOps.dedupPipeline(docs).select(col("doc_id"), col("keep").as("d_keep"))
+      val decon = ops.CorpusOps.decontaminate(
+        docs, docs.filter(col("doc_id") % 50 === 0).select("doc_id"), k = 5)
+      docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(quality, Seq("doc_id")).join(rep, Seq("doc_id"))
+        .join(dedup, Seq("doc_id"))
+        .join(decon, Seq("doc_id")) // inner join drops the eval docs
+        .filter(col("q_keep") && col("r_keep") && col("d_keep") && !col("contaminated"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
     })
   )
 
@@ -1177,6 +1224,168 @@ FROM walk WHERE rn >= 1"""
         |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
         |  FROM events)
         |WHERE gap IS NULL OR gap > 60000""".stripMargin,
+
+    // exact transitive closure over verified near-dup pairs; the size-ratio
+    // prefilter (J <= min/max sizes) skips hopeless intersects without
+    // changing the >= 0.8 result set
+    "q55_dedup_pipeline" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokExpr AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+         |  FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND CAST(least(len(a.s), len(b.s)) AS DOUBLE) /
+         |        greatest(len(a.s), len(b.s), 1) >= 0.8
+         |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.8),
+         |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS comp FROM toks
+         |  UNION
+         |  SELECT e.b AS node, r.comp FROM e JOIN reach r ON e.a = r.node)
+         |SELECT node AS doc_id, min(comp) AS canonical,
+         |  node = min(comp) AS keep
+         |FROM reach GROUP BY node""".stripMargin,
+
+    "q56_repetition_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter($tokExpr, t -> len(t) > 0) AS t
+         |  FROM documents),
+         |tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+         |ta AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_uniq, max(c) AS top_cnt
+         |  FROM tc GROUP BY 1),
+         |gc AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 1),
+         |      i -> concat_ws(' ', t[i], t[i+1]))) AS g FROM toks)
+         |  GROUP BY 1, 2),
+         |ga AS (
+         |  SELECT doc_id,
+         |    coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0) AS dup2_occ,
+         |    sum(c) AS n_grams
+         |  FROM gc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_tokens, 0) AS n_tokens,
+         |  round(CAST(coalesce(n_uniq, 0) AS DOUBLE)
+         |    / greatest(coalesce(n_tokens, 0), 1), 6) AS uniq_frac,
+         |  round(CAST(coalesce(top_cnt, 0) AS DOUBLE)
+         |    / greatest(coalesce(n_tokens, 0), 1), 6) AS top_frac,
+         |  round(CAST(coalesce(dup2_occ, 0) AS DOUBLE)
+         |    / greatest(coalesce(n_grams, 0), 1), 6) AS dup2_frac,
+         |  (CAST(coalesce(n_uniq, 0) AS DOUBLE)
+         |      / greatest(coalesce(n_tokens, 0), 1) >= 0.35
+         |    AND CAST(coalesce(top_cnt, 0) AS DOUBLE)
+         |      / greatest(coalesce(n_tokens, 0), 1) <= 0.15
+         |    AND CAST(coalesce(dup2_occ, 0) AS DOUBLE)
+         |      / greatest(coalesce(n_grams, 0), 1) <= 0.12) AS keep
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN ta USING (doc_id) LEFT JOIN ga USING (doc_id)""".stripMargin,
+
+    "q57_token_budget" ->
+      s"""SELECT doc_id, lang, source, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, lang, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang, source
+         |      ORDER BY doc_id) AS BIGINT) AS cum_tokens
+         |  FROM (SELECT doc_id, lang, source, len($tokExpr) AS n_tokens
+         |        FROM documents))
+         |WHERE cum_tokens - n_tokens < 400""".stripMargin,
+
+    "q58_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokExpr AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 4),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+         |  FROM toks),
+         |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (g))
+         |SELECT d.doc_id, c.doc_id IS NOT NULL AS contaminated
+         |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    // composition of the q07/q56/q55/q58 mirrors (same predicates verbatim)
+    // aggregated into the per-stratum training mix
+    "q59_corpus_mix" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, lang, source, text, $tokExpr AS t FROM documents),
+         |q AS (
+         |  SELECT doc_id, (length(text) >= 100 AND len(t) >= 20
+         |    AND round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / greatest(len(t), 1), 6) <= 15.0) AS q_keep
+         |  FROM toks),
+         |ft AS (SELECT doc_id, list_filter(t, tk -> len(tk) > 0) AS t FROM toks),
+         |tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM ft) GROUP BY 1, 2),
+         |ta AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_uniq, max(c) AS top_cnt
+         |  FROM tc GROUP BY 1),
+         |gc AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 1),
+         |      i -> concat_ws(' ', t[i], t[i+1]))) AS g FROM ft)
+         |  GROUP BY 1, 2),
+         |ga AS (
+         |  SELECT doc_id,
+         |    coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0) AS dup2_occ,
+         |    sum(c) AS n_grams
+         |  FROM gc GROUP BY 1),
+         |r AS (
+         |  SELECT f.doc_id,
+         |    (CAST(coalesce(n_uniq, 0) AS DOUBLE)
+         |        / greatest(coalesce(n_tokens, 0), 1) >= 0.35
+         |      AND CAST(coalesce(top_cnt, 0) AS DOUBLE)
+         |        / greatest(coalesce(n_tokens, 0), 1) <= 0.15
+         |      AND CAST(coalesce(dup2_occ, 0) AS DOUBLE)
+         |        / greatest(coalesce(n_grams, 0), 1) <= 0.12) AS r_keep
+         |  FROM (SELECT doc_id FROM toks) f
+         |  LEFT JOIN ta USING (doc_id) LEFT JOIN ga USING (doc_id)),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+         |  FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND CAST(least(len(a.s), len(b.s)) AS DOUBLE) /
+         |        greatest(len(a.s), len(b.s), 1) >= 0.8
+         |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.8),
+         |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS comp FROM toks
+         |  UNION
+         |  SELECT e.b AS node, r2.comp FROM e JOIN reach r2 ON e.a = r2.node),
+         |d AS (
+         |  SELECT node AS doc_id, node = min(comp) AS d_keep
+         |  FROM reach GROUP BY node),
+         |g5 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 4),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+         |  FROM toks),
+         |eg AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 50 = 0),
+         |cont AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN eg USING (g))
+         |SELECT lang, source, count(*) AS docs_kept,
+         |  CAST(sum(len(t)) AS BIGINT) AS tokens_kept
+         |FROM toks JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |  JOIN d USING (doc_id)
+         |WHERE doc_id % 50 <> 0 AND q_keep AND r_keep AND d_keep
+         |  AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q48_moving_avg" ->
       """WITH agg AS (

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators: the steps that turn a cleaned document pool
+  * into an actual training mix — per-stratum token budgeting and benchmark
+  * decontamination. Inputs: the `documents(doc_id, text, lang, source,
+  * n_chars)` table. */
+object CorpusOps {
+
+  /** Token-budget quota sampling: within each (lang, source) stratum, keep
+    * documents in deterministic doc_id order until the stratum's cumulative
+    * token count reaches `budget` (the last kept doc may overshoot — budget
+    * semantics are "start under budget", so the cut is a pure per-row
+    * predicate on the prefix sum, not an iterative loop).
+    *
+    * Scale shape: one keyed window (partition = stratum, order = doc_id)
+    * computing a running sum — a single shuffle on the stratum key and a
+    * per-partition sort; no global sort, no driver loop. Strata are the mix
+    * dimensions (typically tens of cells), and skewed mega-strata sort
+    * within their own partitions only. */
+  def tokenBudget(documents: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
+  /** Benchmark decontamination: flag every non-eval document that shares at
+    * least one k-token shingle with the eval set (`evalIds(doc_id)`) — the
+    * standard n-gram-overlap eval-decontamination step run before training.
+    *
+    * Scale shape: shingles are joined by their 64-bit hash
+    * ([[graft.functions]] `hashed_shingles`), so the shuffle ships 8-byte
+    * longs, never gram strings; the eval-gram side is DISTINCT-collapsed
+    * first and is benchmark-sized (tiny vs the corpus), so Spark broadcasts
+    * it and the corpus side never shuffles. A hash collision can only add a
+    * false POSITIVE (an extra dropped doc) at p ≈ 2⁻⁶⁴ per gram pair.
+    * Output: `(doc_id, contaminated)` over documents ∖ evalIds. */
+  def decontaminate(documents: DataFrame, evalIds: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.functions.hashed_shingles
+    val grams = documents.select(col("doc_id"),
+      explode(hashed_shingles(col("text"), k)).as("g"))
+    val evalGrams = grams.join(evalIds, Seq("doc_id")).select("g").distinct()
+    val contaminated = grams.join(broadcast(evalGrams), Seq("g"))
+      .select("doc_id").distinct()
+    documents.select("doc_id")
+      .join(evalIds, Seq("doc_id"), "left_anti")
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+}

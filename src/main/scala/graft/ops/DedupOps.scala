@@ -203,4 +203,35 @@ object DedupOps {
           "raise maxIter (components deeper than ~2^25 hops)")
     labels
   }
+
+  /** End-to-end near-duplicate DEDUP pipeline — the at-scale composition a
+    * training-data pipeline runs nightly: MinHash-LSH candidate mining
+    * (banded, bucket-capped, id-only band join) → exact shingle-Jaccard
+    * verification → [[connectedComponents]] → one canonical document per
+    * component (min doc_id). q53 pins the component math against an exact
+    * all-pairs slice; this wires the LSH candidate generator in front of it
+    * so no stage is O(n²) in documents.
+    *
+    * Recall: with the default 8-band × 2-row banding, a true pair at
+    * Jaccard J ≥ threshold is missed with probability (1−J²)^8 — ≤ 2·10⁻⁶
+    * at J = 0.9 — and a missed EDGE only splits a component when it was the
+    * sole connecting path. Tighter thresholds want more bands of fewer
+    * rows; the bucket cap bounds any degenerate band (e.g. boilerplate
+    * shingle sets) at the documented recall cost.
+    *
+    * Output: `(doc_id, canonical, keep)` — `canonical` = min doc_id of the
+    * near-dup component, `keep` = true for the canonical row. */
+  def dedupPipeline(
+      documents: DataFrame,
+      k: Int = 3,
+      nPerms: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 64): DataFrame = {
+    val pairs = minhashLshPairs(documents, k, nPerms, bands, threshold, maxBucketSize)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(documents.select(col("doc_id").as("node")), pairs)
+      .select(col("node").as("doc_id"), col("comp").as("canonical"),
+        (col("node") === col("comp")).as("keep"))
+  }
 }

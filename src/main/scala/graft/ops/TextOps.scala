@@ -78,6 +78,52 @@ object TextOps {
       when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr").as("lang_pred"))
   }
 
+  /** Gopher-style repetition filtering (Rae et al. 2021 §A1.1): per-doc
+    * unique-token fraction, most-frequent-token fraction, and the fraction
+    * of 2-gram occurrences whose 2-gram repeats within the doc — the
+    * signals that catch boilerplate and keyword-stuffed webtext that
+    * length/punctuation heuristics ([[qualityScore]]) miss.
+    *
+    * Scale shape: two explode → partial/final hash-aggregate chains (token
+    * counts, 2-gram counts) re-aggregated per doc and joined on doc_id —
+    * map-side combine collapses each partition to its distinct terms before
+    * either shuffle, and no window or per-doc sort appears anywhere. The
+    * `keep` thresholds compare UNROUNDED ratios (identical int-division
+    * inputs ⇒ bit-identical doubles in any engine); the reported columns are
+    * rounded for the oracle hash. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val base = documents.select(col("doc_id"), toks.as("toks"))
+    val grams2 = filter(
+      transform(col("toks"), (_, i) => concat_ws(" ", slice(col("toks"), i + lit(1), lit(2)))),
+      g => size(split(g, " ")) === 2)
+    val tokAgg = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"), count(lit(1)).as("n_uniq"), max("c").as("top_cnt"))
+    val gramAgg = base.select(col("doc_id"), explode(grams2).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup2_occ"),
+        sum("c").as("n_grams"))
+    val uniqFrac = coalesce(col("n_uniq"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L))
+    val topFrac = coalesce(col("top_cnt"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L))
+    val dup2Frac = coalesce(col("dup2_occ"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_grams"), lit(0L)), lit(1L))
+    base.select(col("doc_id"))
+      .join(tokAgg, Seq("doc_id"), "left")
+      .join(gramAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(uniqFrac, 6).as("uniq_frac"),
+        round(topFrac, 6).as("top_frac"),
+        round(dup2Frac, 6).as("dup2_frac"),
+        (uniqFrac >= 0.35 && topFrac <= 0.15 && dup2Frac <= 0.12).as("keep"))
+  }
+
   /** Document fingerprint: order-sensitive rolling combination of token
     * hashes (Karp-Rabin flavoured), plus a winnowing-style min-hash of token
     * 64-bit hashes. Content-defined, stable under re-partitioning. */

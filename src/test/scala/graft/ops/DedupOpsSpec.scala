@@ -110,4 +110,26 @@ class DedupOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $out2")
   }
+
+  test("dedupPipeline (LSH candidate path) equals exact-closure components") {
+    // independent expected value: exact O(n²) string-shingle Jaccard pairs
+    // at the same threshold, closed over the same component op — any LSH
+    // recall miss or verification drift would split/merge a component
+    val sh = docs.select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("s"))
+    val a = sh.select(col("doc_id").as("a"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    val exactPairs = a.join(b, col("a") < col("b"))
+      .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        greatest(size(array_union(col("sa"), col("sb"))), lit(1)))
+      .filter(col("j") >= 0.8).select("a", "b")
+    val expected = DedupOps
+      .connectedComponents(docs.select(col("doc_id").as("node")), exactPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = DedupOps.dedupPipeline(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == expected)
+    assert(got.forall { case (id, canon, keep) => keep == (id == canon) })
+    // the corpus plants real near-dup groups — the pipeline must find them
+    assert(got.count { case (_, _, keep) => !keep } > 0)
+  }
 }

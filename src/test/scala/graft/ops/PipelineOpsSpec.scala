@@ -57,4 +57,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(3L) == 2L && out(4L) == 2L, "gap > 3s starts session 2")
     assert(out(5L) == 1L, "sessions are numbered per key")
   }
+
+  test("repetitionStats computes token/2-gram repetition fractions and keep flag") {
+    val docs = Seq(
+      (1L, "x x x x x"),                          // degenerate repeat
+      (2L, (1 to 20).map(i => s"t$i").mkString(" ")), // all distinct
+      (3L, "a b a b a b a b")                     // alternating 2-gram loop
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(out(1L) == ((5L, 0.2, 1.0, 1.0, false)), s"got ${out(1L)}")
+    assert(out(2L) == ((20L, 1.0, 0.05, 0.0, true)), s"got ${out(2L)}")
+    // 7 2-gram occurrences: "a b"x4 + "b a"x3, all repeating
+    assert(out(3L) == ((8L, 0.25, 0.5, 1.0, false)), s"got ${out(3L)}")
+  }
 }
