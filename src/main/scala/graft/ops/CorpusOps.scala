@@ -53,4 +53,25 @@ object CorpusOps {
       .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+
+  /** Decontamination for UNBOUNDED document streams — the streaming twin of
+    * [[decontaminate]]. The eval set is static and benchmark-sized, so its
+    * distinct gram hashes are collected once and embedded as a broadcast
+    * literal inside a codegen'd `arrays_overlap`; each micro-batch is then a
+    * stateless per-row map — no shuffle, no state store, identical semantics
+    * on batch and streaming inputs (stream ≡ batch asserted in
+    * CorpusOpsSpec). For eval sets too large for a literal array (≫10⁶
+    * grams) use the batch op's broadcast-join shape instead.
+    *
+    * Unlike [[decontaminate]], eval docs are NOT excluded from the output
+    * (an anti-join on an unbounded stream would be stateful); feed the
+    * stream pre-filtered or drop `doc_id % …` eval rows downstream. */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.functions.hashed_shingles
+    val evalGrams: Array[Long] = evalDocs
+      .select(explode(hashed_shingles(col("text"), k)).as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    docs.select(col("doc_id"),
+      arrays_overlap(hashed_shingles(col("text"), k), lit(evalGrams)).as("contaminated"))
+  }
 }

@@ -35,4 +35,29 @@ class CorpusOpsSpec extends SparkTestBase {
       .as[(Long, Boolean)].collect().toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> false), s"got $out")
   }
+
+  test("decontaminateStream on a doc stream equals batch decontaminate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6"),
+      (1L, "x0 w2 w3 w4 w5 w6 x1"),
+      (2L, "w1 w2 w3 w4 zz w6"),
+      (3L, "p q r s t u"))
+    val evalDocs = data.filter(_._1 == 0L).toDF("doc_id", "text")
+    val batch = CorpusOps
+      .decontaminate(data.toDF("doc_id", "text"), evalDocs.select("doc_id"), k = 5)
+      .as[(Long, Boolean)].collect().toMap
+    val mem = MemoryStream[(Long, String)]
+    val out = CorpusOps.decontaminateStream(
+      mem.toDF.toDF("doc_id", "text"), evalDocs, k = 5)
+    val q = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(data.filter(_._1 != 0L): _*) // non-eval docs arrive on the stream
+      q.processAllAvailable()
+      val got = spark.table("decon_stream").as[(Long, Boolean)].collect().toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
 }
