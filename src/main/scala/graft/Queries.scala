@@ -682,7 +682,35 @@ object Queries {
         .filter(col("q_keep") && col("r_keep") && col("d_keep") && !col("contaminated"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("docs_kept"), sum("n_tokens").as("tokens_kept"))
-    })
+    }),
+
+    // --- deterministic training-shard export (oracle-backed): the
+    // reproducible "global shuffle" — shard + in-shard position are pure
+    // functions of doc_id, so any cluster size produces byte-identical
+    // shards
+    "q60_shard_export" -> ((s, dir) =>
+      ops.CorpusOps.shardAssign(documents(s, dir), nShards = 16)),
+
+    // --- PII / blocklist scrub audit (oracle-backed): RE2-portable
+    // redaction counts; the blocklist terms are this corpus's surrogate for
+    // real PII lexicons
+    "q61_pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(documents(s, dir), Seq("customer", "spark"))),
+
+    // --- semi-structured JSON prop extraction + rollup (oracle-backed)
+    "q62_json_props" -> ((s, dir) =>
+      ops.AnalyticsOps.jsonPropStats(events(s, dir))),
+
+    // --- normalization-aware exact dedup (oracle-backed): case/whitespace
+    // canonicalization before digesting — the cheap pre-MinHash pass
+    "q63_norm_dedup" -> ((s, dir) =>
+      DedupOps.normalizedDedup(documents(s, dir))),
+
+    // --- deterministic stratified sample (oracle-backed): first-n per
+    // stratum in portable-hash order; WindowGroupLimit keeps the shuffle
+    // O(strata·n)
+    "q64_stratified_sample" -> ((s, dir) =>
+      ops.CorpusOps.stratifiedSample(documents(s, dir), n = 10))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1395,6 +1423,59 @@ FROM walk WHERE rn >= 1"""
         |SELECT user_id, bucket_start, round(mean, 6) AS mean,
         |  round(avg(mean) OVER (PARTITION BY user_id ORDER BY bucket_start
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // the portable Knuth hash (CorpusOps.idHash) replayed verbatim
+    "q60_shard_export" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY h % 16 ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h""".stripMargin,
+
+    "q61_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS INT) AS n_digit_run,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS INT) AS n_term,
+        |  CAST(length(
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3,}', '<NUM>', 'g'),
+        |      '\b(customer|spark)\b', '<TERM>', 'g')) AS INT) AS n_chars_clean
+        |FROM documents""".stripMargin,
+
+    "q62_json_props" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q63_norm_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        |  FROM documents)
+        |SELECT doc_id, digest,
+        |  min(doc_id) OVER (PARTITION BY digest) AS canonical,
+        |  doc_id = min(doc_id) OVER (PARTITION BY digest) AS keep
+        |FROM n""".stripMargin,
+
+    "q64_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, source,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY lang, source ORDER BY h, doc_id) AS INT) AS rn
+        |FROM h QUALIFY rn <= 10""".stripMargin
   )
 }

@@ -471,4 +471,29 @@ object AnalyticsOps {
         round(min(valueCol), 6).as("bin_min"),
         round(max(valueCol), 6).as("bin_max"))
   }
+
+  /** Semi-structured property extraction + rollup: pull a numeric field out
+    * of a JSON `props` column and aggregate it per event type — the
+    * "parse the instrumentation payload" step that sits in front of every
+    * event-analytics rollup.
+    *
+    * Scale shape: `get_json_object` is a codegen'd per-row path evaluation
+    * (Jackson streaming parse — no schema inference pass over the data,
+    * which `from_json` + a sampled schema would need), followed by one
+    * partial+final hash aggregate keyed by event type. At 100 TB the parse
+    * pipelines with the scan; rows with missing/corrupt `k` surface in
+    * `n_missing` instead of failing the job. */
+  def jsonPropStats(events: DataFrame, path: String = "$.k"): DataFrame = {
+    val k = get_json_object(col("props"), path).cast("long")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+  }
 }

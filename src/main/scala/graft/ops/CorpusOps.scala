@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,5 +73,55 @@ object CorpusOps {
       .distinct().collect().map(_.getLong(0)).sorted
     docs.select(col("doc_id"),
       arrays_overlap(hashed_shingles(col("text"), k), lit(evalGrams)).as("contaminated"))
+  }
+
+  /** Knuth multiplicative hash of a non-negative 64-bit id, reduced mod
+    * 2³², as a pure arithmetic Column — chosen over xxhash/murmur because
+    * the SAME expression is writable in ANY engine's SQL (the DuckDB
+    * oracles replay it verbatim), so shard/sample decisions are portable
+    * across the whole toolchain, not private to one hash library. */
+  def idHash(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** Deterministic TRAINING-SHARD assignment — the "global shuffle" step
+    * that turns a finished corpus into N equal-ish shard files whose
+    * within-shard order is pseudo-random but reproducible (same input →
+    * byte-identical shards, on any cluster size).
+    *
+    * shard = [[idHash]](doc_id) mod nShards; pos = rank of (hash, doc_id)
+    * within the shard. A true global sort is never run: writing is
+    * `repartition(shard)` + `sortWithinPartitions(h, doc_id)` — one
+    * shuffle, per-shard sorts. `pos` (a per-shard row_number) exists for
+    * the manifest/oracle; at corpus scale you pick nShards to hold shard
+    * SIZE constant (≈ fixed rows per shard), so the per-shard sort is
+    * bounded no matter how large the corpus grows. */
+  def shardAssign(documents: DataFrame, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    documents
+      .select(col("doc_id"), idHash(col("doc_id")).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** Deterministic per-stratum sample: the first `n` documents of each
+    * (lang, source) stratum in [[idHash]] order — a reproducible uniform
+    * draw with NO RNG state (re-running on any partitioning returns the
+    * same rows).
+    *
+    * Scale shape: the `rank <= n` filter on a per-stratum window compiles
+    * to WindowGroupLimit (Spark 3.5+), so each map task keeps only its
+    * local top-n per stratum BEFORE the shuffle — the exchange carries
+    * O(strata · n) rows, not the corpus. For samples too large for that
+    * (n ≫ 10⁶), switch to the thresholded form `idHash(doc_id) < 2³²·f` —
+    * a pure map-side filter with binomial (not exact-n) size. */
+  def stratifiedSample(documents: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        idHash(col("doc_id")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("doc_id", "lang", "source", "rn")
   }
 }

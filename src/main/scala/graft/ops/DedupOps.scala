@@ -234,4 +234,25 @@ object DedupOps {
       .select(col("node").as("doc_id"), col("comp").as("canonical"),
         (col("node") === col("comp")).as("keep"))
   }
+
+  /** Normalization-aware exact dedup: case-fold, trim, and collapse
+    * whitespace runs BEFORE digesting, so trivially-reformatted copies
+    * (the most common near-dup class in recrawled webtext) collapse to the
+    * same md5 — the cheap pass a pipeline runs before spending MinHash on
+    * what's left. Canonical = min doc_id per digest.
+    *
+    * Scale shape: per-row normalize+md5 (codegen'd, pipelines with the
+    * scan), then one digest-keyed shuffle; the `rn = 1`-style min is a
+    * per-digest aggregate joined back by digest, and groups are tiny
+    * (duplicate cardinality), so no window over the corpus is needed. */
+  def normalizedDedup(documents: DataFrame): DataFrame = {
+    // collapse BEFORE trim: trim() strips spaces only, so tabs/newlines at
+    // the edges must first be folded into plain spaces
+    val digest = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val digested = documents.select(col("doc_id"), digest.as("digest"))
+    val canon = digested.groupBy("digest").agg(min("doc_id").as("canonical"))
+    digested.join(canon, Seq("digest"))
+      .select(col("doc_id"), col("digest"), col("canonical"),
+        (col("doc_id") === col("canonical")).as("keep"))
+  }
 }

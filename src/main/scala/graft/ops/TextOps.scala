@@ -136,4 +136,42 @@ object TextOps {
         lit(0L), (acc, h) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 2)).bitwiseXOR(h))
         .as("rolling_fp"),
       array_min(transform(tokens(col("text")), t => xxhash64(t))).as("min_token_hash"))
+
+  /** Email-address pattern: kept to RE2-compatible syntax (no backrefs, no
+    * lookaround) so the DuckDB oracle runs the IDENTICAL pattern. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs — the phone/SSN/account-number surrogate every
+    * crawl-cleaning pipeline scrubs. */
+  val DigitRunRe = "[0-9]{3,}"
+
+  /** PII / blocklist scrubbing — the redaction pass run before a corpus is
+    * eligible for training: emails → `<EMAIL>`, long digit runs → `<NUM>`,
+    * caller-supplied blocklist terms → `<TERM>`, with per-doc match counts
+    * for the removal audit. All three passes are codegen'd
+    * `regexp_count`/`regexp_replace` over RE2-compatible patterns (portable
+    * to the oracle, and linear-time — no catastrophic backtracking on
+    * adversarial documents).
+    *
+    * Scale shape: a pure per-row map — no shuffle, no UDF; at 100 TB this
+    * pipelines with the scan and costs one pass over the bytes. */
+  def piiScrub(documents: DataFrame, blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    // plain words only: regex-quoting would need \Q…\E, which RE2 (the
+    // oracle engine) lacks — keeping terms literal keeps the pattern portable
+    require(blocklist.forall(_.matches("[A-Za-z0-9]+")),
+      s"blocklist terms must be alphanumeric words, got: ${blocklist.mkString(",")}")
+    val termRe = blocklist.mkString("\\b(", "|", ")\\b")
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        DigitRunRe, "<NUM>"),
+      termRe, "<TERM>")
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_email"),
+      regexp_count(col("text"), lit(DigitRunRe)).as("n_digit_run"),
+      regexp_count(col("text"), lit(termRe)).as("n_term"),
+      length(clean).as("n_chars_clean"))
+  }
 }

@@ -286,4 +286,20 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out(0L) == ((2L, 3.0, 9.9)))
     assert(out(1L) == ((1L, 10.0, 10.0)), "boundary value opens the next bin")
   }
+
+  test("jsonPropStats extracts $.k per type and counts missing/corrupt rows") {
+    val ev = Seq(
+      ("click", """{"k": 3}"""),
+      ("click", """{"k": 7}"""),
+      ("click", """{"other": 1}"""), // path absent → missing
+      ("view", """not json"""),      // corrupt → missing
+      ("view", """{"k": 10}""")
+    ).toDF("event_type", "props")
+    val out = AnalyticsOps.jsonPropStats(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out("click") == ((3L, 1L, 10L, 5.0, 3L, 7L)), s"got ${out("click")}")
+    assert(out("view") == ((2L, 1L, 10L, 10.0, 10L, 10L)), s"got ${out("view")}")
+  }
 }

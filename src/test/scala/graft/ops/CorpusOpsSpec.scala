@@ -36,6 +36,40 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false), s"got $out")
   }
 
+  test("shardAssign is a pure function of doc_id: partitioning-invariant, contiguous pos") {
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = CorpusOps.shardAssign(docs, 16)
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    val b = CorpusOps.shardAssign(docs.repartition(7), 16)
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(a == b, "shard/pos must not depend on input partitioning")
+    assert(a.map(_._1).distinct.size == 200)
+    // every shard's positions are exactly 1..size (a valid export manifest)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq, s"shard $shard pos gap")
+    }
+    // the multiplicative hash actually spreads: no shard holds >3x its share
+    val sizes = a.groupBy(_._2).map(_._2.size)
+    assert(sizes.max <= 3 * 200 / 16, s"degenerate shard sizes: $sizes")
+  }
+
+  test("stratifiedSample takes exactly n per stratum, deterministically") {
+    val docs = (0L until 120L)
+      .map(i => (i, s"t$i", if (i % 2 == 0) "en" else "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val s1 = CorpusOps.stratifiedSample(docs, 10)
+      .as[(Long, String, String, Int)].collect().sorted.toSeq
+    val s2 = CorpusOps.stratifiedSample(docs.repartition(5), 10)
+      .as[(Long, String, String, Int)].collect().sorted.toSeq
+    assert(s1 == s2, "sample must be partitioning-invariant")
+    val byStratum = s1.groupBy(r => (r._2, r._3))
+    assert(byStratum.keySet == Set(("en", "web"), ("de", "web")))
+    byStratum.foreach { case (k, rows) =>
+      assert(rows.size == 10, s"stratum $k size ${rows.size}")
+      assert(rows.map(_._4).sorted == (1 to 10).toSeq)
+    }
+  }
+
   test("decontaminateStream on a doc stream equals batch decontaminate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

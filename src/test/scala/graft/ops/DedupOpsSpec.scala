@@ -132,4 +132,19 @@ class DedupOpsSpec extends SparkTestBase {
     // the corpus plants real near-dup groups — the pipeline must find them
     assert(got.count { case (_, _, keep) => !keep } > 0)
   }
+
+  test("normalizedDedup collapses case/whitespace variants to one canonical doc") {
+    val d = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),        // same after fold+collapse
+      (3L, "  HELLO\tWORLD \n"),  // same after trim too
+      (4L, "hello worlds")        // distinct
+    ).toDF("doc_id", "text")
+    val out = DedupOps.normalizedDedup(d).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("canonical")), r.getBoolean(r.fieldIndex("keep"))))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)) && out(3L) == ((1L, false)), s"got $out")
+    assert(out(4L) == ((4L, true)))
+  }
 }

@@ -73,4 +73,30 @@ class PipelineOpsSpec extends SparkTestBase {
     // 7 2-gram occurrences: "a b"x4 + "b a"x3, all repeating
     assert(out(3L) == ((8L, 0.25, 0.5, 1.0, false)), s"got ${out(3L)}")
   }
+
+  test("piiScrub counts and redacts emails, digit runs, and blocklist terms") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+      (2L, "call 0123456 or 42 ext 999"),   // 42 is short → not a run
+      (3L, "the customer ran spark on customerdata") // customerdata: no \b match
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs, Seq("customer", "spark")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((2, 0, 0)), s"got ${out(1L)}")
+    assert(out(2L) == ((0, 2, 0)), s"got ${out(2L)}")
+    assert(out(3L) == ((0, 0, 2)), s"got ${out(3L)}")
+    // redaction really removes the matched spans from the cleaned length
+    val clean = TextOps.piiScrub(
+        Seq((9L, "a@b.co 12345 spark")).toDF("doc_id", "text"),
+        Seq("spark"))
+      .select("n_chars_clean").as[Int].head()
+    assert(clean == "<EMAIL> <NUM> <TERM>".length, s"got $clean")
+  }
+
+  test("piiScrub rejects non-word blocklist terms (RE2 portability guard)") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.piiScrub(docs, Seq("a.b"))
+    }
+  }
 }
