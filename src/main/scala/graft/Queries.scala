@@ -710,7 +710,19 @@ object Queries {
     // stratum in portable-hash order; WindowGroupLimit keeps the shuffle
     // O(strata·n)
     "q64_stratified_sample" -> ((s, dir) =>
-      ops.CorpusOps.stratifiedSample(documents(s, dir), n = 10))
+      ops.CorpusOps.stratifiedSample(documents(s, dir), n = 10)),
+
+    // --- BM25 topical retrieval (oracle-backed): mine the docs relevant to
+    // a fixed query out of the corpus — per-term tf fused into the scan,
+    // one broadcast single-row stats aggregate, no top-k cut (deterministic
+    // full match set)
+    "q65_bm25" -> ((s, dir) =>
+      TextOps.bm25(documents(s, dir), Seq("spark", "window", "merge"))),
+
+    // --- int8 embedding quantization audit (oracle-backed): per-vector
+    // scale, exact code checksum, and worst reconstruction error
+    "q66_embed_quantize" -> ((s, dir) =>
+      SimilarityOps.quantizeInt8(embeddings(s, dir)))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1476,6 +1488,57 @@ FROM walk WHERE rn >= 1"""
         |SELECT doc_id, lang, source,
         |  CAST(row_number() OVER (
         |    PARTITION BY lang, source ORDER BY h, doc_id) AS INT) AS rn
-        |FROM h QUALIFY rn <= 10""".stripMargin
+        |FROM h QUALIFY rn <= 10""".stripMargin,
+
+    // FP mirror of TextOps.bm25: same stat aggregates (integer-valued
+    // doubles — exact under any partitioning), same per-term op order,
+    // terms summed left-to-right
+    "q65_bm25" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+         |    CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         |    CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) AS tf1,
+         |    CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) AS tf2
+         |  FROM (SELECT doc_id, $tokExpr AS t FROM documents)),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+         |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+         |  FROM base)
+         |SELECT doc_id, round(
+         |  ((ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+         |      * (tf0 * (1.2 + 1.0))
+         |      / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+         |   + (ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+         |      * (tf1 * (1.2 + 1.0))
+         |      / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))))
+         |  + (ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+         |      * (tf2 * (1.2 + 1.0))
+         |      / (tf2 + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))), 6) AS score
+         |FROM base, stats
+         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+
+    // floor(x+0.5) in both engines (round-half semantics differ); code
+    // checksums pin every component exactly
+    "q66_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS scale
+        |  FROM s),
+        |c AS (
+        |  SELECT vec_id, e, scale,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(e, v -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(e, v -> CAST(floor(v * 127.0 / scale + 0.5) AS BIGINT))
+        |    END AS codes
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |  round(list_max(list_transform(generate_series(1, len(e)),
+        |    i -> abs(CAST(codes[i] AS DOUBLE) * scale / 127.0 - e[i]))), 9) AS max_err
+        |FROM c""".stripMargin
   )
 }

@@ -33,12 +33,25 @@ object QuantileSketch {
     // keep-every-other step halves an EVEN buffer), silently biasing high
     // quantiles and leaking weight
     require(k >= 2 && k % 2 == 0, s"capacity k must be even and >= 2, got $k")
-    Kll(k, 0L, new Array[Double](k), 0, Array.empty, 0L)
+    Kll(k, 0L, new Array[Double](math.min(8, k)), 0, Array.empty, 0L)
   }
+
+  /** Level-0 capacity is LAZY: it starts at 8 and doubles toward k as
+    * values arrive, because the buffer is what the encoder ships — with
+    * eager k-sized buffers a cascade over sparse groups (minute tiers at
+    * one event per minute) shuffles k doubles per near-empty sketch, which
+    * at k=256 is a 2 KB row for 8 bytes of content. Compaction timing
+    * (lvl0Len vs k) is unchanged, so sketch CONTENTS are bit-identical to
+    * the eager layout. */
+  private def withRoom(s: Kll): Kll =
+    if (s.lvl0Len < s.lvl0.length) s
+    else s.copy(lvl0 = java.util.Arrays.copyOf(
+      s.lvl0, math.min(s.k, math.max(8, s.lvl0.length * 2))))
 
   /** Append one value (mutates the level-0 ring in place; O(1) amortized
     * until a compaction cascade). */
-  def update(s: Kll, v: Double): Kll = {
+  def update(s0: Kll, v: Double): Kll = {
+    val s = withRoom(s0)
     s.lvl0(s.lvl0Len) = v
     val grown = s.copy(n = s.n + 1, lvl0Len = s.lvl0Len + 1)
     if (grown.lvl0Len < grown.k) grown else compact(grown)
@@ -56,14 +69,14 @@ object QuantileSketch {
       (if (h < la.length) la(h) else Array.emptyDoubleArray) ++
         (if (h < lb.length) lb(h) else Array.emptyDoubleArray)
     }
-    val lvl0 = new Array[Double](k)
-    System.arraycopy(a.lvl0, 0, lvl0, 0, a.lvl0Len)
-    var len0 = a.lvl0Len
+    val lvl0 = java.util.Arrays.copyOf(a.lvl0,
+      math.min(k, math.max(math.min(8, k), a.lvl0Len + b.lvl0Len)))
     var i = 0
-    var s = Kll(k, a.n + b.n, lvl0, len0, upper, a.parity + b.parity)
+    var s = Kll(k, a.n + b.n, lvl0, a.lvl0Len, upper, a.parity + b.parity)
     while (i < b.lvl0Len) {
       // reuse the single-value path so level-0 overflow compacts as usual
       if (s.lvl0Len >= s.k) s = compact(s)
+      s = withRoom(s)
       s.lvl0(s.lvl0Len) = b.lvl0(i)
       s = s.copy(lvl0Len = s.lvl0Len + 1)
       i += 1
@@ -82,7 +95,7 @@ object QuantileSketch {
       buf(2 * j + (if (keepOdd) 1 else 0)))
     val upper = if (s.upper.isEmpty) Array(kept)
       else { val u = s.upper.clone(); u(0) = u(0) ++ kept; u }
-    compactUpper(s.copy(lvl0 = new Array[Double](s.k), lvl0Len = 0,
+    compactUpper(s.copy(lvl0 = new Array[Double](math.min(8, s.k)), lvl0Len = 0,
       upper = upper, parity = s.parity + 1))
   }
 

@@ -152,4 +152,50 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the 4×
+    * storage/bandwidth compressor an at-scale embedding store applies
+    * before ANN search (codes are rescanned cheap; full floats stay in cold
+    * storage). Per-vector scale = max |component|; code = ⌊v·127/scale +
+    * 0.5⌋ (written as floor(x+0.5), NOT round(), because Spark and DuckDB
+    * disagree on round-half semantics but agree bit-for-bit on floor).
+    * Zero vectors quantize to all-zero codes with scale 0.
+    *
+    * Output per vector: the quantization `scale`, the code checksum
+    * `sum_code` (pins every code exactly — any off-by-one in any component
+    * breaks the oracle hash), and `max_err`, the worst per-component
+    * reconstruction error |code·scale/127 − v| — spec-bounded by
+    * scale/254 + 1 ulp, the guarantee that makes the compressed scan safe.
+    *
+    * Scale shape: pure per-row array math fused into the scan — no shuffle,
+    * no UDF; at 100 TB this is scan-bandwidth-bound, as a compressor
+    * should be. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val vecD = transform(col("embedding"), v => v.cast("double"))
+    val withScale = embeddings
+      .select(col("vec_id"), vecD.as("e"))
+      .withColumn("scale", array_max(transform(col("e"), v => abs(v))))
+    val codes = when(col("scale") === 0.0,
+        transform(col("e"), _ => lit(0L)))
+      .otherwise(transform(col("e"),
+        v => floor(v * lit(127.0) / col("scale") + lit(0.5)).cast("long")))
+    val err = zip_with(col("codes"), col("e"),
+      (c, v) => abs(c.cast("double") * col("scale") / lit(127.0) - v))
+    withScale
+      .withColumn("codes", codes)
+      // two selects: aliasing round(scale) AS "scale" in the same list
+      // would LATERALLY shadow the child's scale inside the err lambda
+      // (Spark 4 lateral column aliases win the name collision), silently
+      // computing errors against the 6-dp scale
+      .select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
+        array_max(err).as("max_err"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        col("sum_code"),
+        round(col("max_err"), 9).as("max_err"))
+  }
 }

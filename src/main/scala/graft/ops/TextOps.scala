@@ -137,6 +137,47 @@ object TextOps {
         .as("rolling_fp"),
       array_min(transform(tokens(col("text")), t => xxhash64(t))).as("min_token_hash"))
 
+  /** Okapi BM25 relevance of every document against a small fixed query —
+    * the retrieval primitive a curation pipeline uses to mine topical
+    * subsets ("find the docs about X") out of a web corpus. Standard
+    * Robertson idf with the +1 smoothing (Lucene's variant, always
+    * positive); returns only docs matching at least one term.
+    *
+    * Scale shape: per-term tf/dl are per-row array ops fused into the scan
+    * (no explode — the query is tiny, the corpus is not); corpus stats
+    * (N, avgdl, per-term df) are ONE single-row aggregate broadcast back.
+    * Two scans of the corpus, zero data-sized shuffles. The per-term
+    * contributions are summed left-to-right in query order so the oracle
+    * can mirror the FP op order exactly. */
+  def bm25(
+      documents: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    val toks = tokens(col("text"))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+    }
+    val base = documents.select(
+      col("doc_id") +: size(toks).cast("double").as("dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .filter(queryTerms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 6).as("score"))
+  }
+
   /** Email-address pattern: kept to RE2-compatible syntax (no backrefs, no
     * lookaround) so the DuckDB oracle runs the IDENTICAL pattern. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -98,6 +98,35 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("level-0 capacity tracks content (sparse-group wire size) without changing values") {
+    // a sparse group's sketch must not ship k doubles for a handful of
+    // values — capacity grows lazily — and laziness must not perturb the
+    // sketch: quantiles equal a reference fold at every prefix
+    var s = QuantileSketch.empty(256)
+    assert(s.lvl0.length == 8, "empty sketch allocates the minimum buffer")
+    val rng = new scala.util.Random(41)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (i <- 1 to 200) {
+      val v = rng.nextDouble() * 100
+      s = QuantileSketch.update(s, v)
+      seen += v
+      assert(s.lvl0.length <= math.max(8, 2 * s.lvl0Len max 8),
+        s"capacity ${s.lvl0.length} outruns content ${s.lvl0Len} at n=$i")
+      if (i <= 256) { // exact regime: quantile == quantile_cont over seen
+        val sorted = seen.sorted
+        val pos = 0.5 * (sorted.length - 1)
+        val expect = sorted(pos.toInt) +
+          (pos - pos.toInt) * (sorted(math.ceil(pos).toInt) - sorted(pos.toInt))
+        assert(QuantileSketch.quantile(s, 0.5) == expect, s"median drift at n=$i")
+      }
+    }
+    // merge of two lazily-grown sketches conserves weight and stays exact
+    var t = QuantileSketch.empty(256)
+    (1 to 20).foreach(i => t = QuantileSketch.update(t, i.toDouble))
+    val m = QuantileSketch.merge(s, t)
+    assert(m.n == 220L)
+  }
+
   test("sketch columns round-trip through parquet and keep merging") {
     // the property that makes the cascade a STORED continuous aggregate:
     // write the finest tier's sketches to parquet, read them back later,

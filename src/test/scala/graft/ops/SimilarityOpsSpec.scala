@@ -67,4 +67,57 @@ class SimilarityOpsSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(full == exact, s"full-probe IVF diverged from brute force: ${full diff exact} / ${exact diff full}")
   }
+
+  test("quantizeInt8: exact codes on a hand case, error bounded by scale/254, zero-vector safe") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)),            // zero vector: scale 0, codes 0
+      (3L, Array(-2.0f, 1.0f, 0.5f, -0.25f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    // codes for v1: floor([127, -63.5, 31.75] + 0.5) = [127, -63, 32]
+    assert(out(1L)._1 == 1.0 && out(1L)._2 == (127L - 63L + 32L), s"got ${out(1L)}")
+    assert(out(2L) == ((0.0, 0L, 0.0)), s"got ${out(2L)}")
+    // error bound: half-step of the grid = scale/254 (+ rounding slack)
+    for ((id, (scale, _, err)) <- out)
+      assert(err <= scale / 254.0 + 1e-9, s"vec $id err $err exceeds ${scale / 254.0}")
+  }
+
+  test("bm25 equals a sequential reference computation") {
+    val docs = Seq(
+      (1L, "spark join spark window"),
+      (2L, "merge sort table"),
+      (3L, "the quick fox"),              // no query term -> excluded
+      (4L, "window window window merge spark")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "window", "merge")
+    val got = graft.ops.TextOps.bm25(docs, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // sequential reference: same formula, plain Scala
+    val corpus = Map(
+      1L -> Seq("spark", "join", "spark", "window"),
+      2L -> Seq("merge", "sort", "table"),
+      3L -> Seq("the", "quick", "fox"),
+      4L -> Seq("window", "window", "window", "merge", "spark"))
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val (k1, b) = (1.2, 0.75)
+    val expect = corpus.flatMap { case (id, toks) =>
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val df = corpus.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * toks.size / avgdl))
+      }.sum
+      if (score > 0) Some(id -> BigDecimal(score)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    assert(got.keySet == Set(1L, 2L, 4L))
+    for ((id, s) <- expect if got.contains(id))
+      assert(got(id) == s, s"doc $id: got ${got(id)}, expect $s")
+    // term-frequency saturation: doc 4 (3x window + 2 terms) beats doc 1
+    assert(got(4L) > got(1L))
+  }
 }
