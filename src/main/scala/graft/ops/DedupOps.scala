@@ -246,13 +246,45 @@ object DedupOps {
     * per-digest aggregate joined back by digest, and groups are tiny
     * (duplicate cardinality), so no window over the corpus is needed. */
   def normalizedDedup(documents: DataFrame): DataFrame = {
-    // collapse BEFORE trim: trim() strips spaces only, so tabs/newlines at
-    // the edges must first be folded into plain spaces
-    val digest = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-    val digested = documents.select(col("doc_id"), digest.as("digest"))
+    val digested = documents.select(col("doc_id"), normDigest.as("digest"))
     val canon = digested.groupBy("digest").agg(min("doc_id").as("canonical"))
     digested.join(canon, Seq("digest"))
       .select(col("doc_id"), col("digest"), col("canonical"),
         (col("doc_id") === col("canonical")).as("keep"))
+  }
+
+  /** Normalized digest of a text column — collapse BEFORE trim: trim()
+    * strips spaces only, so edge tabs/newlines must first be folded into
+    * plain spaces. Shared by the batch and streaming dedup paths so both
+    * agree on what "the same document" means. */
+  private def normDigest: org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  /** Streaming FIRST-SEEN dedup — the ingest-time twin of
+    * [[normalizedDedup]]: as crawl documents stream in, only the first
+    * arrival of each normalized digest passes (batch's min-doc_id canonical
+    * becomes arrival-order canonical, the only causal choice on a stream).
+    * Built on Spark's native stateful `dropDuplicates[WithinWatermark]`, so
+    * the digest state lives in the fault-tolerant state store and survives
+    * restarts.
+    *
+    * At 100 TB the unbounded variant's state is one row per DISTINCT
+    * document — pass `horizon = Some(tsCol -> delay)` to use
+    * `dropDuplicatesWithinWatermark`, which evicts digests once the
+    * watermark passes them (exact dedup within the horizon, the standard
+    * bounded-state trade for an unbounded crawl). */
+  def normalizedDedupStream(
+      docs: DataFrame,
+      horizon: Option[(String, String)] = None): DataFrame = {
+    val digested = docs.withColumn("digest", normDigest)
+    horizon match {
+      case Some((tsCol, delay)) =>
+        digested.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("digest")
+          .select(col("doc_id"), col("digest"))
+      case None =>
+        digested.dropDuplicates("digest")
+          .select(col("doc_id"), col("digest"))
+    }
   }
 }

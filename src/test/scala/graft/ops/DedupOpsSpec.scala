@@ -147,4 +147,30 @@ class DedupOpsSpec extends SparkTestBase {
     assert(out(2L) == ((1L, false)) && out(3L) == ((1L, false)), s"got $out")
     assert(out(4L) == ((4L, true)))
   }
+
+  test("normalizedDedupStream keeps the first arrival per digest across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = DedupOps.normalizedDedupStream(mem.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("norm_dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "Hello  World"), (4L, "hello worlds"))
+      q.processAllAvailable()
+      // duplicates arriving in a LATER batch must hit the state store
+      mem.addData((2L, "hello world"), (3L, "  HELLO\tWORLD \n"), (5L, "fresh text"))
+      q.processAllAvailable()
+      val kept = spark.table("norm_dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L, 5L), s"got $kept")
+      // stream's survivor set == batch canonical set when arrival order is
+      // doc_id order (first-seen == min-id)
+      val batchKeep = DedupOps.normalizedDedup(Seq(
+          (1L, "Hello  World"), (2L, "hello world"), (3L, "  HELLO\tWORLD \n"),
+          (4L, "hello worlds"), (5L, "fresh text")).toDF("doc_id", "text"))
+        .filter($"keep").select("doc_id").as[Long].collect().toSet
+      assert(kept == batchKeep, s"stream $kept vs batch $batchKeep")
+    } finally q.stop()
+  }
 }
