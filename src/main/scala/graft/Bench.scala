@@ -18,8 +18,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
+    // Shuffle/spill dirs: this VM's virtio disk collapses under concurrent
+    // shuffle writers (measured at 48k urls/local[32]: scan-stage taskSum
+    // 6322 s vs cpuSum 295 s, tasks 90% blocked on write; moving local
+    // dirs to RAM-backed /dev/shm cut the stage 3.2x and the kernel
+    // section 298->200 s with an identical rollup_hash). A real executor
+    // owns local NVMe, so tmpfs is the faithful local-mode stand-in —
+    // default there when present; SPARK_LOCAL_DIRS (which Spark reads
+    // FIRST) still overrides.
+    val spark = (if (sys.env.contains("SPARK_LOCAL_DIRS") ||
+        !new java.io.File("/dev/shm").isDirectory) builder0
+      else builder0.config("spark.local.dir", "/dev/shm/graft-spark-local"))
       // 8× cores: the kernel stage is CPU-bound with heavy-tailed per-key
       // cost (mega-series), so extra partitions let fast tasks drain while
       // stragglers run
