@@ -117,4 +117,40 @@ class PlanSpec extends SparkTestBase {
       "histogram needs map-side partial aggregation")
     assert(!h.contains("CartesianProduct") && !h.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q64 stratified sample: rank filter pushes below the shuffle (WindowGroupLimit)") {
+    val p = plan("q64_stratified_sample")
+    // partial per-partition group-limit BEFORE the exchange is what keeps
+    // the shuffle O(strata · n) instead of corpus-sized
+    assert(p.contains("WindowGroupLimit"), s"rank<=n must compile to WindowGroupLimit:\n$p")
+    assert(p.split("\n").count(_.contains("WindowGroupLimit")) >= 2,
+      "want Partial AND Final group limits (map-side prune)")
+  }
+
+  test("q65 bm25: stats broadcast, corpus never shuffled, scan pruned to text+id") {
+    val p = plan("q65_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row stats join must broadcast")
+    assert(!p.contains("hashpartitioning(doc_id"), "corpus side must not shuffle")
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"scan must prune unused columns: $read")
+  }
+
+  test("q61/q66 scrub + quantize: pure per-row maps, zero exchanges") {
+    for (q <- Seq("q61_pii_scrub", "q66_embed_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    }
+  }
+
+  test("q60 shard export: one shard-keyed exchange, sort only within shards") {
+    val p = plan("q60_shard_export")
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+    assert(exchanges.length == 1 && exchanges.head.contains("shard"),
+      s"exactly one exchange, keyed on shard: ${exchanges.mkString}")
+    // no global sort: every Sort node is the within-partition window sort
+    for (l <- p.split("\n") if l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort "))
+      assert(!l.contains("global=true"), s"no global sort allowed: $l")
+  }
 }
