@@ -722,7 +722,18 @@ object Queries {
     // --- int8 embedding quantization audit (oracle-backed): per-vector
     // scale, exact code checksum, and worst reconstruction error
     "q66_embed_quantize" -> ((s, dir) =>
-      SimilarityOps.quantizeInt8(embeddings(s, dir)))
+      SimilarityOps.quantizeInt8(embeddings(s, dir))),
+
+    // --- REAL sample-level audio decode (rows-only; closed-form spec twin):
+    // per-frame RMS + zero-crossing rate over materialized 16-bit PCM —
+    // summarized per doc so the row count stays bounded
+    "q67_audio_features" -> ((s, dir) =>
+      MultimodalOps.audioFrameFeatures(
+          MultimodalOps.syntheticAudio(documents(s, dir)), 256)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          round(avg("rms"), 6).as("mean_rms"),
+          round(avg("zcr"), 6).as("mean_zcr")))
   )
 
   // ------------------------------------------------------------- oracles

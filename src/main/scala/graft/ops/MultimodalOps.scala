@@ -143,6 +143,90 @@ object MultimodalOps {
       .toDF("doc_id", "frame_idx", "frame_hash")
   }
 
+  /** REAL sample-level audio decode + feature extraction for 16-bit PCM
+    * RIFF/WAV payloads: parses the chunk list, reads the MATERIALIZED
+    * `data` samples (16-bit LE; multi-channel frames are averaged to mono),
+    * windows them into `frameSize`-sample frames, and emits per-frame RMS
+    * energy and zero-crossing rate — the two features every audio-quality /
+    * silence-trim pipeline computes first. Unlike [[extractMeta]] this
+    * touches actual sample words, so it only accepts WAVs whose data chunk
+    * bytes are present (a truncated blob yields only its complete frames);
+    * non-WAV / non-16-bit payloads produce no rows. Pure JVM — PCM needs no
+    * codec library; a compressed format's decoder would slot into the same
+    * mapPartitions.
+    *
+    * Scale shape: partition-local decode (one codec init per task), one
+    * output row per frame — no shuffle; downstream aggs see (doc_id,
+    * frame_idx)-grained rows exactly like video frame sampling. */
+  def audioFrameFeatures(media: DataFrame, frameSize: Int = 256): DataFrame = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) => pcmFrames(id, b, frameSize) }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "rms", "zcr")
+  }
+
+  /** Decode one WAV payload to per-frame (rms, zcr) rows; see
+    * [[audioFrameFeatures]]. */
+  private def pcmFrames(
+      id: Long, b: Array[Byte], frameSize: Int)
+      : Iterator[(Long, Int, Int, Double, Double)] = {
+    if (b.length < 44 ||
+        !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return Iterator.empty
+    var oL = 12L
+    var channels = 0; var bits = 0; var dataOff = -1; var dataLen = 0
+    while (oL + 8 <= b.length && (channels == 0 || dataOff < 0)) {
+      val o = oL.toInt
+      val size = le32(b, o + 4)
+      if (size < 0) return Iterator.empty
+      if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && b(o + 3) == ' ' &&
+          o + 8 + 16 <= b.length) {
+        channels = le16(b, o + 10); bits = le16(b, o + 22)
+      } else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a') {
+        dataOff = o + 8
+        // only the bytes actually present participate (sampled blobs)
+        dataLen = math.min(size, b.length - dataOff)
+      }
+      oL += 8L + size.toLong + (size & 1)
+    }
+    if (channels <= 0 || bits != 16 || dataOff < 0) return Iterator.empty
+    val bytesPerFrame = channels * 2
+    val nSamples = dataLen / bytesPerFrame
+    val mono = new Array[Double](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        // sign-extend the 16-bit LE word
+        acc += le16(b, dataOff + i * bytesPerFrame + c * 2).toShort.toDouble
+        c += 1
+      }
+      mono(i) = acc / channels
+      i += 1
+    }
+    (0 until nSamples / frameSize).iterator.map { f =>
+      val start = f * frameSize
+      var sq = 0.0
+      var crossings = 0
+      var j = 0
+      while (j < frameSize) {
+        val v = mono(start + j)
+        sq += v * v
+        if (j > 0 && (v < 0) != (mono(start + j - 1) < 0)) crossings += 1
+        j += 1
+      }
+      (id, f, frameSize, math.sqrt(sq / frameSize),
+        crossings.toDouble / (frameSize - 1))
+    }
+  }
+
   /** Minimal valid BMP bytes (BITMAPINFOHEADER, 24bpp, no pixel data beyond
     * the declared dimensions' first row padding) — used by
     * [[syntheticMedia]] so q20 exercises the REAL header decoder. */
@@ -179,6 +263,49 @@ object MultimodalOps {
     w32(28, sampleRate * blockAlign); w16(32, blockAlign); w16(34, bits)
     b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'; w32(40, dataBytes)
     b
+  }
+
+  /** WAV bytes WITH materialized 16-bit PCM samples: a square wave of the
+    * given period (samples flip sign every period/2), identical across
+    * channels — closed-form features (RMS = amplitude exactly; ZCR =
+    * crossings at every half-period boundary) make the sample-level decoder
+    * hand-verifiable. */
+  def wavBytesPcm(
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Int,
+      period: Int,
+      amplitude: Int): Array[Byte] = {
+    require(period >= 2 && period % 2 == 0, s"period must be even >= 2, got $period")
+    val header = wavBytes(sampleRate, channels, 16, nFrames)
+    val b = java.util.Arrays.copyOf(header, 44 + nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = if ((i / (period / 2)) % 2 == 0) amplitude else -amplitude
+      var c = 0
+      while (c < channels) {
+        val o = 44 + (i * channels + c) * 2
+        b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** Audio table from the documents table: every row carries a REAL 16-bit
+    * PCM WAV whose tone period/length derive from doc_id — the
+    * sample-level decode path ([[audioFrameFeatures]]) runs on actual
+    * audio bytes end-to-end. */
+  def syntheticAudio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, wavBytesPcm(8000, 1 + (id % 2).toInt, 1024 + (id % 7).toInt * 256,
+          4 + (id % 14).toInt * 2, 4000 + (id % 16).toInt * 500))
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** Build a media table from the documents table. One third of the rows

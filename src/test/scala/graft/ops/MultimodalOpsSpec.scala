@@ -74,4 +74,34 @@ class MultimodalOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("audioFrameFeatures: closed-form RMS/ZCR on square-wave PCM, mono and stereo") {
+    import spark.implicits._
+    // period 8 (half = 4 divides the 256 frame): every sample is ±A so
+    // RMS = A exactly; sign flips at every 4th index -> 63 crossings / 255
+    val rows = Seq(
+      (1L, MultimodalOps.wavBytesPcm(8000, 1, 512, 8, 5000)),
+      (2L, MultimodalOps.wavBytesPcm(8000, 2, 512, 8, 3000)), // stereo, averaged
+      (3L, "not audio".getBytes("UTF-8"))                     // ignored
+    ).toDF("doc_id", "payload")
+    val out = MultimodalOps.audioFrameFeatures(rows, 256).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (2L, 0), (2L, 1)), s"got ${out.keySet}")
+    for (f <- 0 to 1) {
+      assert(out((1L, f)) == ((5000.0, 63.0 / 255.0)), s"mono frame $f: ${out((1L, f))}")
+      assert(out((2L, f)) == ((3000.0, 63.0 / 255.0)), s"stereo frame $f: ${out((2L, f))}")
+    }
+  }
+
+  test("audioFrameFeatures: truncated data chunk yields only complete frames") {
+    import spark.implicits._
+    val full = MultimodalOps.wavBytesPcm(8000, 1, 512, 8, 5000)
+    // cut mid-way through the second frame's samples (44B header + 300*2B)
+    val cut = java.util.Arrays.copyOf(full, 44 + 600)
+    val out = MultimodalOps.audioFrameFeatures(
+        Seq((9L, cut)).toDF("doc_id", "payload"), 256)
+      .collect().map(_.getInt(1)).toSet
+    assert(out == Set(0), s"only the complete first frame survives: $out")
+  }
 }
