@@ -104,6 +104,76 @@ object CorpusOps {
       .select("doc_id", "shard", "pos")
   }
 
+  /** One-call nightly corpus build — the composed driver a user runs
+    * end-to-end: normalized exact dedup → quality filter → repetition
+    * filter → near-dup canonical ([[graft.ops.DedupOps.dedupPipeline]]) →
+    * eval decontamination → per-stratum token budget → deterministic shard
+    * assignment for the survivors. Every stage is an independently
+    * oracle-pinned operator (q63/q07/q56/q55/q58/q57/q60); this function
+    * fixes their canonical order and returns the full per-document
+    * DECISION TABLE — `keep` plus the first failing stage in `drop_reason`
+    * (audit trail), with `shard`/`pos` populated for kept docs — so a
+    * corpus build is reproducible and explainable row by row.
+    *
+    * Scale shape: each stage keeps its own documented plan (no new
+    * shuffles are introduced by the composition — decisions join back on
+    * doc_id); the budget window and shard sort run only once, after all
+    * filters. */
+  def buildCorpus(
+      documents: DataFrame,
+      evalIds: DataFrame,
+      budgetPerStratum: Long,
+      nShards: Int): DataFrame = {
+    val norm = DedupOps.normalizedDedup(documents)
+      .select(col("doc_id"), col("keep").as("norm_keep"))
+    val quality = TextOps.qualityScore(documents)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val rep = TextOps.repetitionStats(documents)
+      .select(col("doc_id"), col("keep").as("r_keep"))
+    val near = DedupOps.dedupPipeline(documents)
+      .select(col("doc_id"), col("keep").as("d_keep"))
+    val decon = decontaminate(documents, evalIds)
+    val decided = documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(norm, Seq("doc_id"))
+      .join(quality, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .join(near, Seq("doc_id"))
+      .join(decon, Seq("doc_id"), "left") // eval docs: null -> dropped as eval
+      .withColumn("drop_reason",
+        when(col("contaminated").isNull, "eval_doc")
+          .when(!col("norm_keep"), "exact_dup")
+          .when(!col("q_keep"), "quality")
+          .when(!col("r_keep"), "repetition")
+          .when(!col("d_keep"), "near_dup")
+          .when(col("contaminated"), "contaminated"))
+    // budget runs over the docs that survived every filter
+    val survivors = decided.filter(col("drop_reason").isNull)
+    val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    val budgeted = survivors
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("drop_reason",
+        when(col("cum_tokens") - col("n_tokens") >= budgetPerStratum,
+          "over_budget"))
+    val kept = budgeted.filter(col("drop_reason").isNull)
+      .select(col("doc_id"))
+    val sharded = shardAssign(kept, nShards)
+    decided.filter(col("drop_reason").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("drop_reason"))
+      .unionByName(budgeted.filter(col("drop_reason").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("drop_reason")))
+      .withColumn("keep", lit(false))
+      .withColumn("shard", lit(null).cast("int"))
+      .withColumn("pos", lit(null).cast("int"))
+      .unionByName(budgeted.filter(col("drop_reason").isNull)
+        .join(sharded, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          lit(null).cast("string").as("drop_reason"), lit(true).as("keep"),
+          col("shard"), col("pos")))
+  }
+
   /** Deterministic per-stratum sample: the first `n` documents of each
     * (lang, source) stratum in [[idHash]] order — a reproducible uniform
     * draw with NO RNG state (re-running on any partitioning returns the

@@ -70,6 +70,57 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("buildCorpus: per-doc decision table with first failing stage and shard manifest") {
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ") // quality-passing base
+    def doc(i: Long, text: String, lang: String = "en") = (i, text, lang, "web")
+    val docs = Seq(
+      doc(1L, filler + " unique one extra tokens here"),
+      doc(2L, filler + " unique one extra tokens here"),     // exact dup of 1
+      doc(3L, "short"),                                      // fails quality
+      doc(4L, ("x " * 200).trim),                            // fails repetition
+      // eval doc: fully distinct text so only doc 6 shares a 5-gram with it
+      doc(5L, (1 to 30).map(i => s"e$i").mkString(" ")),
+      doc(6L, filler + " e1 e2 e3 e4 e5 tail") // shares eval 5-gram e1..e5
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusOps
+      .buildCorpus(docs, docs.filter($"doc_id" === 5L).select("doc_id"),
+        budgetPerStratum = 1000L, nShards = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(4)), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((None, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((Some("exact_dup"), false)))
+    assert(out(3L) == ((Some("quality"), false)))
+    assert(out(4L) == ((Some("repetition"), false)))
+    assert(out(5L) == ((Some("eval_doc"), false)))
+    assert(out(6L) == ((Some("contaminated"), false)))
+    // kept rows carry the same shard/pos the standalone exporter assigns
+    val keptIds = out.collect { case (id, (None, true)) => id }.toSeq
+    val expectShard = CorpusOps
+      .shardAssign(docs.filter($"doc_id".isin(keptIds: _*)).select("doc_id"), 4)
+      .as[(Long, Int, Int)].collect().toSet
+    val gotShard = CorpusOps
+      .buildCorpus(docs, docs.filter($"doc_id" === 5L).select("doc_id"), 1000L, 4)
+      .filter($"keep")
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSet
+    assert(gotShard == expectShard, s"$gotShard vs $expectShard")
+  }
+
+  test("buildCorpus: stratum budget drops later docs with over_budget") {
+    val filler = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 4L)
+      .map(i => (i, filler + s" uniq$i extra$i more$i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusOps
+      .buildCorpus(docs, docs.filter($"doc_id" < 0).select("doc_id"),
+        budgetPerStratum = 60L, nShards = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    // 28 tokens/doc: docs 1,2 start under 60 (0, 28), doc 3 starts at 56 —
+    // still under — doc 4 starts at 84 -> over budget
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty, s"got $out")
+    assert(out(4L) == Some("over_budget"), s"got $out")
+  }
+
   test("decontaminateStream on a doc stream equals batch decontaminate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
