@@ -146,9 +146,15 @@ object Bench {
       s""""rolled_rows":$rolledRows,"tier_rows":$tiers,"wall_sec":$pipelineWall,""" +
       s""""rolled_points_per_sec":$pointsPerSec,"rollup_hash":$hash}}"""
     // stdout gets wrapped in sbt's [info] prefix and interleaved with logs;
-    // the file is the parse-safe channel for the driver
+    // the file is the parse-safe channel for the driver. Pipeline-only
+    // scaling legs (SKIP_QUERIES) route to a sibling file so they can't
+    // clobber the canonical full-query benchmark record.
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES"))
+        "/root/repo/bench_pipeline_out.json"
+      else "/root/repo/bench_out.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
