@@ -733,7 +733,34 @@ object Queries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
           round(avg("rms"), 6).as("mean_rms"),
-          round(avg("zcr"), 6).as("mean_zcr")))
+          round(avg("zcr"), 6).as("mean_zcr"))),
+
+    // incremental continuous-aggregate refresh: events with event_id%5=0
+    // play the "tonight's new batch" role; the rest are the stored rollup.
+    // Output = the upsert set (touched 1h buckets recomputed exactly).
+    "q68_incremental_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val newPts = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(col("user_id").cast("string").as("url"), tsMs.as("ts"), col("value"))
+        .as[SeriesPoint]
+      val prev = ev.filter(pmod(col("event_id"), lit(5)) =!= 0)
+        .groupBy(col("user_id").cast("string").as("url"),
+          (tsMs - pmod(tsMs, lit(3600000L))).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum"),
+          min("value").as("min"), max("value").as("max"))
+      Rollup.incrementalRefresh(prev, newPts, 3600000L)
+        .select(col("url").as("user_id"),
+          timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
+          col("cnt"), round(col("sum"), 6).as("sum_val"),
+          round(col("min"), 6).as("min_val"), round(col("max"), 6).as("max_val"),
+          round(col("mean"), 6).as("mean_val"))
+    }),
+
+    // span-level cross-doc duplication: fraction of each doc's tokens
+    // covered by word-8-grams that occur verbatim in >= 2 distinct docs
+    "q69_dup_spans" -> ((s, dir) => TextOps.dupSpanStats(documents(s, dir), k = 8))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1550,6 +1577,49 @@ FROM walk WHERE rn >= 1"""
         |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
         |  round(list_max(list_transform(generate_series(1, len(e)),
         |    i -> abs(CAST(codes[i] AS DOUBLE) * scale / 127.0 - e[i]))), 9) AS max_err
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // full recompute restricted to the buckets the "new batch" touches ==
+    // the engine's incremental upsert set (partial aggregates merge exactly)
+    "q68_incremental_refresh" ->
+      """WITH pts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |    date_trunc('hour', ts) AS bucket_start, value, event_id
+        |  FROM events),
+        |touched AS (
+        |  SELECT DISTINCT user_id, bucket_start FROM pts WHERE event_id % 5 = 0)
+        |SELECT p.user_id, p.bucket_start, count(*) AS cnt,
+        |  round(sum(value), 6) AS sum_val,
+        |  round(min(value), 6) AS min_val, round(max(value), 6) AS max_val,
+        |  round(sum(value) / count(*), 6) AS mean_val
+        |FROM pts p JOIN touched t USING (user_id, bucket_start)
+        |GROUP BY p.user_id, p.bucket_start""".stripMargin,
+
+    // gram strings stand in for the engine's 64-bit gram hashes (identical
+    // duplicate sets absent xxh64 collisions); interval-union coverage via
+    // the same lag() pass
+    "q69_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokExpr AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks),
+         |grams AS (
+         |  SELECT doc_id, i, array_to_string(t[i : i + 7], ' ') AS g FROM pos),
+         |dup AS (
+         |  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |  FROM grams WHERE g IN (SELECT g FROM dup)),
+         |cov AS (
+         |  SELECT doc_id, count(*) AS n_dup_grams,
+         |    CAST(sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, i - prev) END)
+         |      AS BIGINT) AS dup_tokens
+         |  FROM hits GROUP BY doc_id)
+         |SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         |  coalesce(c.n_dup_grams, 0) AS n_dup_grams,
+         |  coalesce(c.dup_tokens, 0) AS dup_tokens,
+         |  round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
+         |    / greatest(len(tk.t), 1), 6) AS dup_frac
+         |FROM toks tk LEFT JOIN cov c USING (doc_id)""".stripMargin
   )
 }

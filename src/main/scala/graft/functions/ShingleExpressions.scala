@@ -57,6 +57,20 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Word-k-shingle hashes in POSITION order (duplicates kept), one per
+    * token position `0 .. n_tokens-k` — the span-level-dedup representation
+    * (which token ranges are duplicated), where [[hashedShingles]]'s
+    * distinct sorted set is the doc-level one (how similar two docs are). */
+  def positionalShingles(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(s.toString)
+    val n = toks.length - k + 1
+    if (n <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hashShingle(toks, i, k, 42L); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** MinHash signature: for perm p in [0, nPerms), min over shingles of
     * xxhash64(shingle, p). Bit-identical to the Column composition
     * `transform(seq, p -> array_min(transform(shingles, xxhash64(_, p))))` —
@@ -108,6 +122,18 @@ case class HashedShingles(child: Expression, k: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.hashedShingles($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+case class PositionalShingles(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftExpectsInputTypes {
+  override def expectedInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernel.positionalShingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.positionalShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingles =
     copy(child = newChild)
 }
 

@@ -62,6 +62,9 @@ object functions {
   /** Sorted distinct word-k-shingle hashes of a string column. */
   def hashed_shingles(c: Column, k: Int): Column =
     Bridge.column(HashedShingles(Bridge.expression(c), k))
+  /** Word-k-shingle hashes in position order (duplicates kept). */
+  def positional_shingles(c: Column, k: Int): Column =
+    Bridge.column(PositionalShingles(Bridge.expression(c), k))
   /** MinHash signature (nPerms mins of seeded xxhash64 over word k-shingles). */
   def minhash_sig(c: Column, k: Int, nPerms: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k, nPerms))

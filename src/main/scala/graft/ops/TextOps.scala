@@ -124,6 +124,51 @@ object TextOps {
         (uniqFrac >= 0.35 && topFrac <= 0.15 && dup2Frac <= 0.12).as("keep"))
   }
 
+  /** SPAN-level cross-document duplication stats — which token RANGES of a
+    * document also appear verbatim in other documents (the "repeated
+    * 50-token span" signal of substring-level training-data dedup, à la
+    * Lee et al. 2022), where q05/q16 answer the DOC-level question.
+    *
+    * A position's word-k-gram is "duplicated" when the same k-gram occurs
+    * in ≥ `minDocs` distinct documents. Per document this emits the number
+    * of duplicated gram positions and the exact token count covered by the
+    * UNION of their [pos, pos+k) intervals (computed with one lag() pass —
+    * consecutive hits add min(k, pos−prev) tokens), so `dup_frac` is the
+    * fraction of the document's tokens that exist verbatim elsewhere.
+    *
+    * Scale shape: the gram explode is the one event-sized shuffle (hash on
+    * the 64-bit gram, partial-agg combine); the duplicated-gram table is
+    * usually corpus-small (AQE broadcasts it); the interval-union window
+    * partitions by doc over HIT positions only. No task ever holds more
+    * than one document's hits. */
+  def dupSpanStats(documents: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.functions.positional_shingles
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = documents.select(col("doc_id"),
+      posexplode(positional_shingles(col("text"), k)).as(Seq("pos", "g")))
+    val dup = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = grams.join(dup, Seq("g"))
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("newcov",
+        when(col("prev").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("pos") - col("prev"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"), sum("newcov").as("dup_tokens"))
+    documents.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / greatest(col("n_tokens"), lit(1L)), 6)
+          .as("dup_frac"))
+  }
+
   /** Document fingerprint: order-sensitive rolling combination of token
     * hashes (Karp-Rabin flavoured), plus a winnowing-style min-hash of token
     * 64-bit hashes. Content-defined, stable under re-partitioning. */

@@ -465,6 +465,48 @@ object Rollup {
   def retain(rows: Dataset[RollupRow], nowMs: Long, retainMs: Long): Dataset[RollupRow] =
     rows.filter(col("bucket_start") >= lit(nowMs - retainMs))
 
+  /** INCREMENTAL continuous-aggregate refresh — the nightly-ingest path: a
+    * batch of NEW raw points arrives and only the (url, bucket) groups it
+    * touches are recomputed, as an UPSERT set to MERGE into the stored
+    * rollup. Because cnt/sum/min/max are mergeable partial aggregates,
+    * `delta ⊕ prev = full recompute` exactly (mean re-derived as sum/cnt),
+    * so a day's refresh costs O(new data), never a rescan of the table.
+    *
+    * `prev` is the stored aggregate with columns (url, bucket_start, cnt,
+    * sum, min, max) — any extra columns are dropped. Returned rows cover
+    * exactly the buckets present in `newPoints` (brand-new buckets included;
+    * untouched prev rows are by definition not re-written).
+    *
+    * Scale shape: the new batch collapses map-side to its touched buckets
+    * (partial/final hash agg), then LEFT-joins `prev` on the aggregate keys
+    * — with the rollup stored bucketed on url ([[graft.sources.TableIO
+    * .writeBucketed]]) the probe is co-located (no prev-side shuffle), and
+    * the delta side is new-data-sized, so AQE broadcasts it against a big
+    * stored table. The FP caveat of any incremental design: sum re-orders
+    * vs a monolithic recompute (prev-subtotal + delta-subtotal), identical
+    * to the reassociation a partial/final hash agg already performs. */
+  def incrementalRefresh(
+      prev: DataFrame,
+      newPoints: Dataset[SeriesPoint],
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val delta = newPoints.toDF()
+      .groupBy(col("url"),
+        (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket_start"))
+      .agg(count(lit(1)).as("d_cnt"), sum("value").as("d_sum"),
+        min("value").as("d_min"), max("value").as("d_max"))
+    delta
+      .join(prev.select("url", "bucket_start", "cnt", "sum", "min", "max"),
+        Seq("url", "bucket_start"), "left")
+      .select(col("url"), col("bucket_start"),
+        (coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt"),
+        (coalesce(col("sum"), lit(0.0)) + col("d_sum")).as("sum"),
+        // least/greatest skip NULLs, so a brand-new bucket takes the delta's
+        least(col("min"), col("d_min")).as("min"),
+        greatest(col("max"), col("d_max")).as("max"))
+      .withColumn("mean", col("sum") / col("cnt"))
+  }
+
   // ------------------------------------------- DataFrame-level gap-fill op
 
   /** Declarative gap-fill + locf over an aggregated (key, bucket, mean)

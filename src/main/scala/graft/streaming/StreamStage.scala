@@ -129,6 +129,33 @@ object StreamStage {
         col("cnt"), col("sum"), col("min"), col("max"), col("mean"))
   }
 
+  /** STREAMING distribution rollup — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.histogram]] (q43): per (url, bucket, bin)
+    * counts with globally aligned fixed-width bins, as a NATIVE watermarked
+    * window aggregation (no custom state code — bins are just one more
+    * grouping key, so Spark's streaming hash aggregate handles merge,
+    * state eviction, and exactly-once append). A (url, bucket, bin) row is
+    * emitted once when the watermark passes the bucket end; state is
+    * O(open buckets × occupied bins), independent of stream length. */
+  def histogramStream(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long,
+      binWidth: Double,
+      lateness: String = "10 minutes"): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("url"), window(col("event_time"), s"$bucketMs milliseconds"),
+        floor(col("value") / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        min("value").as("bin_min"), max("value").as("bin_max"))
+      .select(col("url"), unix_millis(col("window.start")).as("bucket_start"),
+        col("bin"), col("cnt"), col("bin_min"), col("bin_max"))
+  }
+
   /** STREAMING gap-based sessionization — the unbounded twin of
     * [[graft.ops.SessionOps.sessionize]]. A session closes when event time
     * advances past its end by more than `gapMs` within the stream, or when

@@ -99,4 +99,53 @@ class PipelineOpsSpec extends SparkTestBase {
       TextOps.piiScrub(docs, Seq("a.b"))
     }
   }
+
+  test("incrementalRefresh upserts equal a full recompute on exactly the touched buckets") {
+    import graft.pipeline.SeriesPoint
+    val rng = new scala.util.Random(41)
+    val bucketMs = 3600000L
+    val pts = for (u <- 0 until 3; _ <- 0 until 200) yield SeriesPoint(
+      s"u$u", rng.nextInt(20).toLong * 600000L + rng.nextInt(600000),
+      rng.nextDouble() * 100.0)
+    val (newPts, oldPts) = pts.zipWithIndex.partition(_._2 % 4 == 0)
+    def rollup(ps: Seq[SeriesPoint]) = ps.toDS().toDF()
+      .groupBy(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum"),
+        min("value").as("min"), max("value").as("max"))
+    val ups = Rollup.incrementalRefresh(
+        rollup(oldPts.map(_._1)), newPts.map(_._1).toDS(), bucketMs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val touched = newPts.map(_._1)
+      .map(p => (p.url, p.ts - p.ts % bucketMs)).toSet
+    assert(ups.keySet == touched, "upsert set covers exactly the touched buckets")
+    val full = rollup(pts).withColumn("mean", col("sum") / col("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    for ((k, (cnt, s, mn, mx, mean)) <- ups) {
+      val (fc, fs, fmn, fmx, fmean) = full(k)
+      assert(cnt == fc && mn == fmn && mx == fmx, s"$k count/min/max exact")
+      assert(math.abs(s - fs) < 1e-9 && math.abs(mean - fmean) < 1e-9,
+        s"$k sums agree modulo partial-agg reassociation")
+    }
+  }
+
+  test("incrementalRefresh seeds brand-new buckets and keys from the delta alone") {
+    import graft.pipeline.SeriesPoint
+    val bucketMs = 3600000L
+    val prev = Seq(("uOld", 0L, 5L, 50.0, 1.0, 30.0))
+      .toDF("url", "bucket_start", "cnt", "sum", "min", "max")
+    val fresh = Seq(
+      SeriesPoint("uNew", 100L, 7.0), SeriesPoint("uNew", 200L, 3.0),
+      SeriesPoint("uOld", 500L, 10.0)).toDS()
+    val out = Rollup.incrementalRefresh(prev, fresh, bucketMs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("uNew") == ((2L, 10.0, 3.0, 7.0)), "unseen key = delta aggregates")
+    assert(out("uOld") == ((6L, 60.0, 1.0, 30.0)), "stored partials merge in")
+  }
 }

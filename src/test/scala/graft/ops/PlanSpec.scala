@@ -153,4 +153,30 @@ class PlanSpec extends SparkTestBase {
     for (l <- p.split("\n") if l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort "))
       assert(!l.contains("global=true"), s"no global sort allowed: $l")
   }
+
+  test("q68 incremental refresh: delta is partial+final agg, prev joined not rescanned") {
+    val p = plan("q68_incremental_refresh")
+    // both sides aggregate partial+final (>=4 HashAggregate lines), then one
+    // equi-join on (url, bucket_start) — never a cartesian/NLJ
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 4, "partial aggs both sides")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "aggregate-key equi-join only")
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("event_type") && !read.contains("props"),
+      s"scans pruned to ts/user_id/value/event_id: $read")
+  }
+
+  test("q69 dup spans: gram exchange keys on the 64-bit hash, never the text") {
+    val p = plan("q69_dup_spans")
+    assert(p.contains("positionalshingles") || p.contains("PositionalShingles") ||
+      p.contains("positional_shingles"), s"native gram kernel in the plan")
+    // every hash exchange keys on gram hash g / doc_id — none on raw text
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("text#")),
+      s"no text-keyed shuffle: ${exchanges.mkString}")
+    assert(!p.contains("CartesianProduct"), "no all-pairs join")
+    // interval-union window is doc-partitioned, not global
+    for (l <- p.split("\n") if l.trim.startsWith("Window"))
+      assert(l.contains("doc_id"), s"window must be partitioned by doc: $l")
+  }
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-case semantics for the span-level duplication stats (their
+  * cross-engine check is the q69 DuckDB oracle over gram STRINGS; these
+  * cases pin the interval-union arithmetic on known overlaps). */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stats(docs: Seq[(Long, String)], k: Int) =
+    TextOps.dupSpanStats(docs.toDF("doc_id", "text"), k = k)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+  test("dupSpanStats merges overlapping duplicated grams into one covered span") {
+    val out = stats(Seq(
+      1L -> "a b c d e f",     // grams abc, bcd shared with doc 2
+      2L -> "x x a b c d y",
+      3L -> "z z z z"          // nothing shared
+    ), k = 3)
+    // doc 1: hits at pos 0,1 -> union [0,3] = 4 tokens of 6
+    assert(out(1L) == ((6L, 2L, 4L, 0.666667)), s"got ${out(1L)}")
+    // doc 2: hits at pos 2,3 -> union [2,5] = 4 tokens of 7
+    assert(out(2L) == ((7L, 2L, 4L, 0.571429)), s"got ${out(2L)}")
+    assert(out(3L) == ((4L, 0L, 0L, 0.0)), s"got ${out(3L)}")
+  }
+
+  test("dupSpanStats sums disjoint duplicated spans without bridging the gap") {
+    val out = stats(Seq(
+      4L -> "p q r s z t u v w",  // shares pqr (pos 0) and tuv (pos 5)
+      5L -> "p q r y y y t u v"
+    ), k = 3)
+    // doc 4: [0,2] U [5,7] = 6 tokens of 9; the s/z gap stays uncovered
+    assert(out(4L) == ((9L, 2L, 6L, 0.666667)), s"got ${out(4L)}")
+    assert(out(5L) == ((9L, 2L, 6L, 0.666667)), s"got ${out(5L)}")
+  }
+
+  test("dupSpanStats ignores repeats WITHIN one document (cross-doc only)") {
+    val out = stats(Seq(
+      6L -> "m n o m n o m n o",  // heavy self-repetition, no other doc
+      7L -> "unrelated words entirely here"
+    ), k = 3)
+    assert(out(6L) == ((9L, 0L, 0L, 0.0)), s"got ${out(6L)}")
+  }
+}

@@ -411,4 +411,46 @@ class StreamStageSpec extends SparkTestBase {
     assert(batch(("a", 30L))._1.isDefined && batch(("a", 30L))._2.isEmpty,
       "fixture's dup-ts row must exercise the NULL-rate edge")
   }
+
+  test("streaming histogram equals batch histogram on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(53)
+    val bucketMs = 3600000L
+    // 2 urls x 3 hourly buckets of values spanning several width-10 bins
+    val all = for (u <- 0 until 2; b <- 0 until 3; _ <- 0 until 60) yield
+      SeriesPoint(s"u$u", 3600000L + b * bucketMs + rng.nextInt(bucketMs.toInt),
+        rng.nextDouble() * 80.0 - 15.0)
+    val batch = graft.ops.AnalyticsOps.histogram(
+        all.toDF(), col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))),
+        col("value"), 10.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), math.round(r.getDouble(4) * 1e6), math.round(r.getDouble(5) * 1e6))))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.histogramStream(mem.toDS(), bucketMs, 10.0, "4 hours")
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(80)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(SeriesPoint("sentinel", far, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sentinel", far + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hist_stream")
+      .filter(col("url") =!= "sentinel")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), math.round(r.getDouble(4) * 1e6), math.round(r.getDouble(5) * 1e6))))
+      .toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
 }
