@@ -72,6 +72,15 @@ final case class QuantileBucketOut(url: String, bucket_start: Long, n: Long,
 final case class HoltBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     l: Double, b: Double, primed: Boolean)
 
+/** One smoothed point from [[StreamStage.holtWintersStream]]. */
+final case class HwStreamOut(url: String, ts: Long, tie: Long, value: Double,
+    level: Double, trend: Double, seasonal: Double, forecast: Double)
+
+/** Per-url state for [[StreamStage.holtWintersStream]]: the above-watermark
+  * buffer plus the running (level, trend, seasonal ring, ring rotation). */
+final case class HwBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
+    l: Double, b: Double, seas: Array[Double], rot: Int, primed: Boolean)
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -368,6 +377,57 @@ object StreamStage {
           HoltOut(url, t, q, v, l, b, l + b)
         }.toVector
         (out, st.copy(l = l, b = b, primed = primed))
+      })
+  }
+
+  /** STREAMING per-url additive Holt-Winters — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.holtWinters]], completing the smoother
+    * family's streaming twins (EWMA/Holt/HW). Same watermark-buffered
+    * in-order replay; the drained prefix runs the EXACT sequential
+    * recurrence (identical op order to the batch op's phase-3 chunk walk),
+    * with the (x₁, 0, 0…0) seed and the circular seasonal ring. State per
+    * url is the O(lateness) buffer plus (level, trend, m seasonals, rot). */
+  def holtWintersStream(
+      points: Dataset[TiedPoint],
+      alpha: Double,
+      betaT: Double,
+      gamma: Double,
+      period: Int,
+      lateness: String = "10 minutes"): Dataset[HwStreamOut] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(betaT >= 0 && betaT <= 1, s"beta must be in [0, 1], got $betaT")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0, 1], got $gamma")
+    require(period >= 1, s"period must be >= 1, got $period")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val m = period
+    bufferedReplay[HwBuf, HwStreamOut](points, lateness,
+        HwBuf(Array.emptyLongArray, Array.emptyLongArray, Array.emptyDoubleArray,
+          0.0, 0.0, new Array[Double](m), 0, false))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.primed,
+      (url, st, ready) => {
+        var l = st.l
+        var b = st.b
+        val q = st.seas.clone()
+        var rot = st.rot
+        var primed = st.primed
+        val out = ready.iterator.map { case (t, qq, x) =>
+          if (!primed) { primed = true; l = x; b = 0.0 }
+          // identical arithmetic to AnalyticsOps.holtWinters' chunk walk
+          val qmIdx = (rot + m - 1) % m
+          val qm = q(qmIdx)
+          val lPrev = l
+          l = (1 - alpha) * (l + b) + alpha * (x - qm)
+          b = betaT * (l - lPrev) + (1 - betaT) * b
+          val sNew = gamma * (x - l) + (1 - gamma) * qm
+          q(qmIdx) = sNew
+          rot = (rot + m - 1) % m
+          val fc = l + b + q((rot + m - 1) % m)
+          HwStreamOut(url, t, qq, x, l, b, sNew, fc)
+        }.toVector
+        (out, st.copy(l = l, b = b, seas = q, rot = rot, primed = primed))
       })
   }
 

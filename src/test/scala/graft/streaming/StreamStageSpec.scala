@@ -263,6 +263,65 @@ class StreamStageSpec extends SparkTestBase {
     }
   }
 
+  test("streaming holt-winters equals the sequential recurrence despite late arrivals") {
+    import org.apache.spark.sql.functions._
+    val (alpha, betaT, gamma, m) = (0.4, 0.2, 0.3, 5)
+    val rng = new scala.util.Random(19)
+    val season = Array.tabulate(m)(j => 4.0 * math.sin(2 * math.Pi * j / m))
+    val all = for (u <- Seq("a", "b"); i <- 0 until 60)
+      yield TiedPoint(u, 3600000L + i * 60000L, i.toLong,
+        0.3 * i + season(i % m) + rng.nextDouble())
+    // same reference recurrence as the batch spec (AnalyticsOpsSpec seqHw)
+    def seqHw(xs: Seq[Double]): Seq[(Double, Double, Double, Double)] = {
+      var l = xs.head; var b = 0.0
+      var q = Vector.fill(m)(0.0)
+      xs.map { x =>
+        val qm = q.last
+        val lPrev = l
+        l = (1 - alpha) * (l + b) + alpha * (x - qm)
+        b = betaT * (l - lPrev) + (1 - betaT) * b
+        val s = gamma * (x - l) + (1 - gamma) * qm
+        q = s +: q.init
+        (l, b, s, l + b + q.last)
+      }
+    }
+    val expect = all.groupBy(_.url).flatMap { case (u, pts) =>
+      val sorted = pts.sortBy(p => (p.ts, p.tie))
+      sorted.map(_.tie).zip(seqHw(sorted.map(_.value))).map {
+        case (q, t) => (u, q) -> t
+      }
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.holtWintersStream(mem.toDS(), alpha, betaT, gamma, m, "10 minutes")
+      .writeStream.format("memory").queryName("hw_stream")
+      .outputMode("append").start()
+    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    for (chunk <- perturbed.grouped(10)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hw_stream").as[HwStreamOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.tie) ->
+        ((e.level, e.trend, e.seasonal, e.forecast))).toMap
+    assert(streamed.size == all.size,
+      s"every point emitted exactly once (got ${streamed.size} of ${all.size})")
+    for (((k, qq), (el, eb, es, ef)) <- expect) {
+      val (l, b, s, f) = streamed((k, qq))
+      def ck(g0: Double, e: Double, what: String) =
+        assert(math.abs(g0 - e) <= 1e-12 * math.max(1.0, math.abs(e)),
+          s"$k#$qq $what: $g0 vs $e")
+      ck(l, el, "level"); ck(b, eb, "trend"); ck(s, es, "seasonal"); ck(f, ef, "forecast")
+    }
+  }
+
   test("streaming heavy hitters equal batch per-bucket top-k on closed buckets") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(29)
