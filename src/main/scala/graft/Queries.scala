@@ -760,7 +760,32 @@ object Queries {
 
     // span-level cross-doc duplication: fraction of each doc's tokens
     // covered by word-8-grams that occur verbatim in >= 2 distinct docs
-    "q69_dup_spans" -> ((s, dir) => TextOps.dupSpanStats(documents(s, dir), k = 8))
+    "q69_dup_spans" -> ((s, dir) => TextOps.dupSpanStats(documents(s, dir), k = 8)),
+
+    // LTTB-48 downsample of each user's HOURLY MAX series. y = max (not
+    // avg) on purpose: max is exact under any partitioning, so the area
+    // argmax is bit-stable across engines and the sequential algorithm
+    // itself is DuckDB-oracled (q34's golden twin covers the avg flavour
+    // on kernel-internal input). Bounded shape: LTTB runs over bucket
+    // rows per group, never raw points.
+    "q70_lttb_hourly" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(col("user_id").cast("string").as("url"),
+          unix_millis(date_trunc("hour", col("ts"))).as("x"))
+        .agg(max("value").as("y"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          val idx = ops.DownsampleOps.lttbIndices(rows.map(_._2), rows.map(_._3), 48)
+          idx.iterator.map(i => (u, rows(i)._2, rows(i)._3))
+        }
+        .toDF("url", "x", "y")
+        .select(col("url").as("user_id"),
+          timestamp_millis(col("x")).cast("timestamp_ntz").as("bucket_start"),
+          round(col("y"), 6).as("max_val"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -1620,6 +1645,74 @@ FROM walk WHERE rn >= 1"""
          |  coalesce(c.dup_tokens, 0) AS dup_tokens,
          |  round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
          |    / greatest(len(tk.t), 1), 6) AS dup_frac
-         |FROM toks tk LEFT JOIN cov c USING (doc_id)""".stripMargin
+         |FROM toks tk LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    // an EXACT mirror of DownsampleOps.lttbIndices as a recursive CTE: the
+    // per-user selection state (last chosen index a) advances one bucket per
+    // recursion step; centroid sums are left folds (list_reduce) matching
+    // the engine's accumulation order, and the first-max argmax is
+    // list_position(areas, list_max(areas)). y = max(value) is exact under
+    // any partitioning, so every area double is bit-identical cross-engine.
+    "q70_lttb_hourly" ->
+      """WITH RECURSIVE agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS u,
+        |         epoch_ms(date_trunc('hour', ts)) AS x, max(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT u, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
+        |         CAST(count(*) AS INT) AS n
+        |  FROM agg GROUP BY u),
+        |sel AS (
+        |  SELECT u, 0 AS i, 0 AS a FROM ser WHERE n > 48
+        |  UNION ALL
+        |  SELECT u, i + 1 AS i,
+        |    bs0 + list_position(areas, list_max(areas)) - 1 AS a
+        |  FROM (
+        |    SELECT q.*,
+        |      list_transform(generate_series(bs0 + 1, be0),
+        |        p -> abs((ax - cx) * (ys[p] - ay)
+        |               - (ax - CAST(xs[p] AS DOUBLE)) * (cy - ay)) * 0.5) AS areas
+        |    FROM (
+        |      SELECT v.*, sx / m AS cx, sy / m AS cy
+        |      FROM (
+        |        SELECT s.u, s.i, r.xs, r.ys, r.n,
+        |          CAST(r.xs[s.a + 1] AS DOUBLE) AS ax, r.ys[s.a + 1] AS ay,
+        |          (r.n - 2) / 46.0 AS bs,
+        |          CAST(floor(s.i * bs) AS INT) + 1 AS bs0,
+        |          least(CAST(floor((s.i + 1) * bs) AS INT) + 1, r.n) AS be0,
+        |          CAST(floor((s.i + 1) * bs) AS INT) + 1 AS cs0,
+        |          least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n) AS ce0,
+        |          CASE WHEN least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
+        |                    > CAST(floor((s.i + 1) * bs) AS INT) + 1
+        |            THEN list_reduce(
+        |              list_transform(
+        |                r.xs[CAST(floor((s.i + 1) * bs) AS INT) + 2
+        |                     : least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)],
+        |                e -> CAST(e AS DOUBLE)),
+        |              (acc, e) -> acc + e)
+        |            ELSE 0.0 END AS sx,
+        |          CASE WHEN least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
+        |                    > CAST(floor((s.i + 1) * bs) AS INT) + 1
+        |            THEN list_reduce(
+        |              r.ys[CAST(floor((s.i + 1) * bs) AS INT) + 2
+        |                   : least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)],
+        |              (acc, e) -> acc + e)
+        |            ELSE 0.0 END AS sy,
+        |          greatest(least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
+        |                   - (CAST(floor((s.i + 1) * bs) AS INT) + 1), 1) AS m
+        |        FROM sel s JOIN ser r USING (u)
+        |        WHERE s.i < 46
+        |      ) v
+        |    ) q
+        |  ) z),
+        |pick AS (
+        |  SELECT u, a FROM sel
+        |  UNION ALL
+        |  SELECT u, n - 1 AS a FROM ser WHERE n > 48
+        |  UNION ALL
+        |  SELECT u, unnest(generate_series(0, n - 1)) AS a FROM ser WHERE n <= 48)
+        |SELECT p.u AS user_id, epoch_ms(r.xs[p.a + 1]) AS bucket_start,
+        |  round(r.ys[p.a + 1], 6) AS max_val
+        |FROM pick p JOIN ser r USING (u)""".stripMargin
   )
 }
