@@ -507,6 +507,25 @@ object Rollup {
       .withColumn("mean", col("sum") / col("cnt"))
   }
 
+  /** Apply an [[incrementalRefresh]] upsert set to the stored aggregate —
+    * the MERGE half of the refresh loop: upserted (url, bucket_start) keys
+    * replace their stored rows, untouched rows pass through. Post-merge
+    * table ≡ a full recompute over old+new raw data (PipelineOpsSpec).
+    *
+    * Scale shape: the anti-join's build side is the upsert KEY set (new-
+    * data-sized; AQE broadcasts it), so untouched data is never shuffled —
+    * and with a date-partitioned store, partition pruning on the upsert
+    * keys' date range means untouched partitions are never even read. On
+    * Iceberg this whole function is `MERGE INTO ... WHEN MATCHED` /
+    * row-level-delete territory; on the parquet binding it pairs with
+    * [[graft.sources.TableIO.write]]'s dynamic partition overwrite. */
+  def mergeUpserts(
+      prev: DataFrame,
+      upserts: DataFrame,
+      keys: Seq[String] = Seq("url", "bucket_start")): DataFrame =
+    upserts.unionByName(
+      prev.join(upserts.select(keys.map(col): _*), keys, "left_anti"))
+
   // ------------------------------------------- DataFrame-level gap-fill op
 
   /** Declarative gap-fill + locf over an aggregated (key, bucket, mean)

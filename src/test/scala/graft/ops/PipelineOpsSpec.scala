@@ -133,6 +133,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("mergeUpserts(prev, incrementalRefresh(...)) equals the full recompute") {
+    import graft.pipeline.SeriesPoint
+    val rng = new scala.util.Random(43)
+    val bucketMs = 3600000L
+    val pts = for (u <- 0 until 3; _ <- 0 until 150) yield SeriesPoint(
+      s"u$u", rng.nextInt(24).toLong * 600000L + rng.nextInt(600000),
+      rng.nextDouble() * 50.0)
+    val (newPts, oldPts) = pts.zipWithIndex.partition(_._2 % 5 == 0)
+    def rollup(ps: Seq[SeriesPoint]) = ps.toDS().toDF()
+      .groupBy(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum"),
+        min("value").as("min"), max("value").as("max"))
+      .withColumn("mean", col("sum") / col("cnt"))
+    val prev = rollup(oldPts.map(_._1))
+    val ups = Rollup.incrementalRefresh(prev, newPts.map(_._1).toDS(), bucketMs)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val merged = toMap(Rollup.mergeUpserts(prev, ups))
+    val full = toMap(rollup(pts))
+    assert(merged.keySet == full.keySet, "post-merge covers every bucket exactly once")
+    for ((k, (cnt, s, mn, mx, mean)) <- merged) {
+      val (fc, fs, fmn, fmx, fmean) = full(k)
+      assert(cnt == fc && mn == fmn && mx == fmx, s"$k count/min/max exact")
+      assert(math.abs(s - fs) < 1e-9 && math.abs(mean - fmean) < 1e-9, s"$k sums agree")
+    }
+  }
+
   test("incrementalRefresh seeds brand-new buckets and keys from the delta alone") {
     import graft.pipeline.SeriesPoint
     val bucketMs = 3600000L
