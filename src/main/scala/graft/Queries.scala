@@ -785,7 +785,17 @@ object Queries {
         .select(col("url").as("user_id"),
           timestamp_millis(col("x")).cast("timestamp_ntz").as("bucket_start"),
           round(col("y"), 6).as("max_val"))
-    })
+    }),
+
+    // real sample-level BMP pixel decode: per-image channel means + 8x8
+    // perceptual average-hash (closed-form spec twin; not SQL-expressible)
+    "q71_image_features" -> ((s, dir) =>
+      MultimodalOps.imagePixelFeatures(
+          MultimodalOps.syntheticImages(documents(s, dir)))
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"), col("ahash")))
   )
 
   // ------------------------------------------------------------- oracles

@@ -227,6 +227,124 @@ object MultimodalOps {
     }
   }
 
+  /** Per-image pixel-level features from REAL 24-bpp BMP decoding: channel
+    * means plus a 64-bit perceptual average-hash (8×8 luma pool, bit k set
+    * when cell k's mean luma exceeds the grand cell mean, row-major k =
+    * row*8+col from the TOP-left) — the classic image near-dup primitive; a
+    * downstream hamming-bucket join on `ahash` is exactly the q17 SimHash
+    * shape. Non-BMP / truncated payloads yield no row (sampled-blob-safe).
+    *
+    * Scale shape: one `mapPartitions` batch-decode pass, zero shuffles —
+    * the same slot [[audioFrameFeatures]] uses for PCM; output is one
+    * fixed-width row per image, so whatever aggregates or joins follow
+    * operate on image-count-sized data, never pixels. */
+  def imagePixelFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) => bmpPixelStats(id, b) }
+      }
+      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "ahash")
+  }
+
+  private def bmpPixelStats(id: Long, b: Array[Byte])
+      : Option[(Long, Int, Int, Double, Double, Double, Long)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22) // positive = bottom-up rows (the only layout we emit)
+    val bits = le16(b, 28)
+    if (bits != 24 || w <= 0 || h <= 0 || w > 65536 || h > 65536) return None
+    val stride = (w * 3 + 3) & ~3
+    if (off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    val cellSum = new Array[Double](64)
+    val cellN = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      // image row y (top-down) lives at physical row h-1-y
+      val rowOff = off + (h - 1 - y) * stride
+      val ci = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * 3
+        val bl = b(o) & 0xff; val gr = b(o + 1) & 0xff; val rd = b(o + 2) & 0xff
+        sr += rd; sg += gr; sb += bl
+        val k = ci * 8 + x * 8 / w
+        cellSum(k) += (rd + gr + bl) / 3.0
+        cellN(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var grand = 0.0
+    val cell = new Array[Double](64)
+    var k = 0
+    while (k < 64) {
+      cell(k) = if (cellN(k) > 0) cellSum(k) / cellN(k) else 0.0
+      grand += cell(k)
+      k += 1
+    }
+    grand /= 64.0
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (cell(k) > grand) hash |= 1L << k
+      k += 1
+    }
+    Some((id, w, h, sr / n, sg / n, sb / n, hash))
+  }
+
+  /** Full 24-bpp BMP bytes WITH a deterministic pixel array (B = x mod 256,
+    * R = y mod 256, G = g0): channel means and the aHash pool have closed
+    * forms, so [[imagePixelFeatures]] is spec-checked against arithmetic,
+    * not against itself. Rows are bottom-up and 4-byte padded per the
+    * format. */
+  def bmpBytesPixels(width: Int, height: Int, g0: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = (width * 3 + 3) & ~3
+    val total = 54 + stride * height
+    val b = new Array[Byte](total)
+    b(0) = 'B'; b(1) = 'M'
+    def w32(o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    w32(2, total); w32(10, 54); w32(14, 40); w32(18, width); w32(22, height)
+    b(26) = 1; b(28) = 24
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val o = rowOff + x * 3
+        b(o) = (x % 256).toByte
+        b(o + 1) = (g0 % 256).toByte
+        b(o + 2) = (y % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Build an image table from the documents table: every doc gets a small
+    * REAL pixel-bearing BMP with doc_id-deterministic dimensions and green
+    * level, so q71 exercises sample-level decode end-to-end. */
+  def syntheticImages(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map { id =>
+        (id, bmpBytesPixels(32 + (id % 5).toInt * 8, 24 + (id % 3).toInt * 8,
+          (id % 200).toInt))
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Minimal valid BMP bytes (BITMAPINFOHEADER, 24bpp, no pixel data beyond
     * the declared dimensions' first row padding) — used by
     * [[syntheticMedia]] so q20 exercises the REAL header decoder. */

@@ -104,4 +104,41 @@ class MultimodalOpsSpec extends SparkTestBase {
       .collect().map(_.getInt(1)).toSet
     assert(out == Set(0), s"only the complete first frame survives: $out")
   }
+
+  test("imagePixelFeatures: closed-form channel means and aHash on the gradient BMP") {
+    // B = x, G = 77, R = y on a 64x48 image: mean_b = 31.5, mean_r = 23.5;
+    // cell(i,j) luma = (83 + 6i + 8j)/3, grand = 44, so bit i*8+j is set
+    // iff 6i + 8j > 49 (parity makes equality impossible -> FP-safe margin)
+    val img = MultimodalOps.bmpBytesPixels(64, 48, 77)
+    val r = MultimodalOps.imagePixelFeatures(Seq((1L, img)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(r.getInt(1) == 64 && r.getInt(2) == 48)
+    assert(r.getDouble(3) == 23.5 && r.getDouble(4) == 77.0 && r.getDouble(5) == 31.5,
+      s"channel means: ${(r.getDouble(3), r.getDouble(4), r.getDouble(5))}")
+    var expect = 0L
+    for (i <- 0 until 8; j <- 0 until 8 if 6 * i + 8 * j > 49)
+      expect |= 1L << (i * 8 + j)
+    assert(r.getLong(6) == expect,
+      s"ahash ${r.getLong(6).toBinaryString} vs ${expect.toBinaryString}")
+  }
+
+  test("imagePixelFeatures: pixel-less headers and non-BMP payloads yield no rows") {
+    val rows = MultimodalOps.imagePixelFeatures(Seq(
+      (1L, MultimodalOps.bmpBytes(64, 48)),           // header only, no pixels
+      (2L, "just some text".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")).collect()
+    assert(rows.isEmpty, s"got ${rows.length} rows")
+  }
+
+  test("imagePixelFeatures: identical pixels => identical ahash; shifted gradient differs in means only") {
+    val a = MultimodalOps.imagePixelFeatures(Seq(
+      (1L, MultimodalOps.bmpBytesPixels(40, 24, 10)),
+      (2L, MultimodalOps.bmpBytesPixels(40, 24, 10)),
+      (3L, MultimodalOps.bmpBytesPixels(40, 24, 200))  // same gradient, brighter green
+    ).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(6), r.getDouble(4)))).toMap
+    assert(a(1L) == a(2L), "byte-identical images hash identically")
+    assert(a(1L)._1 == a(3L)._1, "uniform brightness shift leaves the aHash invariant")
+    assert(a(1L)._2 != a(3L)._2, "but the channel means see it")
+  }
 }
