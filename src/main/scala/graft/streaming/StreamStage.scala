@@ -67,6 +67,16 @@ final case class HHBucketOut(bucket_start: Long, item: String, est: Long,
 final case class QuantileBucketOut(url: String, bucket_start: Long, n: Long,
     p50: Double, p95: Double)
 
+/** One row of a closed bucket from [[StreamStage.zscoreStream]], scored
+  * against its own bucket's population stats. */
+final case class ZscoreOut(url: String, bucket_start: Long, ts: Long,
+    value: Double, z: Option[Double], is_outlier: Boolean)
+
+/** Open-bucket state for [[StreamStage.zscoreStream]]: the bucket's rows,
+  * buffered until the watermark closes it (population stats need the whole
+  * bucket — the op is inherently two-pass). */
+final case class ZBuf(ts: Array[Long], vs: Array[Double])
+
 /** Per-url state for [[StreamStage.holtStream]]: the above-watermark buffer
   * plus the running (level, trend) pair. */
 final case class HoltBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
@@ -471,6 +481,58 @@ object StreamStage {
             rows.foreach { r => st = ss.reduce(st, r._2) }
             state.update(st)
             // fire once the watermark passes the bucket end
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING per-(url, bucket) population z-score — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.zscore]] (q42). Scoring a row against its own
+    * bucket's mean/stddev is inherently two-pass, so an open bucket buffers
+    * its rows and emits them all — each with its z and outlier flag — once
+    * the watermark closes the bucket. State is O(bucket rows × open
+    * buckets), bounded by bucket span + lateness, never stream length; the
+    * batch op remains the right shape for deep history, this twin serves
+    * the live tail. Zero-variance buckets emit z = None, like batch. */
+  def zscoreStream(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long,
+      threshold: Double,
+      lateness: String = "10 minutes"): Dataset[ZscoreOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("ts"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[ZBuf]) => {
+          val (url, bucket) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val n = s.vs.length
+            val mu = s.vs.sum / n
+            var devSq = 0.0
+            var i = 0
+            while (i < n) { val d = s.vs(i) - mu; devSq += d * d; i += 1 }
+            val sd = math.sqrt(devSq / n)
+            s.ts.iterator.zip(s.vs.iterator).map { case (t, v) =>
+              val z = if (sd > 0) Some((v - mu) / sd) else None
+              ZscoreOut(url, bucket, t, v, z, z.exists(zz => math.abs(zz) > threshold))
+            }
+          } else {
+            val prev = state.getOption.getOrElse(ZBuf(Array.emptyLongArray, Array.emptyDoubleArray))
+            val inc = rows.map(r => (r._3, r._4)).toArray
+            state.update(ZBuf(prev.ts ++ inc.map(_._1), prev.vs ++ inc.map(_._2)))
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty

@@ -471,6 +471,63 @@ class StreamStageSpec extends SparkTestBase {
       "fixture's dup-ts row must exercise the NULL-rate edge")
   }
 
+  test("streaming z-scores equal batch z-scores on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(61)
+    val bucketMs = 3600000L
+    val all = (for (u <- Seq("a", "b"); b <- 0 until 3; _ <- 0 until 40) yield
+      SeriesPoint(u, 3600000L + b * bucketMs + rng.nextInt(bucketMs.toInt),
+        rng.nextGaussian() * 5.0 + 20.0)) ++
+      // a constant bucket exercises the zero-variance None edge
+      (0 until 5).map(i => SeriesPoint("flat", 3600000L + i * 60000L, 7.0))
+    val batch = graft.ops.AnalyticsOps.zscore(
+        all.toDF(), col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))),
+        col("value"), 2.5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)) ->
+        ((Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double]),
+          r.getBoolean(r.fieldIndex("is_outlier")))))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.zscoreStream(mem.toDS(), bucketMs, 2.5, "4 hours")
+      .writeStream.format("memory").queryName("z_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(60)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(SeriesPoint("sentinel", far, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sentinel", far + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("z_stream").as[ZscoreOut]
+      .filter(col("url") =!= "sentinel")
+      .collect()
+      .map(e => (e.url, e.ts, math.round(e.value * 1e9)) -> ((e.z, e.is_outlier)))
+      .toMap
+    assert(streamed.size == all.size, s"${streamed.size} of ${all.size} rows emitted")
+    var outliers = 0
+    for ((k, (bz, bo)) <- batch) {
+      val kk = (k._1, k._2, k._3)
+      val (sz, so) = streamed(kk)
+      (bz, sz) match {
+        case (None, None) =>
+        case (Some(x), Some(y)) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)), s"$kk z: $y vs $x")
+        case other => fail(s"$kk z mismatch: $other")
+      }
+      assert(so == bo, s"$kk outlier flag")
+      if (so) outliers += 1
+    }
+    assert(outliers > 0, "fixture must actually contain outliers")
+    assert(streamed.filter(_._1._1 == "flat").forall(_._2._1.isEmpty),
+      "constant bucket yields z = None")
+  }
+
   test("streaming histogram equals batch histogram on closed buckets") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(53)
