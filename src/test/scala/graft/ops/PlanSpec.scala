@@ -166,6 +166,12 @@ class PlanSpec extends SparkTestBase {
       s"scans pruned to ts/user_id/value/event_id: $read")
   }
 
+  test("q71 image features: one decode pass, zero exchanges") {
+    val p = plan("q71_image_features")
+    assert(!p.contains("Exchange"), s"pixel decode must not shuffle: $p")
+    assert(p.contains("MapPartitions"), "batch-decode slot")
+  }
+
   test("q69 dup spans: gram exchange keys on the 64-bit hash, never the text") {
     val p = plan("q69_dup_spans")
     assert(p.contains("positionalshingles") || p.contains("PositionalShingles") ||
