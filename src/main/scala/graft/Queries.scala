@@ -795,7 +795,19 @@ object Queries {
         .select(col("doc_id"), col("width"), col("height"),
           round(col("mean_r"), 6).as("mean_r"),
           round(col("mean_g"), 6).as("mean_g"),
-          round(col("mean_b"), 6).as("mean_b"), col("ahash")))
+          round(col("mean_b"), 6).as("mean_b"), col("ahash"))),
+
+    // forecast-residual anomaly flags over the q46 EWMA (same params, so
+    // the exact-mirror oracle extends: raw residuals are bit-identical;
+    // only the 3-sigma threshold itself carries cross-engine FP risk, at
+    // strict-> comparison margins, i.e. measure-zero on continuous data)
+    "q72_ewma_anomaly" -> ((s, dir) =>
+      ops.AnalyticsOps.forecastAnomalies(
+          ops.AnalyticsOps.ewma(events(s, dir), col("user_id"), col("ts"),
+            col("event_id"), col("value"), alpha = 0.3, bucketMs = 86400000L),
+          "ewma", k = 3.0)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("ts"), col("value"), col("ewma"), col("resid"), col("is_anomaly")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -901,6 +913,45 @@ FROM walk WHERE rn >= 1"""
   }
 
   private val tokExpr = "string_split_regex(trim(text), '\\s+')"
+
+  /** q46's EWMA oracle: an EXACT FP MIRROR of the engine's segmented scan
+    * (phase-1 recursive chunk prefixes, phase-2 chunk walk, phase-3
+    * finalize — identical IEEE op order, raw doubles). Shared verbatim by
+    * q72, which extends it with the lagged residual + 3-sigma flag. */
+  private val q46MirrorSql: String =
+    """WITH RECURSIVE ord AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
+      |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket
+      |  FROM events
+      |), rord AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+      |    ORDER BY tms, event_id) AS rn FROM ord
+      |), rec AS (
+      |  SELECT user_id, bucket, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
+      |    NULL::BIGINT AS tms, NULL::DOUBLE AS value,
+      |    1.0::DOUBLE AS c, 0.0::DOUBLE AS d
+      |  FROM (SELECT DISTINCT user_id, bucket FROM rord)
+      |  UNION ALL
+      |  SELECT o.user_id, o.bucket, o.rn, o.event_id, o.tms, o.value,
+      |    r.c * (1.0 - 0.3) AS c,
+      |    (1.0 - 0.3) * r.d + 0.3 * o.value AS d
+      |  FROM rord o JOIN rec r
+      |    ON o.user_id = r.user_id AND o.bucket = r.bucket AND o.rn = r.rn + 1
+      |), chk AS (
+      |  SELECT user_id, bucket, max_by(c, rn) AS c, max_by(d, rn) AS d,
+      |    min_by(value, rn) AS firstval,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS ci
+      |  FROM rec WHERE rn >= 1 GROUP BY user_id, bucket
+      |), scan AS (
+      |  SELECT user_id, bucket, ci, firstval AS y, c, d FROM chk WHERE ci = 1
+      |  UNION ALL
+      |  SELECT k.user_id, k.bucket, k.ci, s.c * s.y + s.d AS y, k.c, k.d
+      |  FROM chk k JOIN scan s ON k.user_id = s.user_id AND k.ci = s.ci + 1
+      |)
+      |SELECT p.event_id, p.user_id, make_timestamp(p.tms * 1000) AS ts,
+      |  p.value, p.c * s.y + p.d AS ewma
+      |FROM rec p JOIN scan s ON p.user_id = s.user_id AND p.bucket = s.bucket
+      |WHERE p.rn >= 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_rollup_1m" ->
@@ -1178,40 +1229,23 @@ FROM walk WHERE rn >= 1"""
     // bit-identical raw doubles, no rounding needed. (A struct list_reduce
     // formulation is avoided deliberately: DuckDB 1.0 miscomputes lambdas
     // whose struct fields repeat an acc subexpression.)
-    "q46_ewma" ->
-      """WITH RECURSIVE ord AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
-        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket
-        |  FROM events
-        |), rord AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
-        |    ORDER BY tms, event_id) AS rn FROM ord
-        |), rec AS (
-        |  SELECT user_id, bucket, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
-        |    NULL::BIGINT AS tms, NULL::DOUBLE AS value,
-        |    1.0::DOUBLE AS c, 0.0::DOUBLE AS d
-        |  FROM (SELECT DISTINCT user_id, bucket FROM rord)
-        |  UNION ALL
-        |  SELECT o.user_id, o.bucket, o.rn, o.event_id, o.tms, o.value,
-        |    r.c * (1.0 - 0.3) AS c,
-        |    (1.0 - 0.3) * r.d + 0.3 * o.value AS d
-        |  FROM rord o JOIN rec r
-        |    ON o.user_id = r.user_id AND o.bucket = r.bucket AND o.rn = r.rn + 1
-        |), chk AS (
-        |  SELECT user_id, bucket, max_by(c, rn) AS c, max_by(d, rn) AS d,
-        |    min_by(value, rn) AS firstval,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS ci
-        |  FROM rec WHERE rn >= 1 GROUP BY user_id, bucket
-        |), scan AS (
-        |  SELECT user_id, bucket, ci, firstval AS y, c, d FROM chk WHERE ci = 1
-        |  UNION ALL
-        |  SELECT k.user_id, k.bucket, k.ci, s.c * s.y + s.d AS y, k.c, k.d
-        |  FROM chk k JOIN scan s ON k.user_id = s.user_id AND k.ci = s.ci + 1
-        |)
-        |SELECT p.event_id, p.user_id, make_timestamp(p.tms * 1000) AS ts,
-        |  p.value, p.c * s.y + p.d AS ewma
-        |FROM rec p JOIN scan s ON p.user_id = s.user_id AND p.bucket = s.bucket
-        |WHERE p.rn >= 1""".stripMargin,
+    "q46_ewma" -> q46MirrorSql,
+
+    // the q46 mirror's bit-identical ewma values, extended with the lagged
+    // one-step residual and the per-user 3-sigma flag (q72's engine shape)
+    "q72_ewma_anomaly" ->
+      s"""WITH base AS (
+         |$q46MirrorSql
+         |), res AS (
+         |  SELECT *, value - lag(ewma) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS resid
+         |  FROM base),
+         |st AS (
+         |  SELECT user_id, stddev_pop(resid) AS sd FROM res
+         |  WHERE resid IS NOT NULL GROUP BY user_id)
+         |SELECT r.event_id, r.user_id, r.ts, r.value, r.ewma, r.resid,
+         |  coalesce(abs(r.resid) > 3.0 * s.sd, FALSE) AS is_anomaly
+         |FROM res r LEFT JOIN st s USING (user_id)""".stripMargin,
 
     // Holt level+trend oracle as an EXACT FP MIRROR of the engine's scan:
     // phase-1 CTE carries the 2×2 prefix matrix + offset (the engine's

@@ -450,6 +450,35 @@ object AnalyticsOps {
         col("value"), col("level"), col("trend"), col("seasonal"), col("forecast"))
   }
 
+  /** Forecast-residual anomaly detection — the classic TS alerting query:
+    * each point is compared against the smoother's one-step-ahead forecast
+    * (for EWMA, the PREVIOUS point's smoothed value), and flagged when the
+    * residual exceeds `k` population standard deviations of that key's
+    * residuals. Input is any smoother output with (key, ts, tie, value,
+    * `forecastCol`) columns — [[ewma]] (forecastCol = "ewma"), [[holt]] /
+    * [[holtWinters]] (forecastCol = "forecast", already one-step-ahead).
+    *
+    * Scale shape: one keyed window pass for the lag (EWMA case), a
+    * partial+final hash aggregate for the per-key sigma (key-count-sized;
+    * AQE broadcasts it back), exactly the [[zscore]] join shape. Series
+    * heads carry NULL residuals and are never flagged. */
+  def forecastAnomalies(
+      smoothed: DataFrame,
+      forecastCol: String,
+      k: Double,
+      lagForecast: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy("key").orderBy("ts", "tie")
+    val fc = if (lagForecast) lag(forecastCol, 1).over(w) else col(forecastCol)
+    val withRes = smoothed.withColumn("resid", col("value") - fc)
+    val stats = withRes.filter(col("resid").isNotNull)
+      .groupBy("key").agg(stddev_pop("resid").as("__sd"))
+    withRes.join(stats, Seq("key"), "left")
+      .withColumn("is_anomaly",
+        coalesce(abs(col("resid")) > lit(k) * col("__sd"), lit(false)))
+      .drop("__sd")
+  }
+
   /** Fixed-width value histogram per (key, bucket): bin = floor(value /
     * binWidth), so bins are globally aligned without a min/max pre-pass.
     *

@@ -287,6 +287,36 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out(1L) == ((1L, 10.0, 10.0)), "boundary value opens the next bin")
   }
 
+  test("forecastAnomalies flags residuals beyond k sigma, never series heads") {
+    // u1: flat around 10 with one spike at t=4; u2: single point (no resid)
+    val vals = Seq(10.0, 10.0, 10.0, 10.0, 50.0, 10.0, 10.0, 10.0, 10.0, 10.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("u1", new java.sql.Timestamp(i * 60000L), i.toLong, v)
+    } :+ (("u2", new java.sql.Timestamp(0L), 99L, 5.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val smoothed = AnalyticsOps.ewma(df, col("user_id"), col("ts"),
+      col("event_id"), col("value"), alpha = 0.5, bucketMs = 3600000L)
+    val out = AnalyticsOps.forecastAnomalies(smoothed, "ewma", k = 2.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((Option(r.get(r.fieldIndex("resid"))).map(_.asInstanceOf[Double]),
+          r.getBoolean(r.fieldIndex("is_anomaly")))))
+      .toMap
+    // independent sequential twin: ewma then two-pass sigma over residuals
+    val seq = vals.scanLeft(Double.NaN)((y, x) => if (y.isNaN) x else 0.5 * y + 0.5 * x).tail
+    val resids = vals.indices.drop(1).map(i => vals(i) - seq(i - 1))
+    val mu = resids.sum / resids.size
+    val sd = math.sqrt(resids.map(r => (r - mu) * (r - mu)).sum / resids.size)
+    for (i <- vals.indices.drop(1)) {
+      val (r, flag) = out(("u1", i.toLong))
+      assert(math.abs(r.get - resids(i - 1)) < 1e-9, s"t=$i resid")
+      assert(flag == (math.abs(resids(i - 1)) > 2.0 * sd), s"t=$i flag (sd=$sd)")
+    }
+    assert(out(("u1", 0L)) == ((None, false)), "series head: NULL resid, never flagged")
+    assert(out(("u1", 4L))._2, "the spike must actually be flagged")
+    assert(out(("u2", 99L)) == ((None, false)), "single-point key survives the left join")
+  }
+
   test("jsonPropStats extracts $.k per type and counts missing/corrupt rows") {
     val ev = Seq(
       ("click", """{"k": 3}"""),
