@@ -808,6 +808,42 @@ object Queries {
           "ewma", k = 3.0)
         .select(col("tie").as("event_id"), col("key").as("user_id"),
           col("ts"), col("value"), col("ewma"), col("resid"), col("is_anomaly")))
+,
+    // --- per-(user, day) OHLC candles (oracle-backed): one hash aggregate;
+    // min_by/max_by over a (ts, event_id) struct keep first/last O(1) and
+    // total-order deterministic
+    "q73_ohlc" -> ((s, dir) =>
+      ops.AnalyticsOps.ohlc(events(s, dir),
+          col("user_id"), date_trunc("day", col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+        .select(col("user_id"), col("day"), col("open"), col("high"),
+          col("low"), col("close"), col("cnt"), round(col("vsum"), 6).as("vsum"))),
+
+    // --- cross-signal correlation (oracle-backed): which event types move
+    // together, after aligning on hourly buckets — event-sized work is one
+    // alignment agg; the corr itself runs on bucket-count rows
+    "q74_signal_corr" -> ((s, dir) =>
+      ops.AnalyticsOps.pairCorrelation(events(s, dir),
+          col("event_type"), date_trunc("hour", col("ts")), col("value"))
+        .select(col("series_a"), col("series_b"),
+          round(col("r"), 6).as("r"), col("n_buckets"))),
+
+    // --- additive seasonal decomposition (oracle-backed): daily trend +
+    // hour-of-day seasonal profile + residual, derived from one pass of
+    // (user, day, hour) cells — diurnal shape removed without ever
+    // re-scanning or window-sorting the events
+    // RAW doubles via the EXACT variant: plain double sums reassociate
+    // cross-engine (measured: 9 rows in 10k flip a 6-dp round at the x.5
+    // boundaries these short-decimal rationals sit on, and zero residuals
+    // come back as ±1e-14), so q75 uses seasonalDecomposeExact — integer
+    // cell sums + ordered cell folds — and the oracle mirrors its IEEE op
+    // order for bit-identical doubles, like q46/q49/q50
+    "q75_seasonal_decomp" -> ((s, dir) =>
+      ops.AnalyticsOps.seasonalDecomposeExact(events(s, dir),
+          col("user_id"), date_trunc("day", col("ts")), hour(col("ts")),
+          col("value"), decimals = 2)
+        .select(col("event_id"), col("user_id"), col("trend"),
+          col("seasonal"), col("residual")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1757,6 +1793,53 @@ FROM walk WHERE rn >= 1"""
         |  SELECT u, unnest(generate_series(0, n - 1)) AS a FROM ser WHERE n <= 48)
         |SELECT p.u AS user_id, epoch_ms(r.xs[p.a + 1]) AS bucket_start,
         |  round(r.ys[p.a + 1], 6) AS max_val
-        |FROM pick p JOIN ser r USING (u)""".stripMargin
+        |FROM pick p JOIN ser r USING (u)""".stripMargin,
+
+    "q73_ohlc" ->
+      """SELECT user_id, date_trunc('day', ts) AS day,
+        |  first(value ORDER BY ts, event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  last(value ORDER BY ts, event_id) AS close,
+        |  count(*) AS cnt, round(sum(value), 6) AS vsum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q74_signal_corr" ->
+      """WITH al AS (
+        |  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+        |    avg(value) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.series AS series_a, b.series AS series_b,
+        |  round(corr(a.v, b.v), 6) AS r, count(*) AS n_buckets
+        |FROM al a JOIN al b ON a.bucket = b.bucket AND a.series < b.series
+        |GROUP BY 1, 2""".stripMargin,
+
+    // exact FP mirror of seasonalDecomposeExact: integer cell sums are
+    // associative (order-free), trend is one exact-int division, and the
+    // seasonal numerator folds cells in trend-bucket order with init 0.0 —
+    // identical IEEE op order to the engine's sorted-list aggregate(), so
+    // raw doubles match bit-for-bit
+    "q75_seasonal_decomp" ->
+      """WITH cells AS (
+        |  SELECT user_id, date_trunc('day', ts) AS tb,
+        |    extract(hour FROM ts) AS ph,
+        |    sum(CAST(round(value * 100.0) AS BIGINT)) AS sv, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT user_id, tb,
+        |        CAST(sum(sv) AS DOUBLE) / (100.0 * sum(c)) AS trend
+        |      FROM cells GROUP BY 1, 2),
+        |s AS (
+        |  SELECT c.user_id, c.ph,
+        |    list_reduce(
+        |      list_prepend(0.0::DOUBLE,
+        |        list(CAST(c.sv AS DOUBLE) / 100.0 - c.c * t.trend
+        |             ORDER BY c.tb)),
+        |      (acc, e) -> acc + e) / sum(c.c) AS seasonal
+        |  FROM cells c JOIN t ON c.user_id = t.user_id AND c.tb = t.tb
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, t.trend, s.seasonal,
+        |  e.value - t.trend - s.seasonal AS residual
+        |FROM events e
+        |JOIN t ON e.user_id = t.user_id AND date_trunc('day', e.ts) = t.tb
+        |JOIN s ON e.user_id = s.user_id AND extract(hour FROM e.ts) = s.ph""".stripMargin
   )
 }

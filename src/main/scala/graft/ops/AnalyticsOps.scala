@@ -525,4 +525,158 @@ object AnalyticsOps {
         min("k").as("min_k"),
         max("k").as("max_k"))
   }
+
+  /** Per-(key, bucket) OHLC candle: open/close are the first/last value in
+    * (ts, tie) order, high/low the extremes — the classic financial
+    * downsample, and the lossy-but-queryable rollup a tiered time-series
+    * store keeps once raw points expire.
+    *
+    * Scale shape: ONE partial+final hash aggregate. `min_by`/`max_by` over
+    * a (ts, tie) struct are declarative aggregates with O(1) partial state,
+    * so the map side collapses every partition to one candle per group
+    * before the shuffle — same cost as a sum at 100 TB, and deterministic
+    * at any parallelism because `tieCol` makes the order total. */
+  def ohlc(
+      events: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column): DataFrame = {
+    val ord = struct(tsCol, tieCol)
+    events
+      .groupBy(keyCol, bucketCol)
+      .agg(
+        min_by(valueCol, ord).as("open"),
+        max(valueCol).as("high"),
+        min(valueCol).as("low"),
+        max_by(valueCol, ord).as("close"),
+        count(lit(1)).as("cnt"),
+        sum(valueCol).as("vsum"))
+  }
+
+  /** Pairwise Pearson correlation between series, after aligning them on a
+    * common time bucket: "which signals move together" — the first question
+    * asked of any metrics store with more than one series.
+    *
+    * Scale shape: the only event-sized work is the alignment aggregate
+    * (partial+final hash agg to one row per (series, bucket)); the
+    * self-join and the `corr` aggregate run on that bucket-count-sized
+    * table, producing S·(S−1)/2 pairs per bucket for S series — S is the
+    * series-name cardinality (small), never the row count. `corr` is a
+    * co-moment aggregate (O(1) partial state, map-side combinable), so no
+    * operator ever buffers a series. Pairs are emitted once with
+    * `series_a < series_b`; buckets where a series is absent simply drop
+    * out of that pair's sample (inner join on bucket). */
+  def pairCorrelation(
+      events: DataFrame,
+      seriesCol: Column,
+      bucketCol: Column,
+      valueCol: Column): DataFrame = {
+    val aligned = events
+      .groupBy(seriesCol.as("series"), bucketCol.as("bucket"))
+      .agg(avg(valueCol).as("v"))
+    val a = aligned.select(col("series").as("series_a"), col("bucket"),
+      col("v").as("__va"))
+    val b = aligned.select(col("series").as("series_b"), col("bucket"),
+      col("v").as("__vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("series_a") < col("series_b"))
+      .groupBy("series_a", "series_b")
+      .agg(corr(col("__va"), col("__vb")).as("r"),
+        count(lit(1)).as("n_buckets"))
+  }
+
+  /** Additive seasonal decomposition against a calendar profile:
+    * value = trend (per-(key, trend-bucket) mean) + seasonal (per-(key,
+    * season-phase) mean of the detrended values) + residual. With
+    * trend bucket = day and season phase = hour-of-day this is the
+    * "subtract the daily level, then the hour-of-day shape" baseline that
+    * turns diurnal traffic into a flat residual stream worth alerting on.
+    *
+    * Scale shape: ONE event-sized shuffle — a partial+final hash aggregate
+    * to (key, trendBucket, phase) cells carrying (sum, count). Trend and
+    * seasonal are then derived from CELLS (trend = Σsum/Σcnt per (key,
+    * bucket); seasonal = Σ(sum − cnt·trend)/Σcnt per (key, phase)), so the
+    * decomposition itself never re-reads the events. The final annotate is
+    * one join of events against the two cell-sized (AQE-broadcastable)
+    * stat tables. A naive formulation (window mean, join, second window)
+    * would shuffle the events three times; this shape shuffles them once
+    * plus one join. */
+  def seasonalDecompose(
+      events: DataFrame,
+      keyCol: Column,
+      trendBucketCol: Column,
+      phaseCol: Column,
+      valueCol: Column): DataFrame = {
+    val tagged = events
+      .withColumn("__key", keyCol)
+      .withColumn("__tb", trendBucketCol)
+      .withColumn("__ph", phaseCol)
+    val cells = tagged
+      .groupBy("__key", "__tb", "__ph")
+      .agg(sum(valueCol).as("__sv"), count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trend = cells.groupBy("__key", "__tb")
+      .agg((sum("__sv") / sum("__c")).as("trend"))
+    val seasonal = cells.join(trend, Seq("__key", "__tb"))
+      .groupBy("__key", "__ph")
+      .agg((sum(col("__sv") - col("__c") * col("trend")) / sum("__c"))
+        .as("seasonal"))
+    tagged
+      .join(trend, Seq("__key", "__tb"))
+      .join(seasonal, Seq("__key", "__ph"))
+      .withColumn("residual", valueCol - col("trend") - col("seasonal"))
+      .drop("__key", "__tb", "__ph")
+  }
+
+  /** [[seasonalDecompose]] for fixed-decimal telemetry, with BIT-DETERMINISTIC
+    * output at any parallelism: values are scaled to exact integers
+    * (`decimals` fractional digits), so the event-sized cell sums are
+    * associative integer adds (partial-aggregation order can't perturb
+    * them), and the one remaining floating-point reduction — the seasonal
+    * numerator over a key's cells — is folded in explicit trend-bucket
+    * order from a sorted cell list. Plain double sums (the generic
+    * variant) are only reproducible for a fixed partitioning; this variant
+    * is reproducible, full stop — and therefore exactly mirrorable by a
+    * sequential oracle.
+    *
+    * Scale shape: identical to [[seasonalDecompose]] (one event-sized hash
+    * aggregate to cells, then cell-sized derivations + one annotate join).
+    * The sorted fold buffers one key's CELLS (days × phases), never rows. */
+  def seasonalDecomposeExact(
+      events: DataFrame,
+      keyCol: Column,
+      trendBucketCol: Column,
+      phaseCol: Column,
+      valueCol: Column,
+      decimals: Int): DataFrame = {
+    require(decimals >= 0 && decimals <= 9, s"decimals must be 0..9, got $decimals")
+    val scale = math.pow(10.0, decimals)
+    val tagged = events
+      .withColumn("__key", keyCol)
+      .withColumn("__tb", trendBucketCol)
+      .withColumn("__ph", phaseCol)
+    val cells = tagged
+      .groupBy("__key", "__tb", "__ph")
+      .agg(sum(round(valueCol * lit(scale)).cast("long")).as("__sv"),
+        count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trend = cells.groupBy("__key", "__tb")
+      .agg((sum("__sv").cast("double") / (lit(scale) * sum("__c"))).as("trend"))
+    val seasonal = cells.join(trend, Seq("__key", "__tb"))
+      .groupBy("__key", "__ph")
+      .agg(
+        (aggregate(
+          transform(
+            sort_array(collect_list(struct(col("__tb"), col("__sv"), col("__c"),
+              col("trend")))),
+            x => x("__sv").cast("double") / lit(scale) - x("__c") * x("trend")),
+          lit(0.0), (acc, x) => acc + x) / sum("__c")).as("seasonal"))
+    tagged
+      .join(trend, Seq("__key", "__tb"))
+      .join(seasonal, Seq("__key", "__ph"))
+      .withColumn("residual", valueCol - col("trend") - col("seasonal"))
+      .drop("__key", "__tb", "__ph")
+  }
 }

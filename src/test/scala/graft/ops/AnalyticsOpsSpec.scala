@@ -332,4 +332,97 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out("click") == ((3L, 1L, 10L, 5.0, 3L, 7L)), s"got ${out("click")}")
     assert(out("view") == ((2L, 1L, 10L, 10.0, 10L, 10L)), s"got ${out("view")}")
   }
+
+  test("ohlc picks first/last by (ts, tie) and extremes per candle") {
+    val ev = Seq(
+      // bucket 1: open=5 (earliest), high=9, low=2, close=7 (latest)
+      ("u1", 1L, 1000L, 1L, 5.0), ("u1", 1L, 2000L, 2L, 9.0),
+      ("u1", 1L, 3000L, 3L, 2.0), ("u1", 1L, 4000L, 4L, 7.0),
+      // bucket 2: duplicate ts — tie column must decide open (id 5) and
+      // close (id 6), independent of partition order
+      ("u1", 2L, 9000L, 5L, 1.0), ("u1", 2L, 9000L, 6L, 4.0)
+    ).toDF("k", "b", "ts", "tie", "value").repartition(8)
+    val out = AnalyticsOps.ohlc(ev, col("k"), col("b"), col("ts"),
+        col("tie"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    assert(out(("u1", 1L)) == ((5.0, 9.0, 2.0, 7.0, 4L)))
+    assert(out(("u1", 2L)) == ((1.0, 4.0, 1.0, 4.0, 2L)),
+      "dup-ts open/close resolved by the tie column")
+  }
+
+  test("pairCorrelation aligns on buckets and emits each pair once") {
+    // series a and b move together (r=1), a and c oppositely (r=-1);
+    // c misses bucket 4, so (a,c)/(b,c) correlate over 3 buckets only
+    val rows =
+      Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0).flatMap { case (t, v) =>
+        Seq(("a", t, v), ("b", t, 10 + 2 * v)) ++
+          (if (t < 4) Seq(("c", t, -v)) else Nil)
+      }
+    val ev = rows.toDF("series", "bucket", "value")
+    val out = AnalyticsOps.pairCorrelation(ev, col("series"), col("bucket"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      "each unordered pair exactly once")
+    assert(math.abs(out(("a", "b"))._1 - 1.0) < 1e-12)
+    assert(out(("a", "b"))._2 == 4L)
+    assert(math.abs(out(("a", "c"))._1 + 1.0) < 1e-12)
+    assert(out(("a", "c"))._2 == 3L, "missing bucket drops from the pair")
+  }
+
+  test("seasonalDecompose splits value into trend + phase profile + residual") {
+    // value = day-trend + hour-shape exactly: residuals must vanish and the
+    // recovered parts must match construction
+    val trendByDay = Map(1L -> 15.0, 2L -> 35.0)
+    val shapeByHour = Map(0 -> -5.0, 1 -> 5.0)
+    val ev = (for {
+      (d, t) <- trendByDay.toSeq; (h, s) <- shapeByHour.toSeq
+    } yield (d * 100 + h, "u1", d, h, t + s))
+      .toDF("event_id", "user_id", "day", "hod", "value").repartition(8)
+    val out = AnalyticsOps.seasonalDecompose(ev, col("user_id"), col("day"),
+        col("hod"), col("value"))
+      .select("event_id", "trend", "seasonal", "residual")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for ((d, t) <- trendByDay; (h, s) <- shapeByHour) {
+      val (gt, gs, gr) = out(d * 100 + h)
+      assert(math.abs(gt - t) < 1e-12, s"day $d trend")
+      assert(math.abs(gs - s) < 1e-12, s"hour $h seasonal")
+      assert(math.abs(gr) < 1e-12, s"($d,$h) residual")
+    }
+  }
+
+  test("seasonalDecomposeExact tracks the generic variant and is " +
+      "bit-identical at any parallelism") {
+    // 2-decimal values, deliberately awkward counts (3 rows/cell) so plain
+    // double sums would reassociate; the exact variant must not care
+    var seed = 7L
+    def lcg(): Double = { seed = (seed * 1103515245L + 12345L) & 0x7fffffffL
+      ((seed % 10000L) - 5000L) / 100.0 }
+    val rows = for (d <- 1 to 5; h <- 0 to 3; r <- 1 to 3)
+      yield (((d * 100 + h) * 10 + r).toLong, "u%d".format(r % 2), d, h, lcg())
+    val ev = rows.toDF("event_id", "user_id", "day", "hod", "value")
+    def run(parts: Int) = AnalyticsOps.seasonalDecomposeExact(
+        ev.repartition(parts), col("user_id"), col("day"), col("hod"),
+        col("value"), decimals = 2)
+      .select("event_id", "trend", "seasonal", "residual")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact1 = run(1)
+    val exact17 = run(17)
+    assert(exact1 == exact17, "bit-identical across partitionings")
+    val generic = AnalyticsOps.seasonalDecompose(ev, col("user_id"),
+        col("day"), col("hod"), col("value"))
+      .select("event_id", "trend", "seasonal", "residual")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for ((id, (t, s, r)) <- exact1) {
+      val (gt, gs, gr) = generic(id)
+      assert(math.abs(t - gt) < 1e-9 && math.abs(s - gs) < 1e-9 &&
+        math.abs(r - gr) < 1e-9, s"row $id: exact vs generic drifted")
+    }
+  }
 }
