@@ -531,11 +531,14 @@ object AnalyticsOps {
     * downsample, and the lossy-but-queryable rollup a tiered time-series
     * store keeps once raw points expire.
     *
-    * Scale shape: ONE partial+final hash aggregate. `min_by`/`max_by` over
-    * a (ts, tie) struct are declarative aggregates with O(1) partial state,
-    * so the map side collapses every partition to one candle per group
-    * before the shuffle — same cost as a sum at 100 TB, and deterministic
-    * at any parallelism because `tieCol` makes the order total. */
+    * Scale shape: ONE partial+final HASH aggregate with O(1) state per
+    * candle, deterministic at any parallelism because `tieCol` makes the
+    * order total. Open/close use [[graft.functions.OrderedAggregates]]'
+    * flat-buffer first/last-by-order aggregate rather than
+    * `min_by(value, struct(ts, tie))`: the struct buffer disqualifies
+    * HashAggregateExec and silently degrades the whole candle to
+    * SortAggregate — a per-partition sort 100 TB of events shouldn't pay
+    * (shape pinned by PlanSpec's q73 test). */
   def ohlc(
       events: DataFrame,
       keyCol: Column,
@@ -543,14 +546,15 @@ object AnalyticsOps {
       tsCol: Column,
       tieCol: Column,
       valueCol: Column): DataFrame = {
-    val ord = struct(tsCol, tieCol)
     events
       .groupBy(keyCol, bucketCol)
       .agg(
-        min_by(valueCol, ord).as("open"),
+        graft.functions.OrderedAggregates.firstByOrd(valueCol, tsCol, tieCol)
+          .as("open"),
         max(valueCol).as("high"),
         min(valueCol).as("low"),
-        max_by(valueCol, ord).as("close"),
+        graft.functions.OrderedAggregates.lastByOrd(valueCol, tsCol, tieCol)
+          .as("close"),
         count(lit(1)).as("cnt"),
         sum(valueCol).as("vsum"))
   }

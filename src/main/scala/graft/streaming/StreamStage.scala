@@ -175,6 +175,38 @@ object StreamStage {
         col("bin"), col("cnt"), col("bin_min"), col("bin_max"))
   }
 
+  /** STREAMING OHLC candles — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.ohlc]], as a NATIVE watermarked window
+    * aggregate: open/close use the flat-buffer first/last-by-order
+    * aggregate ([[graft.functions.OrderedAggregates]] — hash-aggregable,
+    * O(1) state per open (url, bucket) candle) and the candle appends
+    * exactly once when the watermark closes its window — no custom state
+    * code at all. [[SeriesPoint]] carries no tie column, so dup-ts rows
+    * are ordered by (ts, value); pass the same tie to the batch op when
+    * twinning (exact ≡ holds, see StreamStageSpec). */
+  def ohlcStream(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long,
+      lateness: String = "10 minutes"): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.OrderedAggregates.{firstByOrd, lastByOrd}
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("url"), window(col("event_time"), s"$bucketMs milliseconds"))
+      .agg(
+        firstByOrd(col("value"), col("ts"), col("value")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        lastByOrd(col("value"), col("ts"), col("value")).as("close"),
+        count(lit(1)).as("cnt"),
+        sum(col("value")).as("vsum"))
+      .select(col("url"), unix_millis(col("window.start")).as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"), col("cnt"),
+        col("vsum"))
+  }
+
   /** STREAMING gap-based sessionization — the unbounded twin of
     * [[graft.ops.SessionOps.sessionize]]. A session closes when event time
     * advances past its end by more than `gapMs` within the stream, or when

@@ -40,4 +40,20 @@ class ExpressionTypesSpec extends SparkTestBase {
     assert(floats.select(cosine_f(col("emb"), col("emb"))).collect()(0).getDouble(0) > 0.99)
     assert(strings.select(simhash64(col("text"))).collect().length == 1)
   }
+
+  test("ordered-extremum aggregate rejects unorderable order columns at analysis") {
+    import graft.functions.OrderedAggregates._
+    // a map column is not orderable by GreaterThan/LessThan → the
+    // aggregate's comparison expressions fail analysis, not execution
+    // (arrays ARE orderable in Spark, so they analyze fine)
+    analysisFails(strings.groupBy("id")
+      .agg(firstByOrd(col("id"), map(col("id"), col("id")), col("id"))))
+    // orderable (long, double) order columns analyze and run
+    val df = Seq(("a", 2L, 1.0, 10.0), ("a", 1L, 9.0, 20.0)).toDF("k", "ts", "tie", "v")
+    val r = df.groupBy("k")
+      .agg(firstByOrd(col("v"), col("ts"), col("tie")).as("first"),
+        lastByOrd(col("v"), col("ts"), col("tie")).as("last"))
+      .collect()(0)
+    assert(r.getDouble(1) == 20.0 && r.getDouble(2) == 10.0)
+  }
 }

@@ -185,4 +185,39 @@ class PlanSpec extends SparkTestBase {
     for (l <- p.split("\n") if l.trim.startsWith("Window"))
       assert(l.contains("doc_id"), s"window must be partitioned by doc: $l")
   }
+
+  test("q73 ohlc: ONE partial+final hash aggregate, no window, no join") {
+    val p = plan("q73_ohlc")
+    assert(p.split("\n").count(_.contains("HashAggregate")) == 2,
+      s"exactly partial+final agg — min_by/max_by must stay declarative:\n$p")
+    assert(!p.contains("SortAggregate"),
+      "candle must not fall back to sort-based aggregation")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "one aggregate, no window pass, no self-join")
+    assert(p.split("\n").count(_.contains("hashpartitioning(")) == 1,
+      "single exchange on the candle key")
+  }
+
+  test("q74 signal corr: events shuffled once (alignment), corr on aligned rows") {
+    val p = plan("q74_signal_corr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair join must be bucket-keyed, not all-pairs")
+    // the events-side scan feeds exactly one aggregate chain; the pair
+    // self-join and corr run on the aligned (series, bucket) rows
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 4,
+      "alignment partial+final plus corr partial+final")
+    val reads = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("props") && !reads.contains("user_id"),
+      s"scan must prune to (event_type, ts, value): $reads")
+  }
+
+  test("q75 seasonal decomposition: cells aggregated once, stats joined back") {
+    val p = plan("q75_seasonal_decomp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"),
+      "decomposition must come from cell aggregates, not row windows")
+    // phase-2 derivations run on the persisted cells: the events appear in
+    // the plan only for the annotate join, via InMemoryTableScan reuse
+    assert(p.contains("InMemoryTableScan"), "cells must be persisted and reused")
+  }
 }

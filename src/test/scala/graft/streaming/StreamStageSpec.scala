@@ -569,4 +569,47 @@ class StreamStageSpec extends SparkTestBase {
       s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
+
+  test("streaming ohlc candles equal batch ohlc on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(59)
+    val bucketMs = 3600000L
+    // 2 urls x 3 hourly candles; inject dup-ts rows so the (ts, value)
+    // tie order is actually exercised on open/close
+    val all = (for (u <- 0 until 2; b <- 0 until 3; _ <- 0 until 40) yield
+      SeriesPoint(s"u$u", 3600000L + b * bucketMs + rng.nextInt(bucketMs.toInt),
+        math.floor(rng.nextDouble() * 8000) / 100.0)) ++
+      Seq(SeriesPoint("u0", 3600000L, 3.0), SeriesPoint("u0", 3600000L, 9.0))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6), math.round(r.getDouble(7) * 1e6))
+    val batch = graft.ops.AnalyticsOps.ohlc(
+        all.toDF(), col("url"),
+        (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket_start"),
+        col("ts"), col("value"), col("value"))
+      .collect().map(r => key(r) -> vals(r)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.ohlcStream(mem.toDS(), bucketMs, "4 hours")
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(60)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(SeriesPoint("sentinel", far, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sentinel", far + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ohlc_stream")
+      .filter(col("url") =!= "sentinel")
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
 }
