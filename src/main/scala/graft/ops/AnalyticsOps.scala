@@ -154,11 +154,14 @@ object AnalyticsOps {
     // on cPre = beta^n being strictly decreasing, which fails once beta^n
     // underflows to 0.0 (~2k rows at alpha=0.3) and min_by ties become
     // partition-order dependent — so select positionally, like holt().
-    val lastBy = "struct(ts, tie)"
+    // first/lastByOrd (not min_by/max_by over a struct) keeps this
+    // event-sized aggregate in HashAggregateExec: a struct agg buffer
+    // silently degrades the whole thing to SortAggregate.
+    import graft.functions.OrderedAggregates.{firstByOrd, lastByOrd}
     val chunks = rowsPrefix.groupBy("key", "bucket")
-      .agg(expr(s"max_by(cPre, $lastBy)").as("c"),
-        expr(s"max_by(dPre, $lastBy)").as("d"),
-        expr(s"min_by(value, $lastBy)").as("firstVal"))
+      .agg(lastByOrd(col("cPre"), col("ts"), col("tie")).as("c"),
+        lastByOrd(col("dPre"), col("ts"), col("tie")).as("d"),
+        firstByOrd(col("value"), col("ts"), col("tie")).as("firstVal"))
 
     // phase 2: per-key scan over chunk summaries (chunk-count-sized)
     val inits = chunks.as(Encoders.product[EwmaChunk])
@@ -236,15 +239,14 @@ object AnalyticsOps {
       }(Encoders.product[HoltRow])
       .toDF()
 
-    val lastBy = "struct(ts, tie)"
+    // flat-buffer ordered extremes keep this in HashAggregateExec (a
+    // struct-ordered min_by/max_by buffer would degrade it to SortAggregate)
+    import graft.functions.OrderedAggregates.{firstByOrd, lastByOrd}
+    def lastOf(c: String) = lastByOrd(col(c), col("ts"), col("tie")).as(c)
     val chunks = rowsPrefix.groupBy("key", "bucket")
-      .agg(expr(s"max_by(m00, $lastBy)").as("m00"),
-        expr(s"max_by(m01, $lastBy)").as("m01"),
-        expr(s"max_by(m10, $lastBy)").as("m10"),
-        expr(s"max_by(m11, $lastBy)").as("m11"),
-        expr(s"max_by(d0, $lastBy)").as("d0"),
-        expr(s"max_by(d1, $lastBy)").as("d1"),
-        expr(s"min_by(value, $lastBy)").as("firstVal"))
+      .agg(lastOf("m00"), lastOf("m01"), lastOf("m10"), lastOf("m11"),
+        lastOf("d0"), lastOf("d1"),
+        firstByOrd(col("value"), col("ts"), col("tie")).as("firstVal"))
 
     val inits = chunks.as(Encoders.product[HoltChunk])
       .groupByKey(_.key)(Encoders.STRING)

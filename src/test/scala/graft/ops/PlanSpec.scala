@@ -198,6 +198,14 @@ class PlanSpec extends SparkTestBase {
       "single exchange on the candle key")
   }
 
+  test("q46/q49 smoother chunk summaries: hash aggregation, never SortAggregate") {
+    // the chunk-summary agg runs over the EVENT-sized phase-1 output; a
+    // struct-ordered min_by/max_by would silently degrade it (and its
+    // per-partition partial pass) to SortAggregate
+    assert(!plan("q46_ewma").contains("SortAggregate"))
+    assert(!plan("q49_holt_trend").contains("SortAggregate"))
+  }
+
   test("q74 signal corr: events shuffled once (alignment), corr on aligned rows") {
     val p = plan("q74_signal_corr")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
