@@ -84,10 +84,16 @@ object SimilarityOps {
     val b = chunks.select(col("chunk"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("chunk"))
       .filter(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+      // score BEFORE deduping band collisions: sim is deterministic per
+      // pair, so duplicates agree; the threshold then prunes losers on the
+      // map side and the dedup exchange carries only (id, id, sim) rows —
+      // deduping first would drag the embedding arrays through the shuffle
+      // and force the aggregate into SortAggregate (array buffers are not
+      // hash-aggregable)
       .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Deterministic seed centroids: the `nCentroids` corpus vectors with the

@@ -47,6 +47,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "no unkeyed join")
   }
 
+  test("q18 emb near-dup: pair dedup is hash-agg over ids+sim, post-filter") {
+    val p = plan("q18_lsh_neardup_emb")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // score-then-dedup: the dedup exchange must carry (id, id, sim) rows,
+    // never the embedding arrays (array agg buffers ⇒ SortAggregate)
+    assert(!p.contains("SortAggregate"), "pair dedup degraded to SortAggregate")
+    val dedupExchanges = p.split("\n")
+      .filter(l => l.contains("hashpartitioning(vec_a"))
+    assert(dedupExchanges.nonEmpty && dedupExchanges.forall(!_.contains("emb")),
+      s"dedup exchange must not carry embeddings: ${dedupExchanges.mkString}")
+  }
+
   test("q19 IVF: no cross join, no unpartitioned window") {
     val p = plan("q19_ivf_topk")
     assert(!p.contains("CartesianProduct"), "no corpus x centroids cross join")
