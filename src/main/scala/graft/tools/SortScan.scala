@@ -1,20 +1,45 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Plan sweep over every driver query: reports scale antipatterns
+  * (SortAggregate fallbacks, single-partition exchanges, unpartitioned
+  * windows, cartesian/unkeyed joins) so a new query can't silently ship a
+  * shape that dies at 100×. Known-deliberate exceptions are listed inline. */
 object SortScan {
+  // q09/q19 broadcast a tiny query side into an NLJ by design (plan-pinned);
+  // q29 is a bounded ≤60-doc oracle pin with an explicit theta join;
+  // q37/q65 crossJoin a broadcast 1-ROW anchor/stats aggregate (the
+  // SinglePartition exchange under it is the global agg producing that one
+  // row — aggregate-sized, plan-pinned in PlanSpec)
+  private val allowedNlj =
+    Set("q09_topk_cosine", "q19_ivf_topk", "q29_jaccard_exact",
+      "q37_retention_expiry", "q65_bm25")
+  private val allowedSinglePartition = Set("q37_retention_expiry", "q65_bm25")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
+    var hits = 0
     for ((name, fn) <- graft.Queries.all.toSeq.sortBy(_._1)) {
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
-        val n = p.split("\n").count(_.contains("SortAggregate"))
-        if (n > 0) println(s"SORTAGG $name: $n")
-      } catch { case e: Throwable => println(s"ERR $name: ${e.getClass.getSimpleName}") }
+        val lines = p.split("\n")
+        def flag(msg: String): Unit = { hits += 1; println(s"FLAG $name: $msg") }
+        if (p.contains("SortAggregate")) flag("SortAggregate fallback")
+        if (p.contains("CartesianProduct")) flag("CartesianProduct")
+        if (p.contains("BroadcastNestedLoopJoin") && !allowedNlj(name))
+          flag("BroadcastNestedLoopJoin outside allowlist")
+        // global exchanges: rangepartitioning(…, n) is fine; SinglePartition
+        // means some operator pulled everything to one task
+        if (!allowedSinglePartition(name))
+          for (l <- lines if l.contains("Exchange SinglePartition"))
+            flag(s"single-partition exchange: ${l.trim.take(120)}")
+      } catch { case e: Throwable => hits += 1; println(s"ERR $name: ${e.getClass.getSimpleName}") }
     }
-    println("scan done")
+    println(s"scan done, $hits flags")
     spark.stop()
   }
 }
