@@ -844,6 +844,21 @@ object Queries {
           col("value"), decimals = 2)
         .select(col("event_id"), col("user_id"), col("trend"),
           col("seasonal"), col("residual")))
+,
+    // --- ordered product funnel (oracle-backed, exact: min/count integer
+    // aggregates only): view -> click -> purchase, each step strictly after
+    // the previous step's completion; one user-keyed hash agg per step
+    "q76_funnel" -> ((s, dir) =>
+      ops.FunnelOps.funnel(events(s, dir), col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"))
+        .select(col("user").as("user_id"), col("ts_1"), col("ts_2"),
+          col("ts_3"), col("depth"))),
+
+    // --- cohort retention triangle (oracle-backed, exact): users cohorted
+    // by first-seen day, counted per day-offset they were active
+    "q77_cohort_retention" -> ((s, dir) =>
+      ops.FunnelOps.cohortRetention(events(s, dir), col("user_id"),
+        col("ts"), 86400000L))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1840,6 +1855,34 @@ FROM walk WHERE rn >= 1"""
         |  e.value - t.trend - s.seasonal AS residual
         |FROM events e
         |JOIN t ON e.user_id = t.user_id AND date_trunc('day', e.ts) = t.tb
-        |JOIN s ON e.user_id = s.user_id AND extract(hour FROM e.ts) = s.ph""".stripMargin
+        |JOIN s ON e.user_id = s.user_id AND extract(hour FROM e.ts) = s.ph""".stripMargin,
+
+    "q76_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.ts_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2 GROUP BY 1)
+        |SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+        |  1 + CASE WHEN s2.ts_2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN s3.ts_3 IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "q77_cohort_retention" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS period
+        |  FROM events),
+        |c AS (SELECT user_id, min(period) AS cohort FROM b GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, period FROM b)
+        |SELECT c.cohort, a.period - c.cohort AS offset,
+        |  count(*) AS active_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }
