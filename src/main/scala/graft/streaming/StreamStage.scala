@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.kernel.streaming.{SegSnapshot, StreamingClaSPSegmentation}
 import graft.pipeline.SeriesPoint
@@ -90,6 +90,14 @@ final case class HwStreamOut(url: String, ts: Long, tie: Long, value: Double,
   * buffer plus the running (level, trend, seasonal ring, ring rotation). */
 final case class HwBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     l: Double, b: Double, seas: Array[Double], rot: Int, primed: Boolean)
+
+/** One funnel step completion — [[StreamStage.funnelStream]] appends exactly
+  * one row per (user, step) the user reaches, at its completion event. */
+final case class FunnelStepOut(user: String, step: Int, ts: Long, tie: Long)
+/** Funnel replay state: buffered above-watermark events (value = step
+  * index) plus the user's progress (depth reached, completion ts). */
+final case class FunnelBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
+    depth: Int, tsLast: Long)
 
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
@@ -470,6 +478,60 @@ object StreamStage {
           HwStreamOut(url, t, qq, x, l, b, sNew, fc)
         }.toVector
         (out, st.copy(l = l, b = b, seas = q, rot = rot, primed = primed))
+      })
+  }
+
+  /** STREAMING ordered funnel — the unbounded twin of
+    * [[graft.ops.FunnelOps.funnel]]. Appends exactly one row per
+    * (user, step) the user reaches, at the completion event: processed in
+    * event-time order, the first step-k event strictly after the step-(k−1)
+    * completion IS the batch `min(ts)`, so the emitted (user, step, ts) set
+    * equals the batch funnel's non-null `ts_k` columns under any arrival
+    * order within the lateness bound (StreamStageSpec). Uses the same
+    * watermark-buffered in-order replay as [[ewmaStream]], with the step
+    * index riding the value slot; state per user is the O(steps) progress
+    * plus the above-watermark buffer — O(users) total, like
+    * [[sessionizeStream]].
+    *
+    * `events` columns: (user: String, ts: Long ms, tie: Long, etype:
+    * String). Non-step events may be pre-filtered or passed through (they
+    * are dropped here either way). */
+  def funnelStream(
+      events: DataFrame,
+      steps: Seq[String],
+      lateness: String = "10 minutes"): Dataset[FunnelStepOut] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, i)) =>
+        when(col("etype") === s, lit((i + 1).toDouble)).otherwise(acc)
+      }
+    val points = events
+      .withColumn("value", stepIdx)
+      .filter(col("value").isNotNull)
+      .select(col("user").as("url"), col("ts"), col("tie"), col("value"))
+      .as[TiedPoint]
+    bufferedReplay[FunnelBuf, FunnelStepOut](points, lateness,
+        FunnelBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0, Long.MinValue))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      _ => false, // funnel progress must outlive quiet periods
+      (user, st, ready) => {
+        var depth = st.depth
+        var tsLast = st.tsLast
+        val out = Vector.newBuilder[FunnelStepOut]
+        for ((t, q, v) <- ready) {
+          val s = v.toInt
+          if (s == depth + 1 && (depth == 0 || t > tsLast)) {
+            depth = s; tsLast = t
+            out += FunnelStepOut(user, s, t, q)
+          }
+        }
+        (out.result(), st.copy(depth = depth, tsLast = tsLast))
       })
   }
 

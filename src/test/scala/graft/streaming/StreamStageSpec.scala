@@ -570,6 +570,51 @@ class StreamStageSpec extends SparkTestBase {
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("streaming funnel emits batch funnel's step completions under late arrivals") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(61)
+    val h = 3600000L
+    val steps = Seq("A", "B", "C")
+    // 30 users with random walks over step + noise events; include users
+    // that stall at every depth and out-of-order step times
+    val all = (for (u <- 0 until 30; i <- 0 until 12) yield {
+      val t = h + rng.nextInt(6 * h.toInt).toLong
+      val et = Seq("A", "B", "C", "noise")(rng.nextInt(4))
+      (s"u$u", t, (u * 100 + i).toLong, et)
+    }).toSeq
+    val batch = graft.ops.FunnelOps.funnel(
+        all.toDF("user", "tsl", "tie", "etype")
+          .withColumn("ts", timestamp_millis(col("tsl"))),
+        col("user"), col("ts"), col("etype"), steps)
+      .collect().flatMap { r =>
+        (1 to 3).flatMap(i => Option(r.getTimestamp(i))
+          .map(ts => (r.getString(0), i, ts.getTime)))
+      }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, String)]
+    val q = StreamStage.funnelStream(
+        mem.toDS().toDF("user", "ts", "tie", "etype"), steps, "12 hours")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(50)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_._2).max + 365L * 86400000L
+    mem.addData(Seq(("sentinel", far, 0L, "A")))
+    q.processAllAvailable()
+    mem.addData(Seq(("sentinel", far + 1, 1L, "A")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_stream")
+      .filter(col("user") =!= "sentinel")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming ohlc candles equal batch ohlc on closed buckets") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(59)
