@@ -858,7 +858,37 @@ object Queries {
     // by first-seen day, counted per day-offset they were active
     "q77_cohort_retention" -> ((s, dir) =>
       ops.FunnelOps.cohortRetention(events(s, dir), col("user_id"),
-        col("ts"), 86400000L))
+        col("ts"), 86400000L)),
+
+    // --- burst windows + containment join (oracle-backed, exact): 5-minute
+    // buckets with >= 3 events merge into maximal burst intervals
+    // (day-partitioned islands); every event inside a burst is annotated
+    // via a bucketized EQUI-join — never an inequality join
+    "q78_burst_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bucketMs = 300000L
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val busy = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+          (floor(tsMs / lit(bucketMs)) * lit(bucketMs))
+            .cast("long").as("bstart"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 3)
+      val ivs = ops.IntervalOps.mergeIntervals(busy, col("day"),
+        col("bstart"), bucketMs)
+      ops.IntervalOps.rangeJoin(ev, tsMs, ivs,
+          col("start_ms"), col("end_ms"), bucketMs)
+        .select(col("event_id"), col("user_id"), col("start_ms"),
+          col("end_ms"), col("n_buckets"))
+    }),
+
+    // --- time-weighted average gauge rollup (oracle-backed, exact: the
+    // weighted sum is DECIMAL·ms integer arithmetic, the division one
+    // double op over bit-identical operands)
+    "q79_twa" -> ((s, dir) =>
+      ops.AnalyticsOps.timeWeightedAvg(events(s, dir), col("user_id"),
+          date_trunc("day", col("ts")), col("ts"), col("event_id"),
+          col("value"))
+        .select(col("key").as("user_id"), col("bucket").as("day"),
+          col("twa"), col("span_ms"), col("n")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1883,6 +1913,41 @@ FROM walk WHERE rn >= 1"""
         |SELECT c.cohort, a.period - c.cohort AS offset,
         |  count(*) AS active_users
         |FROM a JOIN c ON a.user_id = c.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q78_burst_range_join" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(floor(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bstart,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2 HAVING count(*) >= 3),
+        |i AS (
+        |  SELECT min(bstart) AS start_ms,
+        |    max(bstart) + 300000 AS end_ms, count(*) AS n_buckets
+        |  FROM (SELECT day, bstart,
+        |          CAST(bstart / 300000 AS BIGINT)
+        |            - row_number() OVER (PARTITION BY day ORDER BY bstart)
+        |            AS island
+        |        FROM b)
+        |  GROUP BY day, island)
+        |SELECT e.event_id, e.user_id, i.start_ms, i.end_ms, i.n_buckets
+        |FROM events e JOIN i
+        |  ON epoch_ms(e.ts) >= i.start_ms AND epoch_ms(e.ts) < i.end_ms""".stripMargin,
+
+    "q79_twa" ->
+      """WITH o AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, epoch_ms(ts) AS t,
+        |    value,
+        |    lead(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) - epoch_ms(ts) AS dt
+        |  FROM events)
+        |SELECT user_id, day,
+        |  CASE WHEN max(t) > min(t) THEN
+        |    CAST(sum(CAST(value AS DECIMAL(12,2)) * dt) AS DOUBLE)
+        |      / CAST(max(t) - min(t) AS DOUBLE)
+        |  END AS twa,
+        |  max(t) - min(t) AS span_ms, count(*) AS n
+        |FROM o GROUP BY 1, 2""".stripMargin
   )
 }

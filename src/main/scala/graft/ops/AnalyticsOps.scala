@@ -636,6 +636,42 @@ object AnalyticsOps {
       .drop("__key", "__tb", "__ph")
   }
 
+  /** Time-weighted average per (key, bucket): the gauge-rollup semantics a
+    * metrics store needs when samples are irregular — each value is held
+    * until the next sample (left-continuous step function), so a gauge that
+    * sat at 100 for an hour outweighs one that blipped there for a second.
+    * twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first); the last sample carries no
+    * weight; single-sample (or all-duplicate-ts) groups get NULL.
+    *
+    * Scale shape: one keyed window pass for the lead() gap (partitioned by
+    * the full group key — state O(1) per row) and one partial+final hash
+    * aggregate. EXACT cross-engine: the weighted sum accumulates
+    * DECIMAL(12,2)·ms products (integer arithmetic — associative, no FP
+    * reassociation), and the final division is one double op over
+    * bit-identical operands. */
+  def timeWeightedAvg(
+      events: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column): DataFrame = {
+    val tagged = events.select(keyCol.as("key"), bucketCol.as("bucket"),
+      unix_millis(tsCol.cast("timestamp")).as("t"),
+      tieCol.as("tie"), valueCol.as("v"))
+    val w = Window.partitionBy("key", "bucket").orderBy("t", "tie")
+    tagged
+      .withColumn("dt", lead(col("t"), 1).over(w) - col("t"))
+      .groupBy("key", "bucket")
+      .agg(
+        sum(col("v").cast("decimal(12,2)") * col("dt")).as("__wsum"),
+        (max(col("t")) - min(col("t"))).as("span_ms"),
+        count(lit(1)).as("n"))
+      .withColumn("twa", when(col("span_ms") > 0,
+        col("__wsum").cast("double") / col("span_ms").cast("double")))
+      .drop("__wsum")
+  }
+
   /** [[seasonalDecompose]] for fixed-decimal telemetry, with BIT-DETERMINISTIC
     * output at any parallelism: values are scaled to exact integers
     * (`decimals` fractional digits), so the event-sized cell sums are

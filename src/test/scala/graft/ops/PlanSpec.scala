@@ -218,6 +218,13 @@ class PlanSpec extends SparkTestBase {
     assert(!plan("q49_holt_trend").contains("SortAggregate"))
   }
 
+  test("q78 range join: bucketized equi-join, never an inequality join") {
+    val p = plan("q78_burst_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment must compile to a bucket-keyed equi-join:\n$p")
+    assert(p.contains("Generate explode"), "interval bucket fan-out present")
+  }
+
   test("q74 signal corr: events shuffled once (alignment), corr on aligned rows") {
     val p = plan("q74_signal_corr")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
