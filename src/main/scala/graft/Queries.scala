@@ -888,7 +888,18 @@ object Queries {
           date_trunc("day", col("ts")), col("ts"), col("event_id"),
           col("value"))
         .select(col("key").as("user_id"), col("bucket").as("day"),
-          col("twa"), col("span_ms"), col("n")))
+          col("twa"), col("span_ms"), col("n"))),
+
+    // --- PromQL-style counter increase with reset detection (oracle-backed,
+    // exact: DECIMAL sums): treating `value` as a restarting counter, the
+    // per-(user, day) growth + restart count
+    "q80_counter_increase" -> ((s, dir) =>
+      ops.AnalyticsOps.counterIncrease(events(s, dir), col("user_id"),
+          date_trunc("day", col("ts")), col("ts"), col("event_id"),
+          col("value"))
+        .select(col("key").as("user_id"), col("bucket").as("day"),
+          col("increase").cast("double").as("increase"), col("resets"),
+          col("n")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1948,6 +1959,23 @@ FROM walk WHERE rn >= 1"""
         |      / CAST(max(t) - min(t) AS DOUBLE)
         |  END AS twa,
         |  max(t) - min(t) AS span_ms, count(*) AS n
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
+    "q80_counter_increase" ->
+      """WITH o AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(value AS DECIMAL(12,2)) AS v,
+        |    lag(CAST(value AS DECIMAL(12,2))) OVER (
+        |      PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS pv
+        |  FROM events)
+        |SELECT user_id, day,
+        |  CAST(sum(CASE WHEN pv IS NULL THEN NULL
+        |                WHEN v >= pv THEN v - pv ELSE v END) AS DOUBLE)
+        |    AS increase,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS resets,
+        |  count(*) AS n
         |FROM o GROUP BY 1, 2""".stripMargin
   )
 }

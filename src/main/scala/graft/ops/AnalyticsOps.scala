@@ -636,6 +636,40 @@ object AnalyticsOps {
       .drop("__key", "__tb", "__ph")
   }
 
+  /** Monotonic-counter increase with reset detection (PromQL `increase`):
+    * per (key, bucket), the counter's total growth where a sample LOWER
+    * than its predecessor marks a counter reset and contributes its own
+    * value (the counter restarted from ~0) instead of a negative delta.
+    * Also reports the reset count — the restart telemetry itself.
+    *
+    * Scale shape: one keyed window pass for the lag (same single-exchange
+    * shape as [[deltaRate]]) and one partial+final hash aggregate. Series
+    * heads contribute nothing (their growth is unobserved), matching
+    * PromQL. EXACT cross-engine when values are fixed-decimal: sums are
+    * DECIMAL(12,2) integer arithmetic. */
+  def counterIncrease(
+      events: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column): DataFrame = {
+    val tagged = events.select(keyCol.as("key"), bucketCol.as("bucket"),
+      tsCol.as("t"), tieCol.as("tie"), valueCol.cast("decimal(12,2)").as("v"))
+    val w = Window.partitionBy("key", "bucket").orderBy("t", "tie")
+    val prev = lag(col("v"), 1).over(w)
+    tagged
+      .withColumn("inc", when(prev.isNull, lit(null))
+        .when(col("v") >= prev, col("v") - prev)
+        .otherwise(col("v")))
+      .withColumn("reset",
+        when(prev.isNotNull && col("v") < prev, 1L).otherwise(0L))
+      .groupBy("key", "bucket")
+      .agg(sum(col("inc")).as("increase"),
+        sum(col("reset")).as("resets"),
+        count(lit(1)).as("n"))
+  }
+
   /** Time-weighted average per (key, bucket): the gauge-rollup semantics a
     * metrics store needs when samples are irregular — each value is held
     * until the next sample (left-continuous step function), so a gauge that

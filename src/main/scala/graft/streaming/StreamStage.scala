@@ -77,6 +77,12 @@ final case class ZscoreOut(url: String, bucket_start: Long, ts: Long,
   * bucket — the op is inherently two-pass). */
 final case class ZBuf(ts: Array[Long], vs: Array[Double])
 
+/** One closed-bucket time-weighted average from [[StreamStage.twaStream]]. */
+final case class TwaOut(url: String, bucket_start: Long, twa: Option[Double],
+    span_ms: Long, n: Long)
+/** Open-bucket state for [[StreamStage.twaStream]]. */
+final case class TwaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double])
+
 /** Per-url state for [[StreamStage.holtStream]]: the above-watermark buffer
   * plus the running (level, trend) pair. */
 final case class HoltBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
@@ -627,6 +633,65 @@ object StreamStage {
             val prev = state.getOption.getOrElse(ZBuf(Array.emptyLongArray, Array.emptyDoubleArray))
             val inc = rows.map(r => (r._3, r._4)).toArray
             state.update(ZBuf(prev.ts ++ inc.map(_._1), prev.vs ++ inc.map(_._2)))
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING time-weighted average — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.timeWeightedAvg]], per closed (url, bucket):
+    * the inherently order-complete op (every gap needs its successor)
+    * buffers ONE bucket per key and emits exactly once when the watermark
+    * closes it — the [[zscoreStream]] discipline, state bounded by bucket
+    * span + lateness. The weighted sum accumulates scale-2 BigDecimal·ms
+    * products in (ts, tie) order — the same integer arithmetic as the
+    * batch op's DECIMAL(12,2) sums, so stream ≡ batch EXACTLY (spec). */
+  def twaStream(
+      points: Dataset[TiedPoint],
+      bucketMs: Long,
+      lateness: String = "10 minutes"): Dataset[TwaOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("ts"), col("tie"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[TwaBuf]) => {
+          val (url, bucket) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val ord = (s.ts.lazyZip(s.tie).lazyZip(s.vs)).toArray
+              .sortBy { case (t, q, _) => (t, q) }
+            val span = ord.last._1 - ord.head._1
+            val twa = if (span > 0) {
+              var wsum = java.math.BigDecimal.ZERO
+              var i = 0
+              while (i < ord.length - 1) {
+                val v = java.math.BigDecimal.valueOf(ord(i)._3)
+                  .setScale(2, java.math.RoundingMode.HALF_UP)
+                wsum = wsum.add(v.multiply(
+                  java.math.BigDecimal.valueOf(ord(i + 1)._1 - ord(i)._1)))
+                i += 1
+              }
+              Some(wsum.doubleValue / span.toDouble)
+            } else None
+            Iterator.single(TwaOut(url, bucket, twa, span, ord.length.toLong))
+          } else {
+            val prev = state.getOption.getOrElse(TwaBuf(Array.emptyLongArray,
+              Array.emptyLongArray, Array.emptyDoubleArray))
+            val inc = rows.map(r => (r._3, r._4, r._5)).toArray
+            state.update(TwaBuf(prev.ts ++ inc.map(_._1),
+              prev.tie ++ inc.map(_._2), prev.vs ++ inc.map(_._3)))
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty

@@ -53,4 +53,21 @@ class IntervalOpsSpec extends SparkTestBase {
     assert(out("g1") == ((Some(25.0), 400L, 3L)))
     assert(out("g2") == ((None, 0L, 1L)), "zero span yields NULL, not Inf")
   }
+
+  test("counterIncrease sums deltas, treats drops as resets contributing v") {
+    // c1: 10 -> 15 (+5) -> 3 (RESET, +3) -> 8 (+5) = 13, 1 reset
+    val df = Seq(
+      ("c1", 0L, 1L, 10.0), ("c1", 1L, 2L, 15.0),
+      ("c1", 2L, 3L, 3.0), ("c1", 3L, 4L, 8.0),
+      ("c2", 0L, 5L, 42.0) // single sample: unobserved growth -> NULL
+    ).toDF("k", "t", "id", "v")
+    val out = AnalyticsOps.counterIncrease(df, col("k"), lit(1), col("t"),
+        col("id"), col("v"))
+      .select(col("key"), col("increase").cast("double"), col("resets"), col("n"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2),
+          r.getLong(3)))).toMap
+    assert(out("c1") == ((Some(13.0), 1L, 4L)))
+    assert(out("c2") == ((None, 0L, 1L)))
+  }
 }

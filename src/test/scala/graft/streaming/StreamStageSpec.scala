@@ -570,6 +570,49 @@ class StreamStageSpec extends SparkTestBase {
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
 
+  test("streaming twa equals batch twa exactly on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(67)
+    val h = 3600000L
+    // 2 urls x 3 hourly buckets, 2-decimal values, one dup-ts pair
+    val all = (for (u <- 0 until 2; b <- 0 until 3; i <- 0 until 25) yield
+      (s"u$u", h + b * h + rng.nextInt(h.toInt).toLong, (u * 1000 + b * 100 + i).toLong,
+        math.floor(rng.nextDouble() * 9000) / 100.0)) ++
+      Seq(("u0", h + 77L, 9998L, 1.25), ("u0", h + 77L, 9999L, 7.5))
+    val batch = graft.ops.AnalyticsOps.timeWeightedAvg(
+        all.toDF("url", "tsl", "tie", "value")
+          .withColumn("ts", timestamp_millis(col("tsl"))),
+        col("url"), (col("tsl") - pmod(col("tsl"), lit(h))).as("bucket"),
+        col("ts"), col("tie"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Double]), r.getLong(2),
+          r.getLong(3)))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.twaStream(mem.toDS(), h, "4 hours")
+      .writeStream.format("memory").queryName("twa_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(40)) {
+      mem.addData(chunk.map(TiedPoint.tupled).toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_._2).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("twa_stream")
+      .filter(col("url") =!= "sentinel")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3),
+          r.getLong(4)))).toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("streaming funnel emits batch funnel's step completions under late arrivals") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(61)
