@@ -900,6 +900,30 @@ object Queries {
         .select(col("key").as("user_id"), col("bucket").as("day"),
           col("increase").cast("double").as("increase"), col("resets"),
           col("n")))
+,
+    // --- real-time continuous-aggregate read (oracle-backed, exact): the
+    // stored hourly rollup serves history, only the last 7 days of raw
+    // events are aggregated at read time — and the ORACLE is a full
+    // recompute, so the green row IS the proof the split loses nothing.
+    // The 1-row max-ts collect stands in for refresh metadata (aggregate-
+    // sized, same license as the IVF centroid collects).
+    "q81_realtime_agg" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bucketMs = 3600000L
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val maxTs = ev.agg(max(tsMs)).head().getLong(0)
+      val wm = ((maxTs - 7L * 86400000L) / bucketMs) * bucketMs
+      val stored = ev.filter(tsMs < wm)
+        .groupBy(col("user_id").as("key"),
+          (floor(tsMs / lit(bucketMs)) * lit(bucketMs)).cast("long")
+            .as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("vsum"))
+      pipeline.Rollup.realtimeRead(stored, ev, col("user_id"), col("ts"),
+          col("value"), bucketMs, wm)
+        .select(col("key").as("user_id"), col("bucket_start"), col("cnt"),
+          col("vsum").cast("double").as("vsum"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -1976,6 +2000,17 @@ FROM walk WHERE rn >= 1"""
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END)
         |    AS BIGINT) AS resets,
         |  count(*) AS n
-        |FROM o GROUP BY 1, 2""".stripMargin
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // full recompute over ALL raw events — q81's engine answers it from
+    // stored-rollup ∪ fresh-tail, so hash equality proves the real-time
+    // read is lossless across the materialization watermark
+    "q81_realtime_agg" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT)
+        |    AS bucket_start,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

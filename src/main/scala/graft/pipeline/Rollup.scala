@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kernel.{BinaryClaSPSegmentation, Gorilla}
 
@@ -525,6 +525,48 @@ object Rollup {
       keys: Seq[String] = Seq("url", "bucket_start")): DataFrame =
     upserts.unionByName(
       prev.join(upserts.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** Real-time continuous-aggregate READ — the query-side complement of
+    * [[incrementalRefresh]]/[[mergeUpserts]] (TimescaleDB's "real-time
+    * aggregation"): serve fully-materialized buckets from the stored
+    * rollup and aggregate only the raw tail past the materialization
+    * watermark, so fresh data is visible without waiting for the next
+    * refresh. The watermark must be bucket-aligned; the helper HARD-FILTERS
+    * both sides on it (stored rows at/past the watermark are dropped, raw
+    * rows before it are dropped), so a stale or over-eager stored table can
+    * never double-count — result ≡ a full recompute over all raw data
+    * (q81 oracle + PipelineOpsSpec).
+    *
+    * Scale shape: the stored side is a pruned scan (at 100 TB the
+    * bucket_start filter is a partition predicate); the fresh side
+    * aggregates ONLY the tail (watermark-bounded, typically one refresh
+    * period of data) with one partial+final hash aggregate. No joins. */
+  def realtimeRead(
+      stored: DataFrame,
+      raw: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      bucketMs: Long,
+      watermarkMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(watermarkMs % bucketMs == 0,
+      s"watermark must be bucket-aligned: $watermarkMs % $bucketMs != 0")
+    val tsMs = unix_millis(tsCol.cast("timestamp"))
+    val fresh = raw
+      .filter(tsMs >= watermarkMs)
+      .groupBy(keyCol.as("key"),
+        (floor(tsMs / lit(bucketMs)) * lit(bucketMs)).cast("long")
+          .as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(valueCol.cast("decimal(12,2)")).as("vsum"))
+    stored
+      .select(col("key"), col("bucket_start"), col("cnt"),
+        col("vsum").cast("decimal(22,2)").as("vsum"))
+      .filter(col("bucket_start") < watermarkMs)
+      .unionByName(fresh.select(col("key"), col("bucket_start"), col("cnt"),
+        col("vsum").cast("decimal(22,2)").as("vsum")))
+  }
 
   // ------------------------------------------- DataFrame-level gap-fill op
 

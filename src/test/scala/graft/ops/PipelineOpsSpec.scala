@@ -177,4 +177,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out("uNew") == ((2L, 10.0, 3.0, 7.0)), "unseen key = delta aggregates")
     assert(out("uOld") == ((6L, 60.0, 1.0, 30.0)), "stored partials merge in")
   }
+
+  test("realtimeRead never double-counts, even against a poisoned stored table") {
+    import org.apache.spark.sql.functions._
+    val b = 3600000L
+    val wm = 10 * b
+    // raw: one bucket fully below wm, one straddler-free bucket above
+    val raw = Seq(
+      ("u1", 5 * b + 1L, 2.0), ("u1", 5 * b + 2L, 3.0),
+      ("u1", 10 * b + 1L, 7.0), ("u1", 11 * b + 1L, 1.0)
+    ).map { case (u, ms, v) => (u, new java.sql.Timestamp(ms), v) }
+      .toDF("user", "ts", "v")
+    // stored: the legit bucket 5, PLUS a partial row for bucket 10 that an
+    // over-eager refresh materialized — must be dropped, not double-counted
+    val stored = Seq(
+      ("u1", 5 * b, 2L, BigDecimal("5.00")),
+      ("u1", 10 * b, 1L, BigDecimal("7.00"))
+    ).toDF("key", "bucket_start", "cnt", "vsum")
+    val out = Rollup.realtimeRead(stored, raw, col("user"), col("ts"),
+        col("v"), b, wm)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDecimal(3).doubleValue))).toMap
+    assert(out == Map(
+      5 * b -> ((2L, 5.0)),   // from stored
+      10 * b -> ((1L, 7.0)),  // from RAW (stored partial dropped)
+      11 * b -> ((1L, 1.0))), s"got $out")
+    // and it equals the full recompute
+    val full = raw.groupBy(col("user"),
+        (floor(unix_millis(col("ts").cast("timestamp")) / lit(b)) * lit(b))
+          .cast("long").as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("vsum"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap == full)
+  }
 }
