@@ -923,7 +923,72 @@ object Queries {
           col("value"), bucketMs, wm)
         .select(col("key").as("user_id"), col("bucket_start"), col("cnt"),
           col("vsum").cast("double").as("vsum"))
-    })
+    }),
+
+    // --- two-threshold hysteresis alerting (oracle-backed, exact): alert
+    // episodes over the hourly mean — fires at 120, clears at 60, the dead
+    // band never flaps. Decimal-exact hourly means; integer state machine.
+    "q82_hysteresis_alerts" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("user_id"),
+          unix_millis(date_trunc("hour", col("ts")).cast("timestamp"))
+            .as("bucket_ms"))
+        .agg((sum(col("value").cast("decimal(12,2)")).cast("double")
+          / count(lit(1))).as("mean"))
+      ops.AnalyticsOps.hysteresisAlerts(hourly, col("user_id"),
+          col("bucket_ms"), col("mean"), hi = 120.0, lo = 60.0)
+        .select(col("key").as("user_id"), col("ep_start"), col("ep_end"),
+          col("n_buckets"), col("peak"))
+    }),
+
+    // --- availability / telemetry-coverage report (oracle-backed, exact):
+    // per (user, day), observed vs expected 1m buckets + longest silent gap
+    "q83_availability" -> ((s, dir) => {
+      val pts = events(s, dir).select(col("user_id"),
+        date_trunc("day", col("ts")).as("day"),
+        unix_millis(date_trunc("minute", col("ts")).cast("timestamp")).as("b"))
+      ops.AnalyticsOps.availability(pts, col("user_id"), col("day"),
+          col("b"), 60000L)
+        .select(col("key").as("user_id"), col("day"), col("observed"),
+          col("expected"), col("missing"), col("longest_gap_ms"))
+    }),
+
+    // --- calendar-baseline anomaly score (oracle-backed, exact): each
+    // hourly mean vs the trailing mean of the SAME hour-of-day on prior
+    // days — the seasonal-naive "is today out of line?" query
+    "q84_calendar_baseline" -> ((s, dir) =>
+      ops.AnalyticsOps.calendarBaseline(events(s, dir), col("user_id"),
+          col("ts"), col("value"))
+        .select(col("key").as("user_id"), col("bucket"), col("n"),
+          col("mean"), col("baseline"), col("ratio"))),
+
+    // --- global top-20 day-over-day movers (oracle-backed, exact decimal;
+    // TakeOrderedAndProject, never a global sort)
+    "q85_top_movers" -> ((s, dir) =>
+      ops.AnalyticsOps.topMovers(events(s, dir), col("user_id"),
+          date_trunc("day", col("ts")), col("value"), 20)
+        .select(col("key").as("user_id"), col("day"),
+          col("total").cast("double").as("total"),
+          col("prev_total").cast("double").as("prev_total"),
+          col("change").cast("double").as("change"))),
+
+    // --- PAA + quantile-SAX symbolic words (oracle-backed, exact): per
+    // (user, day), 24 hourly PAA means rank-discretized to an a-d alphabet
+    "q86_sax_words" -> ((s, dir) =>
+      ops.DownsampleOps.quantileSax(events(s, dir), col("user_id"),
+          date_trunc("day", col("ts")), hour(col("ts")), col("value"))
+        .select(col("key").as("user_id"), col("frame").as("day"),
+          col("word"), col("n_slots"))),
+
+    // --- multi-window SLO burn rate (oracle-backed, exact): error-budget
+    // burn over the current hour AND the trailing 6h; alert only when both
+    // burn above 1.0 (sustained + still happening)
+    "q87_slo_burn" -> ((s, dir) =>
+      ops.AnalyticsOps.sloBurnRate(events(s, dir), col("user_id"),
+          col("ts"), col("event_type") === "error", budget = 0.25,
+          shortMs = 3600000L, longMs = 6L * 3600000L, threshold = 1.0)
+        .select(col("key").as("user_id"), col("bucket"), col("err"),
+          col("tot"), col("burn_short"), col("burn_long"), col("alert")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2011,6 +2076,111 @@ FROM walk WHERE rn >= 1"""
         |    AS bucket_start,
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q82_hysteresis_alerts" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS m
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id, b, m,
+        |    coalesce(last_value(
+        |        CASE WHEN m >= 120 THEN 1 WHEN m <= 60 THEN 0 END
+        |        IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      0) AS fire,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn
+        |  FROM h),
+        |f AS (
+        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY b)
+        |    AS grp
+        |  FROM st WHERE fire = 1)
+        |SELECT user_id, min(b) AS ep_start, max(b) AS ep_end,
+        |  count(*) AS n_buckets, max(m) AS peak
+        |FROM f GROUP BY user_id, grp""".stripMargin,
+
+    "q83_availability" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+        |    epoch_ms(date_trunc('minute', ts)) AS b
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day, b,
+        |    b - lag(b) OVER (PARTITION BY user_id, day ORDER BY b) AS gap
+        |  FROM b)
+        |SELECT user_id, day, count(*) AS observed,
+        |  (max(b) - min(b)) // 60000 + 1 AS expected,
+        |  (max(b) - min(b)) // 60000 + 1 - count(*) AS missing,
+        |  coalesce(max(gap) - 60000, 0) AS longest_gap_ms
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "q84_calendar_baseline" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS vs, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, bucket, n,
+        |  CAST(vs AS DOUBLE) / n AS mean,
+        |  CAST(sum(vs) OVER w AS DOUBLE) / sum(n) OVER w AS baseline,
+        |  CASE WHEN CAST(sum(vs) OVER w AS DOUBLE) / sum(n) OVER w > 0
+        |    THEN (CAST(vs AS DOUBLE) / n)
+        |      / (CAST(sum(vs) OVER w AS DOUBLE) / sum(n) OVER w) END AS ratio
+        |FROM h
+        |WINDOW w AS (PARTITION BY user_id, extract(hour FROM bucket)
+        |  ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "q85_top_movers" ->
+      """WITH d AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS total
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, day, total,
+        |    lag(total) OVER (PARTITION BY user_id ORDER BY day) AS prev_total
+        |  FROM d)
+        |SELECT user_id, day, CAST(total AS DOUBLE) AS total,
+        |  CAST(prev_total AS DOUBLE) AS prev_total,
+        |  CAST(total - prev_total AS DOUBLE) AS change
+        |FROM m WHERE prev_total IS NOT NULL
+        |ORDER BY abs(total - prev_total) DESC, user_id, day
+        |LIMIT 20""".stripMargin,
+
+    "q86_sax_words" ->
+      """WITH paa AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    extract(hour FROM ts) AS slot,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS m
+        |  FROM events GROUP BY 1, 2, 3),
+        |sym AS (
+        |  SELECT user_id, day, slot,
+        |    chr(CAST(96 + ntile(4) OVER (
+        |      PARTITION BY user_id, day ORDER BY m, slot) AS INTEGER)) AS s
+        |  FROM paa)
+        |SELECT user_id, day, string_agg(s, '' ORDER BY slot) AS word,
+        |  count(*) AS n_slots
+        |FROM sym GROUP BY 1, 2""".stripMargin,
+
+    "q87_slo_burn" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+        |    count(*) AS tot
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, bucket, err, tot,
+        |  CAST(sum(err) OVER ws AS DOUBLE) / CAST(sum(tot) OVER ws AS DOUBLE)
+        |    / 0.25 AS burn_short,
+        |  CAST(sum(err) OVER wl AS DOUBLE) / CAST(sum(tot) OVER wl AS DOUBLE)
+        |    / 0.25 AS burn_long,
+        |  (CAST(sum(err) OVER ws AS DOUBLE) / CAST(sum(tot) OVER ws AS DOUBLE)
+        |    / 0.25 > 1.0)
+        |  AND (CAST(sum(err) OVER wl AS DOUBLE) / CAST(sum(tot) OVER wl AS DOUBLE)
+        |    / 0.25 > 1.0) AS alert
+        |FROM h
+        |WINDOW ws AS (PARTITION BY user_id ORDER BY bucket
+        |    RANGE BETWEEN 0 PRECEDING AND CURRENT ROW),
+        |  wl AS (PARTITION BY user_id ORDER BY bucket
+        |    RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

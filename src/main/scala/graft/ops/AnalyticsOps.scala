@@ -706,6 +706,184 @@ object AnalyticsOps {
       .drop("__wsum")
   }
 
+  /** Threshold alerting with hysteresis per key: an alert FIRES when the
+    * series reaches `hi` and CLEARS only when it falls to `lo` (hi > lo),
+    * so values oscillating inside the (lo, hi) dead band never flap the
+    * alert — the contract of Grafana/Nagios-style two-threshold rules.
+    * Emits one row per maximal alert EPISODE (a run of consecutive
+    * observed buckets whose hysteresis state is firing) with its first and
+    * last bucket, run length, and peak value.
+    *
+    * The state machine is evaluated declaratively: each row's crossing
+    * event is 1 (value ≥ hi), 0 (value ≤ lo) or NULL (dead band), and the
+    * firing state is the last non-null crossing carried forward (the
+    * gap-fill LOCF trick), seeded 0. Episodes are gaps-and-islands:
+    * row number over all rows minus row number over firing rows.
+    *
+    * Scale shape: input is a ROLLUP (bucket-count rows, never raw events);
+    * two keyed window passes over ONE hash exchange (same partitioning,
+    * Catalyst reuses it) and a final partial+final hash aggregate. EXACT
+    * cross-engine when the rollup value is decimal-derived: states,
+    * buckets and run ids are integers; the peak is an order-free max. */
+  def hysteresisAlerts(
+      series: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      valueCol: Column,
+      hi: Double,
+      lo: Double): DataFrame = {
+    require(hi > lo, s"hysteresis needs hi > lo, got hi=$hi lo=$lo")
+    val tagged = series.select(keyCol.as("key"), bucketCol.as("bucket"),
+      valueCol.as("v"))
+    val w = Window.partitionBy("key").orderBy("bucket")
+    val crossing = when(col("v") >= hi, 1).when(col("v") <= lo, 0)
+    val firing = coalesce(
+      last(crossing, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      lit(0))
+    tagged
+      .withColumn("__fire", firing)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__fire") === 1)
+      .withColumn("__grp", col("__rn") - row_number().over(w))
+      .groupBy("key", "__grp")
+      .agg(min("bucket").as("ep_start"), max("bucket").as("ep_end"),
+        count(lit(1)).as("n_buckets"), max("v").as("peak"))
+      .drop("__grp")
+  }
+
+  /** Per-(key, day) availability report over a bucketed series: of the
+    * buckets between the key's first and last active bucket of the day,
+    * how many actually reported, how many are missing, and the longest
+    * silent gap — the uptime/telemetry-coverage query every fleet
+    * dashboard runs against its continuous aggregates.
+    *
+    * Scale shape: a distinct (hash aggregate) down to observed buckets,
+    * one keyed window pass for the lag gap, one partial+final hash
+    * aggregate — all on rollup-sized data. EXACT cross-engine: pure
+    * integer arithmetic (buckets are epoch-ms multiples of `bucketMs`). */
+  def availability(
+      series: DataFrame,
+      keyCol: Column,
+      dayCol: Column,
+      bucketMsCol: Column,
+      bucketMs: Long): DataFrame = {
+    val tagged = series.select(keyCol.as("key"), dayCol.as("day"),
+      bucketMsCol.as("b")).distinct()
+    val w = Window.partitionBy("key", "day").orderBy("b")
+    tagged
+      .withColumn("__gap", col("b") - lag(col("b"), 1).over(w))
+      .groupBy("key", "day")
+      .agg(count(lit(1)).as("observed"),
+        (floor((max("b") - min("b")) / lit(bucketMs)) + 1L).cast("long")
+          .as("expected"),
+        coalesce(max("__gap") - lit(bucketMs), lit(0L)).as("longest_gap_ms"))
+      .withColumn("missing", col("expected") - col("observed"))
+  }
+
+  /** Calendar-baseline comparison: each (key, hour) bucket's mean against
+    * the key's TRAILING mean for the same hour-of-day on prior days — the
+    * seasonal-naive anomaly score ("is 3 pm today out of line with every
+    * previous 3 pm?"). Buckets with no prior same-hour history carry NULL
+    * baseline/ratio.
+    *
+    * Scale shape: one event-sized partial+final hash aggregate down to
+    * hourly buckets, then one keyed window over (key, hour-of-day) —
+    * bucket-count rows, O(1) running state per row (running decimal sum +
+    * count, never a buffered frame). EXACT cross-engine: sums are
+    * DECIMAL(12,2), each mean/ratio is a double op over bit-identical
+    * operands. */
+  def calendarBaseline(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column): DataFrame = {
+    val hourly = events
+      .groupBy(keyCol.as("key"), date_trunc("hour", tsCol).as("bucket"))
+      .agg(sum(valueCol.cast("decimal(12,2)")).as("__vs"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("__vs").cast("double") / col("n"))
+    val w = Window.partitionBy(col("key"), hour(col("bucket")))
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourly
+      .withColumn("baseline",
+        sum("__vs").over(w).cast("double") / sum("n").over(w))
+      .withColumn("ratio",
+        when(col("baseline") > 0, col("mean") / col("baseline")))
+      .drop("__vs")
+  }
+
+  /** Global top-k day-over-day movers: per key, |Δ| between each day's
+    * decimal total and the key's previous ACTIVE day's total, ranked
+    * globally, deterministic tie-break by (key, day).
+    *
+    * Scale shape: partial+final hash aggregate to day-count rows, one
+    * keyed window for the lag, then a global top-k that compiles to
+    * TakeOrderedAndProject — per-partition k-row heaps merged once on the
+    * driver, NEVER a global sort/exchange of the day table. EXACT
+    * cross-engine: decimal arithmetic end to end. */
+  def topMovers(
+      events: DataFrame,
+      keyCol: Column,
+      dayCol: Column,
+      valueCol: Column,
+      k: Int): DataFrame = {
+    val daily = events.groupBy(keyCol.as("key"), dayCol.as("day"))
+      .agg(sum(valueCol.cast("decimal(12,2)")).as("total"))
+    val w = Window.partitionBy("key").orderBy("day")
+    daily
+      .withColumn("prev_total", lag("total", 1).over(w))
+      .filter(col("prev_total").isNotNull)
+      .withColumn("change", col("total") - col("prev_total"))
+      .orderBy(abs(col("change")).desc, col("key"), col("day"))
+      .limit(k)
+  }
+
+  /** Multi-window SLO burn rate per key (Google SRE workbook shape): the
+    * error ratio over a short and a long trailing window, each divided by
+    * the error budget; the alert fires only when BOTH windows burn above
+    * `threshold` — the long window proves it's sustained, the short one
+    * proves it's still happening. Windows are RANGE frames on the bucket
+    * epoch, so a series with missing buckets still measures true
+    * wall-clock windows (a row-count frame would silently stretch them).
+    *
+    * Scale shape: one event-sized partial+final hash aggregate down to
+    * (key, hour) buckets, then two range-frame window passes sharing one
+    * hash exchange on the key, O(1) running state per row. EXACT
+    * cross-engine: integer counts; each ratio is a double op over
+    * bit-identical operands. */
+  def sloBurnRate(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      isErrorCol: Column,
+      budget: Double,
+      shortMs: Long,
+      longMs: Long,
+      threshold: Double): DataFrame = {
+    val bucketMs = 3600000L
+    require(shortMs >= bucketMs && longMs > shortMs,
+      s"windows must be >= 1h and long > short, got $shortMs/$longMs")
+    val hourly = events
+      .groupBy(keyCol.as("key"),
+        (floor(unix_millis(tsCol.cast("timestamp")) / lit(bucketMs))
+          * lit(bucketMs)).cast("long").as("bucket"))
+      .agg(sum(when(isErrorCol, 1L).otherwise(0L)).as("err"),
+        count(lit(1)).as("tot"))
+    def burn(spanMs: Long): Column = {
+      val w = Window.partitionBy("key").orderBy(col("bucket"))
+        .rangeBetween(-(spanMs - bucketMs), 0L)
+      sum("err").over(w).cast("double") / sum("tot").over(w).cast("double") /
+        lit(budget)
+    }
+    hourly
+      .withColumn("burn_short", burn(shortMs))
+      .withColumn("burn_long", burn(longMs))
+      .withColumn("alert",
+        col("burn_short") > threshold && col("burn_long") > threshold)
+  }
+
   /** [[seasonalDecompose]] for fixed-decimal telemetry, with BIT-DETERMINISTIC
     * output at any parallelism: values are scaled to exact integers
     * (`decimals` fractional digits), so the event-sized cell sums are

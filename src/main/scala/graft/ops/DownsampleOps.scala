@@ -36,6 +36,49 @@ object DownsampleOps {
       .drop("keep")
   }
 
+  /** PAA + symbolic representation per (key, frame): the frame's samples
+    * are piecewise-aggregated into time slots (PAA, Keogh et al. 2001) and
+    * each slot mean is discretized to a fixed alphabet — SAX (Lin et al.
+    * 2003), with EMPIRICAL-QUANTILE breakpoints instead of the classic
+    * Gaussian ones: symbols are assigned by `ntile(alphabet)` over the
+    * frame's slot means. The quantile variant (standard in the
+    * discretization literature) is chosen deliberately — Gaussian
+    * breakpoints need an FP z-normalization whose mean/std reassociate
+    * across engines, while rank-based discretization is pure integer
+    * order statistics, bit-exact anywhere. Emits one word per (key,
+    * frame): the slot-ordered symbol string — the index token for motif
+    * grouping, symbolic matching, and cheap whole-frame dedup.
+    *
+    * Scale shape: one event-sized partial+final hash aggregate down to
+    * (key, frame, slot) PAA means (DECIMAL sums — exact), one keyed
+    * window for the ntile ranks (frame-sized partitions: ≤ `slots` rows
+    * each, never raw events), then one hash aggregate assembling the
+    * word via sort_array over ≤ `slots` symbols per group. */
+  def quantileSax(
+      events: DataFrame,
+      keyCol: Column,
+      frameCol: Column,
+      slotCol: Column,
+      valueCol: Column,
+      alphabet: Int = 4): DataFrame = {
+    require(alphabet >= 2 && alphabet <= 26, s"alphabet must be 2..26, got $alphabet")
+    val paa = events
+      .groupBy(keyCol.as("key"), frameCol.as("frame"), slotCol.as("slot"))
+      .agg(sum(valueCol.cast("decimal(12,2)")).as("__vs"),
+        count(lit(1)).as("__n"))
+      .withColumn("__mean", col("__vs").cast("double") / col("__n"))
+    val w = Window.partitionBy("key", "frame").orderBy(col("__mean"), col("slot"))
+    paa
+      .withColumn("__sym",
+        char(ntile(alphabet).over(w) + lit('a'.toInt - 1)))
+      .groupBy("key", "frame")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("slot"), col("__sym")))),
+          x => x("__sym")), "").as("word"),
+        count(lit(1)).as("n_slots"))
+  }
+
   /** LTTB — largest-triangle-three-buckets (Steinarsson 2013, public
     * method): select `threshold` visually representative points of one
     * series. Input must be time-sorted; returns the SELECTED INDICES

@@ -425,4 +425,111 @@ class AnalyticsOpsSpec extends SparkTestBase {
         math.abs(r - gr) < 1e-9, s"row $id: exact vs generic drifted")
     }
   }
+
+  test("hysteresisAlerts fires at hi, holds through the dead band, clears at lo") {
+    val rows = Seq(
+      // u1: below, FIRE, dead band (stays firing), CLEAR, dead band from
+      // below (stays clear — the no-flap contract), FIRE, still firing
+      ("u1", 0L, 50.0), ("u1", 1L, 130.0), ("u1", 2L, 100.0),
+      ("u1", 3L, 55.0), ("u1", 4L, 70.0), ("u1", 5L, 125.0), ("u1", 6L, 140.0),
+      // u2: only dead-band values — seeded state 0, never fires
+      ("u2", 0L, 70.0), ("u2", 1L, 80.0)
+    ).toDF("k", "b", "v")
+    val eps = AnalyticsOps.hysteresisAlerts(rows, col("k"), col("b"),
+        col("v"), hi = 120.0, lo = 60.0)
+      .orderBy("key", "ep_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(eps.toSeq == Seq(
+      ("u1", 1L, 2L, 2L, 130.0), ("u1", 5L, 6L, 2L, 140.0)))
+  }
+
+  test("availability counts expected vs observed buckets and the longest gap") {
+    val rows = Seq(
+      ("u1", "d1", 0L), ("u1", "d1", 60000L), ("u1", "d1", 240000L),
+      ("u1", "d1", 240000L), // duplicate observation: counted once
+      ("u2", "d1", 60000L)   // single bucket: expected 1, no gap
+    ).toDF("k", "d", "b")
+    val out = AnalyticsOps.availability(rows, col("k"), col("d"), col("b"),
+        60000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(4)))).toMap
+    // (observed, expected, missing, longest_gap_ms)
+    assert(out(("u1", "d1")) == ((3L, 5L, 2L, 120000L)))
+    assert(out(("u2", "d1")) == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("calendarBaseline compares each hour to its trailing same-hour history") {
+    def t(day: Int, h: Int) =
+      new java.sql.Timestamp((day * 24L + h) * 3600000L)
+    val rows = Seq(
+      ("u", t(0, 3), 10.0), ("u", t(0, 3), 20.0), // day0 3h: mean 15
+      ("u", t(1, 3), 30.0),                        // baseline = 15
+      ("u", t(2, 3), 40.0),                        // baseline = (10+20+30)/3
+      ("u", t(0, 4), 5.0)                          // other hour-of-day: isolated
+    ).toDF("k", "ts", "v")
+    val out = AnalyticsOps.calendarBaseline(rows, col("k"), col("ts"), col("v"))
+      .select("bucket", "mean", "baseline", "ratio")
+      .collect().map { r =>
+        val hAbs = r.getTimestamp(0).getTime / 3600000L
+        ((hAbs / 24).toInt, (hAbs % 24).toInt) ->
+          ((r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Double])))
+      }.toMap
+    assert(out((0, 3)) == ((15.0, None, None)), "no prior history -> NULLs")
+    assert(out((1, 3)) == ((30.0, Some(15.0), Some(2.0))))
+    assert(out((2, 3))._2 == Some(20.0))
+    assert(math.abs(out((2, 3))._3.get - 2.0) < 1e-12)
+    assert(out((0, 4)) == ((5.0, None, None)), "hours-of-day are independent")
+  }
+
+  test("topMovers ranks |day-over-day change| globally with deterministic ties") {
+    val rows = Seq(
+      ("a", 1, 10.0), ("a", 2, 50.0),   // change +40
+      ("b", 1, 10.0), ("b", 2, 5.0),    // change -5
+      ("c", 1, 100.0), ("c", 2, 60.0)   // change -40: |.| ties with a
+    ).toDF("k", "d", "v")
+    val out = AnalyticsOps.topMovers(rows, col("k"), col("d"), col("v"), 2)
+      .select("key", "change")
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue()))
+    assert(out.toSeq == Seq(("a", 40.0), ("c", -40.0)),
+      "abs ties break by key, first days (no predecessor) excluded")
+  }
+
+  test("sloBurnRate measures wall-clock windows and alerts only when both burn") {
+    def t(h: Int, i: Int) = new java.sql.Timestamp(h * 3600000L + i)
+    val rows = Seq(
+      ("u", t(0, 0), "error"), ("u", t(0, 1), "view"),  // hour0: 1/2
+      ("u", t(7, 0), "view"),                            // hour7: 0/1
+      ("u", t(8, 0), "error"), ("u", t(8, 1), "error")   // hour8: 2/2
+    ).toDF("k", "ts", "et")
+    val out = AnalyticsOps.sloBurnRate(rows, col("k"), col("ts"),
+        col("et") === "error", budget = 0.25, shortMs = 3600000L,
+        longMs = 6L * 3600000L, threshold = 1.0)
+      .select("bucket", "burn_short", "burn_long", "alert")
+      .collect().map(r => r.getLong(0) / 3600000L ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((2.0, 2.0, true)), "hour0: 0.5/0.25 both windows")
+    assert(out(7L) == ((0.0, 0.0, false)),
+      "hour0 is OUTSIDE hour7's 6h range frame (a row frame would include it)")
+    val (s8, l8, a8) = out(8L)
+    assert(s8 == 4.0 && a8, "hour8 short window burns at 4x")
+    assert(math.abs(l8 - (2.0 / 3.0 / 0.25)) < 1e-12,
+      "hour8 long window spans hours 3-8: hour7 + hour8 only")
+  }
+
+  test("quantileSax emits slot-ordered words with rank-quantile symbols") {
+    val rows = Seq(
+      ("u", "f1", 2, 30.0), ("u", "f1", 0, 10.0),
+      ("u", "f1", 1, 20.0), ("u", "f1", 3, 40.0),
+      ("u", "f2", 0, 5.0), ("u", "f2", 1, 5.0) // tie: earlier slot ranks lower
+    ).toDF("k", "f", "slot", "v")
+    val out = DownsampleOps.quantileSax(rows, col("k"), col("f"),
+        col("slot"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(("u", "f1")) == (("abcd", 4L)),
+      "word is in SLOT order even though ranks are by value")
+    assert(out(("u", "f2")) == (("ab", 2L)))
+  }
 }
