@@ -105,6 +105,15 @@ final case class FunnelStepOut(user: String, step: Int, ts: Long, tie: Long)
 final case class FunnelBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     depth: Int, tsLast: Long)
 
+/** One CLOSED alert episode from [[StreamStage.hysteresisStream]] — same
+  * fields as the batch [[graft.ops.AnalyticsOps.hysteresisAlerts]] rows. */
+final case class AlertEpisode(url: String, ep_start: Long, ep_end: Long,
+    n_buckets: Long, peak: Double)
+/** Hysteresis replay state: buffered above-watermark buckets plus the
+  * firing flag and the open episode's O(1) accumulator. */
+final case class HystBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
+    firing: Boolean, epStart: Long, epEnd: Long, n: Long, peak: Double)
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -393,6 +402,47 @@ object StreamStage {
           row
         }.toVector
         (out, st.copy(prevTs = prevTs, prevVal = prevVal, primed = primed))
+      })
+  }
+
+  /** STREAMING two-threshold hysteresis alerting — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.hysteresisAlerts]], with the same
+    * watermark-buffered in-order replay as [[ewmaStream]]. Feed it the
+    * rows the batch op reads (bucketed means; ts = bucket start). An
+    * episode row is appended when the episode CLOSES — a now-final
+    * (≤ watermark) bucket at or below `lo` arrives — so the emitted set
+    * equals the batch op's episodes restricted to those that have closed;
+    * a still-open episode lives only in state until its clearing bucket.
+    * State per url: the O(lateness) row buffer + one O(1) accumulator. */
+  def hysteresisStream(
+      points: Dataset[TiedPoint],
+      hi: Double,
+      lo: Double,
+      lateness: String = "10 minutes"): Dataset[AlertEpisode] = {
+    require(hi > lo, s"hysteresis needs hi > lo, got hi=$hi lo=$lo")
+    val spark = points.sparkSession
+    import spark.implicits._
+    bufferedReplay[HystBuf, AlertEpisode](points, lateness,
+        HystBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, false, 0L, 0L, 0L, 0.0))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.firing,
+      (url, st, ready) => {
+        var firing = st.firing
+        var epStart = st.epStart; var epEnd = st.epEnd
+        var n = st.n; var peak = st.peak
+        val out = Vector.newBuilder[AlertEpisode]
+        ready.foreach { case (t, _, v) =>
+          val nowFiring = if (v >= hi) true else if (v <= lo) false else firing
+          if (nowFiring) {
+            if (!firing) { epStart = t; n = 0L; peak = Double.NegativeInfinity }
+            epEnd = t; n += 1L; peak = math.max(peak, v)
+          } else if (firing) out += AlertEpisode(url, epStart, epEnd, n, peak)
+          firing = nowFiring
+        }
+        (out.result(), st.copy(firing = firing, epStart = epStart,
+          epEnd = epEnd, n = n, peak = peak))
       })
   }
 

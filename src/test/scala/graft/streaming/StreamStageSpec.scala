@@ -213,6 +213,49 @@ class StreamStageSpec extends SparkTestBase {
         s"$k#$q2: stream ${streamed((k, q2))} vs sequential $y")
   }
 
+  test("streaming hysteresis emits exactly the batch episodes that close") {
+    import org.apache.spark.sql.functions._
+    // a: fire, dead-band hold, clear, dead-band-from-below hold, fire, clear
+    // b: fires on its FIRST bucket, clears, then dead band stays clear
+    // c: still firing at end of input — batch reports it, stream must NOT
+    //    (the episode never closes)
+    val vals = Map(
+      "a" -> Seq(50.0, 130.0, 100.0, 55.0, 70.0, 125.0, 140.0, 40.0),
+      "b" -> Seq(130.0, 90.0, 50.0, 70.0, 80.0),
+      "c" -> Seq(130.0, 125.0))
+    val all = for ((u, vs) <- vals.toSeq; (v, i) <- vs.zipWithIndex)
+      yield TiedPoint(u, 3600000L + i * 60000L, i.toLong, v)
+    val batch = graft.ops.AnalyticsOps.hysteresisAlerts(
+        all.toDF("url", "ts", "tie", "value"),
+        col("url"), col("ts"), col("value"), hi = 120.0, lo = 60.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch.exists(_._1 == "c"), "batch reports the still-open episode")
+
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(23)
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.hysteresisStream(mem.toDS(), 120.0, 60.0, "10 minutes")
+      .writeStream.format("memory").queryName("hyst_stream")
+      .outputMode("append").start()
+    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    for (chunk <- perturbed.grouped(4)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hyst_stream").as[AlertEpisode]
+      .collect().map(e => (e.url, e.ep_start, e.ep_end, e.n_buckets, e.peak))
+      .toSet
+    assert(streamed == batch.filterNot(_._1 == "c"),
+      "stream == batch episodes that closed; the open c episode stays in state")
+  }
+
   test("streaming holt equals the sequential recurrence despite late arrivals") {
     import org.apache.spark.sql.functions._
     val (alpha, betaT) = (0.4, 0.2)
