@@ -988,7 +988,44 @@ object Queries {
           col("ts"), col("event_type") === "error", budget = 0.25,
           shortMs = 3600000L, longMs = 6L * 3600000L, threshold = 1.0)
         .select(col("key").as("user_id"), col("bucket"), col("err"),
-          col("tot"), col("burn_short"), col("burn_long"), col("alert")))
+          col("tot"), col("burn_short"), col("burn_long"), col("alert"))),
+
+    // --- matrix-profile discord discovery (rows-only; kernel parity vs an
+    // independent brute force in DiscordSpec): per url, the most anomalous
+    // w=20-bucket pattern of the 1m mean series, by largest raw 1-NN
+    // z-normed distance. Two-phase like q28: the O(n²) kNN kernel runs per
+    // BOUNDED (url, chunk) frame and a hash aggregate merges per url — an
+    // anomaly straddling a frame edge can rank < w buckets low, the stated
+    // bounded-memory contract (same license as q28's chunked segmentation).
+    "q88_discords" -> ((s, dir) => {
+      import s.implicits._
+      val nUrls = synthScale(dir, 12, 32, 96)
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
+      val w = 20
+      val chunkMs = 60000L * Rollup.MegaSeriesBuckets
+      val perChunk =
+        Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m",
+            segment = false)
+          .groupByKey(r => (r.url, Math.floorDiv(r.bucket_start, chunkMs)))
+          .flatMapGroups { (key: (String, Long), it: Iterator[pipeline.RollupRow]) =>
+            val rows = it.toArray.sortBy(_.bucket_start)
+            graft.kernel.Discord.discords(rows.map(_.mean), w, top = 1)
+              .iterator.map { case (idx, dist) =>
+                (key._1, rows.length.toLong, rows(idx).bucket_start, dist)
+              }
+          }
+      perChunk.toDF("url", "n_buckets", "bucket", "dist")
+        .groupBy("url")
+        .agg(sum("n_buckets").as("n_buckets"),
+          // argmax by (dist, -bucket): flat-buffer ordered aggregate keeps
+          // the merge in HashAggregateExec (a struct max_by would degrade
+          // the whole agg to SortAggregate)
+          graft.functions.OrderedAggregates.lastByOrd(col("bucket"),
+            col("dist"), -col("bucket")).as("discord_bucket"),
+          round(max("dist"), 6).as("nn_dist"))
+        .select(col("url").as("user_id"), col("n_buckets"),
+          col("discord_bucket"), col("nn_dist"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
