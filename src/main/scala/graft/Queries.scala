@@ -1025,7 +1025,19 @@ object Queries {
           round(max("dist"), 6).as("nn_dist"))
         .select(col("url").as("user_id"), col("n_buckets"),
           col("discord_bucket"), col("nn_dist"))
-    })
+    }),
+
+    // --- DAMPED-trend Holt (oracle-backed, exact FP mirror): Gardner &
+    // McKenzie phi = 0.9 — the trend decays geometrically, the industry
+    // default for multi-step forecasts. Same segmented scan as q49 (the
+    // damping only reweights the affine map), mirror generated from the
+    // same template.
+    "q89_damped_holt" -> ((s, dir) =>
+      ops.AnalyticsOps.holt(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          alpha = 0.3, betaT = 0.1, bucketMs = 86400000L, phi = 0.9)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("ts"), col("value"), col("level"), col("trend"), col("forecast")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -1128,6 +1140,69 @@ object Queries {
 SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts, value,
   l AS level, b AS trend, q1 AS seasonal, fc AS forecast
 FROM walk WHERE rn >= 1"""
+  }
+
+  /** Generated DuckDB oracle for q49/q89: an EXACT FP MIRROR of
+    * [[graft.ops.AnalyticsOps.holt]]'s segmented scan (mirroring rules per
+    * q50MirrorSql's scaladoc). Coefficients are emitted as the SAME literal
+    * arithmetic the engine evaluates (`(1.0-a)*phi`, `phi*(1.0-a*b)`, …),
+    * so DuckDB's constant folding yields bit-identical doubles; with
+    * phi = 1.0 every φ-multiplication is IEEE-exact, making the generated
+    * q49 mirror equivalent to the pre-damping hand-written one. */
+  private def holtMirrorSql(alpha: String, beta: String, phi: String): String = {
+    val a00 = s"(1.0-$alpha)"
+    val a01 = s"((1.0-$alpha)*$phi)"
+    val a10 = s"((-$alpha)*$beta)"
+    val a11 = s"($phi*(1.0 - $alpha*$beta))"
+    s"""WITH RECURSIVE ord AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
+       |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket
+       |  FROM events
+       |), rord AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+       |    ORDER BY tms, event_id) AS rn FROM ord
+       |), rec AS (
+       |  SELECT user_id, bucket, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
+       |    NULL::BIGINT AS tms, NULL::DOUBLE AS value,
+       |    1.0::DOUBLE AS m00, 0.0::DOUBLE AS m01, 0.0::DOUBLE AS m10,
+       |    1.0::DOUBLE AS m11, 0.0::DOUBLE AS d0, 0.0::DOUBLE AS d1
+       |  FROM (SELECT DISTINCT user_id, bucket FROM rord)
+       |  UNION ALL
+       |  SELECT o.user_id, o.bucket, o.rn, o.event_id, o.tms, o.value,
+       |    $a00*r.m00 + $a01*r.m10 AS m00,
+       |    $a00*r.m01 + $a01*r.m11 AS m01,
+       |    $a10*r.m00 + $a11*r.m10 AS m10,
+       |    $a10*r.m01 + $a11*r.m11 AS m11,
+       |    $a00*r.d0 + $a01*r.d1 + $alpha*o.value AS d0,
+       |    $a10*r.d0 + $a11*r.d1 + $alpha*$beta*o.value AS d1
+       |  FROM rord o JOIN rec r
+       |    ON o.user_id = r.user_id AND o.bucket = r.bucket AND o.rn = r.rn + 1
+       |), chk AS (
+       |  SELECT user_id, bucket, max_by(m00, rn) AS m00, max_by(m01, rn) AS m01,
+       |    max_by(m10, rn) AS m10, max_by(m11, rn) AS m11,
+       |    max_by(d0, rn) AS d0, max_by(d1, rn) AS d1,
+       |    min_by(value, rn) AS firstval,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS ci
+       |  FROM rec WHERE rn >= 1 GROUP BY user_id, bucket
+       |), scan AS (
+       |  SELECT user_id, bucket, ci, firstval AS l, 0.0::DOUBLE AS b,
+       |    m00, m01, m10, m11, d0, d1 FROM chk WHERE ci = 1
+       |  UNION ALL
+       |  SELECT k.user_id, k.bucket, k.ci,
+       |    s.m00 * s.l + s.m01 * s.b + s.d0 AS l,
+       |    s.m10 * s.l + s.m11 * s.b + s.d1 AS b,
+       |    k.m00, k.m01, k.m10, k.m11, k.d0, k.d1
+       |  FROM chk k JOIN scan s ON k.user_id = s.user_id AND k.ci = s.ci + 1
+       |), fin AS (
+       |  SELECT p.event_id, p.user_id, p.tms, p.value,
+       |    p.m00 * s.l + p.m01 * s.b + p.d0 AS level,
+       |    p.m10 * s.l + p.m11 * s.b + p.d1 AS trend
+       |  FROM rec p JOIN scan s ON p.user_id = s.user_id AND p.bucket = s.bucket
+       |  WHERE p.rn >= 1
+       |)
+       |SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts, value,
+       |  level, trend, level + $phi*trend AS forecast
+       |FROM fin""".stripMargin
   }
 
   private val tokExpr = "string_split_regex(trim(text), '\\s+')"
@@ -1470,56 +1545,10 @@ FROM walk WHERE rn >= 1"""
     // exact coefficient expressions, e.g. a10 = (-0.3)*0.1, a11 = 1-0.3*0.1),
     // phase-2 walks chunk summaries (l,b), phase-3 finalizes m·state+d —
     // identical IEEE op order → bit-identical raw doubles.
-    "q49_holt_trend" ->
-      """WITH RECURSIVE ord AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
-        |    CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS bucket
-        |  FROM events
-        |), rord AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, bucket
-        |    ORDER BY tms, event_id) AS rn FROM ord
-        |), rec AS (
-        |  SELECT user_id, bucket, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
-        |    NULL::BIGINT AS tms, NULL::DOUBLE AS value,
-        |    1.0::DOUBLE AS m00, 0.0::DOUBLE AS m01, 0.0::DOUBLE AS m10,
-        |    1.0::DOUBLE AS m11, 0.0::DOUBLE AS d0, 0.0::DOUBLE AS d1
-        |  FROM (SELECT DISTINCT user_id, bucket FROM rord)
-        |  UNION ALL
-        |  SELECT o.user_id, o.bucket, o.rn, o.event_id, o.tms, o.value,
-        |    (1.0-0.3)*r.m00 + (1.0-0.3)*r.m10 AS m00,
-        |    (1.0-0.3)*r.m01 + (1.0-0.3)*r.m11 AS m01,
-        |    ((-0.3)*0.1)*r.m00 + (1.0 - 0.3*0.1)*r.m10 AS m10,
-        |    ((-0.3)*0.1)*r.m01 + (1.0 - 0.3*0.1)*r.m11 AS m11,
-        |    (1.0-0.3)*r.d0 + (1.0-0.3)*r.d1 + 0.3*o.value AS d0,
-        |    ((-0.3)*0.1)*r.d0 + (1.0 - 0.3*0.1)*r.d1 + 0.3*0.1*o.value AS d1
-        |  FROM rord o JOIN rec r
-        |    ON o.user_id = r.user_id AND o.bucket = r.bucket AND o.rn = r.rn + 1
-        |), chk AS (
-        |  SELECT user_id, bucket, max_by(m00, rn) AS m00, max_by(m01, rn) AS m01,
-        |    max_by(m10, rn) AS m10, max_by(m11, rn) AS m11,
-        |    max_by(d0, rn) AS d0, max_by(d1, rn) AS d1,
-        |    min_by(value, rn) AS firstval,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS ci
-        |  FROM rec WHERE rn >= 1 GROUP BY user_id, bucket
-        |), scan AS (
-        |  SELECT user_id, bucket, ci, firstval AS l, 0.0::DOUBLE AS b,
-        |    m00, m01, m10, m11, d0, d1 FROM chk WHERE ci = 1
-        |  UNION ALL
-        |  SELECT k.user_id, k.bucket, k.ci,
-        |    s.m00 * s.l + s.m01 * s.b + s.d0 AS l,
-        |    s.m10 * s.l + s.m11 * s.b + s.d1 AS b,
-        |    k.m00, k.m01, k.m10, k.m11, k.d0, k.d1
-        |  FROM chk k JOIN scan s ON k.user_id = s.user_id AND k.ci = s.ci + 1
-        |), fin AS (
-        |  SELECT p.event_id, p.user_id, p.tms, p.value,
-        |    p.m00 * s.l + p.m01 * s.b + p.d0 AS level,
-        |    p.m10 * s.l + p.m11 * s.b + p.d1 AS trend
-        |  FROM rec p JOIN scan s ON p.user_id = s.user_id AND p.bucket = s.bucket
-        |  WHERE p.rn >= 1
-        |)
-        |SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts, value,
-        |  level, trend, level + trend AS forecast
-        |FROM fin""".stripMargin,
+    "q49_holt_trend" -> holtMirrorSql("0.3", "0.1", "1.0"),
+
+    // damped-trend Holt: same generated mirror, phi = 0.9
+    "q89_damped_holt" -> holtMirrorSql("0.3", "0.1", "0.9"),
 
     // Holt-Winters oracle: the generated exact FP mirror of the engine's
     // three-phase scan (see q50MirrorSql's scaladoc).

@@ -193,9 +193,17 @@ object AnalyticsOps {
     * Initialization is l₁ = x₁, b₁ = 0: the seed state (x₁, 0) is a fixed
     * point of the first element's map, so phase 2 seeds each series with
     * its first value exactly like the EWMA scan. Emits the smoothed level,
-    * trend, and one-step forecast (level + trend) per row. Same 100-TB
+    * trend, and one-step forecast (level + φ·trend) per row. Same 100-TB
     * properties: chunk-bounded memory, chunk-count-sized phase 2, one
-    * event-sized shuffle. */
+    * event-sized shuffle.
+    *
+    * `phi` < 1 gives DAMPED-trend Holt (Gardner & McKenzie 1985, the
+    * public damping standard): the trend decays geometrically instead of
+    * extrapolating linearly forever —
+    *   l' = α·x + (1−α)(l + φ·b);  b' = β(l'−l) + (1−β)·φ·b,
+    * which stays an affine map, A = [[1−α, (1−α)φ], [−αβ, φ(1−αβ)]], so
+    * the segmented scan is unchanged. φ = 1 (the default) is classic Holt
+    * and is BIT-IDENTICAL to it (every φ-multiplication is exact ×1.0). */
   def holt(
       events: DataFrame,
       keyCol: Column,
@@ -204,12 +212,14 @@ object AnalyticsOps {
       valueCol: Column,
       alpha: Double,
       betaT: Double,
-      bucketMs: Long): DataFrame = {
+      bucketMs: Long,
+      phi: Double = 1.0): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(betaT >= 0 && betaT <= 1, s"beta must be in [0, 1], got $betaT")
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
-    val a00 = 1.0 - alpha; val a01 = 1.0 - alpha
-    val a10 = -alpha * betaT; val a11 = 1.0 - alpha * betaT
+    require(phi > 0 && phi <= 1, s"phi must be in (0, 1], got $phi")
+    val a00 = 1.0 - alpha; val a01 = (1.0 - alpha) * phi
+    val a10 = -alpha * betaT; val a11 = phi * (1.0 - alpha * betaT)
 
     val base = events.select(
         keyCol.cast("string").as("key"),
@@ -269,7 +279,7 @@ object AnalyticsOps {
       .withColumn("trend", col("m10") * col("lIn") + col("m11") * col("bIn") + col("d1"))
       .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
         col("value"), col("level"), col("trend"),
-        (col("level") + col("trend")).as("forecast"))
+        (col("level") + lit(phi) * col("trend")).as("forecast"))
   }
 
   /** Per-key additive Holt-Winters triple-exponential smoothing (level +

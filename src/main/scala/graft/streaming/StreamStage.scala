@@ -450,17 +450,20 @@ object StreamStage {
     * twin of [[graft.ops.AnalyticsOps.holt]], with the same
     * watermark-buffered in-order replay as [[ewmaStream]]. Seeds
     * (level, trend) = (x₁, 0) and applies the sequential recurrence
-    *   l' = α·x + (1−α)(l + b);  b' = β(l' − l) + (1−β)b
-    * to the drained ≤watermark prefix in (ts, tie) order. Emits level,
-    * trend, and the one-step forecast level + trend per point. State per
-    * url is the O(lateness) buffer plus two doubles. */
+    *   l' = α·x + (1−α)(l + φ·b);  b' = β(l' − l) + (1−β)·φ·b
+    * to the drained ≤watermark prefix in (ts, tie) order (φ = 1 default:
+    * classic Holt; φ < 1: damped trend, matching the batch op's `phi`).
+    * Emits level, trend, and the one-step forecast level + φ·trend per
+    * point. State per url is the O(lateness) buffer plus two doubles. */
   def holtStream(
       points: Dataset[TiedPoint],
       alpha: Double,
       betaT: Double,
-      lateness: String = "10 minutes"): Dataset[HoltOut] = {
+      lateness: String = "10 minutes",
+      phi: Double = 1.0): Dataset[HoltOut] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(betaT >= 0 && betaT <= 1, s"beta must be in [0, 1], got $betaT")
+    require(phi > 0 && phi <= 1, s"phi must be in (0, 1], got $phi")
     val spark = points.sparkSession
     import spark.implicits._
     bufferedReplay[HoltBuf, HoltOut](points, lateness,
@@ -477,10 +480,10 @@ object StreamStage {
           if (!primed) { primed = true; l = v; b = 0.0 }
           else {
             val lPrev = l
-            l = alpha * v + (1 - alpha) * (l + b)
-            b = betaT * (l - lPrev) + (1 - betaT) * b
+            l = alpha * v + (1 - alpha) * (l + phi * b)
+            b = betaT * (l - lPrev) + (1 - betaT) * (phi * b)
           }
-          HoltOut(url, t, q, v, l, b, l + b)
+          HoltOut(url, t, q, v, l, b, l + phi * b)
         }.toVector
         (out, st.copy(l = l, b = b, primed = primed))
       })

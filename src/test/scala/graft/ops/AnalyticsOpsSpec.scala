@@ -213,6 +213,59 @@ class AnalyticsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("damped holt matches the sequential recurrence and phi=1 equals classic") {
+    def seqDamped(xs: Seq[Double], a: Double, g: Double, phi: Double): Seq[(Double, Double)] = {
+      var l = xs.head; var b = 0.0
+      (l, b) +: xs.tail.map { x =>
+        val lPrev = l
+        l = a * x + (1 - a) * (l + phi * b)
+        b = g * (l - lPrev) + (1 - g) * (phi * b)
+        (l, b)
+      }
+    }
+    val rng = new scala.util.Random(29)
+    val series = Map(
+      "u1" -> (0 until 120).map(i => 2.0 * i + 10 * rng.nextDouble()),
+      "u2" -> (0 until 9).map(i => 100.0 - 5.0 * i))
+    val rows = series.toSeq.flatMap { case (u, xs) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        (u, new java.sql.Timestamp(i * 6L * 3600 * 1000), i.toLong, x)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = AnalyticsOps.holt(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.4, betaT = 0.2,
+        bucketMs = 86400000L, phi = 0.85)
+      .select("key", "tie", "level", "trend", "forecast")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for ((u, xs) <- series) {
+      val expect = seqDamped(xs, 0.4, 0.2, 0.85)
+      for (i <- xs.indices) {
+        val (l, b, f) = out((u, i.toLong))
+        val (el, eb) = expect(i)
+        val tol = 1e-9 * math.max(1.0, math.abs(el))
+        assert(math.abs(l - el) <= tol, s"$u[$i] level: $l vs $el")
+        assert(math.abs(b - eb) <= tol, s"$u[$i] trend: $b vs $eb")
+        assert(math.abs(f - (l + 0.85 * b)) <= 1e-12, "forecast = level + phi*trend")
+      }
+    }
+    // phi = 1.0 must be BIT-IDENTICAL to the pre-damping classic holt path
+    val classic = AnalyticsOps.holt(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.4, betaT = 0.2,
+        bucketMs = 86400000L)
+      .select("key", "tie", "level", "trend", "forecast")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val explicit = AnalyticsOps.holt(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), alpha = 0.4, betaT = 0.2,
+        bucketMs = 86400000L, phi = 1.0)
+      .select("key", "tie", "level", "trend", "forecast")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(classic == explicit, "phi = 1.0 is exact: x*1.0 == x for all finite x")
+  }
+
   test("holtWinters matches the sequential recurrence across chunk boundaries") {
     // reference: seed (l,b,q)=(x1,0,0..0); l'=(1-a)(l+b)+a(x-q_m);
     // b'=bt(l'-l)+(1-bt)b; s=g(x-l')+(1-g)q_m; lag window shifts
