@@ -1037,7 +1037,41 @@ object Queries {
           col("user_id"), col("ts"), col("event_id"), col("value"),
           alpha = 0.3, betaT = 0.1, bucketMs = 86400000L, phi = 0.9)
         .select(col("tie").as("event_id"), col("key").as("user_id"),
-          col("ts"), col("value"), col("level"), col("trend"), col("forecast")))
+          col("ts"), col("value"), col("level"), col("trend"), col("forecast"))),
+
+    // --- DTW series search (rows-only; DtwSpec pins the banded DP against
+    // an independent full-matrix DP): the 10 users whose z-normalized
+    // hourly-mean profile warps closest to the lowest-id user's, with a
+    // Sakoe-Chiba band of 24 hours. Scale shape: hourly profiles are
+    // calendar-bounded per key (a year of hours = 8.8k rows — never raw
+    // events), the query profile is ONE user's collect (aggregate-sized,
+    // the IVF-centroid license) broadcast in the closure, each DTW is an
+    // O(n*band) map-side task after one hash shuffle, and the global
+    // top-10 compiles to TakeOrderedAndProject.
+    "q90_dtw_search" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = events(s, dir)
+        .groupBy(col("user_id"),
+          unix_millis(date_trunc("hour", col("ts")).cast("timestamp")).as("b"))
+        .agg((sum(col("value").cast("decimal(12,2)")).cast("double")
+          / count(lit(1))).as("m"))
+        .as[(Long, Long, Double)]
+      val qUser = events(s, dir).agg(min("user_id")).head().getLong(0)
+      val query = graft.kernel.Dtw.znorm(
+        hourly.filter(_._1 == qUser).collect().sortBy(_._2).map(_._3))
+      hourly
+        .groupByKey(_._1)
+        .mapGroups { (u, it) =>
+          val prof = it.toArray.sortBy(_._2).map(_._3)
+          (u, prof.length.toLong,
+            graft.kernel.Dtw.dtw(query, graft.kernel.Dtw.znorm(prof), 24))
+        }
+        .toDF("user_id", "n_buckets", "dist")
+        .filter(col("user_id") =!= qUser)
+        .orderBy(col("dist"), col("user_id")).limit(10)
+        .select(col("user_id"), col("n_buckets"),
+          round(col("dist"), 6).as("dtw_dist"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
