@@ -1071,6 +1071,31 @@ object Queries {
         .orderBy(col("dist"), col("user_id")).limit(10)
         .select(col("user_id"), col("n_buckets"),
           round(col("dist"), 6).as("dtw_dist"))
+    }),
+
+    // --- per-series period detection (rows-only; the three estimators are
+    // golden-tested against the reference's window_size.py corpus-wide):
+    // dominant FFT period, highest-autocorrelation lag, and SuSS window of
+    // each url's 1m mean series — the "what cadence does this series
+    // have?" query a TSDB runs before choosing rollup resolutions. Same
+    // calendar-bounded per-key group walk as q90 (bucket rows, not raw
+    // events), one hash shuffle, kernel work O(n log n) per url.
+    "q91_period_detect" -> ((s, dir) => {
+      import s.implicits._
+      val nUrls = synthScale(dir, 12, 32, 96)
+      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
+      Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m",
+          segment = false)
+        .groupByKey(_.url)
+        .mapGroups { (url, it) =>
+          val means = it.toArray.sortBy(_.bucket_start).map(_.mean)
+          val ub = math.min(1000, means.length / 2)
+          (url, means.length.toLong,
+            graft.kernel.WindowSize.dominantFourierFrequency(means, 10, ub),
+            graft.kernel.WindowSize.highestAutocorrelation(means, 10, ub),
+            graft.kernel.WindowSize.suss(means))
+        }
+        .toDF("user_id", "n_buckets", "fft_period", "acf_period", "suss_window")
     })
   )
 
