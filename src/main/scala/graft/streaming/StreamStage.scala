@@ -114,6 +114,17 @@ final case class AlertEpisode(url: String, ep_start: Long, ep_end: Long,
 final case class HystBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     firing: Boolean, epStart: Long, epEnd: Long, n: Long, peak: Double)
 
+/** One closed-bucket burn-rate row from [[StreamStage.sloBurnStream]] —
+  * same fields as the batch [[graft.ops.AnalyticsOps.sloBurnRate]]. */
+final case class SloOut(url: String, bucket: Long, err: Long, tot: Long,
+    burn_short: Double, burn_long: Double, alert: Boolean)
+/** SLO replay state: buffered above-watermark rows, open buckets'
+  * error/total counters, and the ring of closed buckets the long window
+  * can still reach. */
+final case class SloBuf(ts: Array[Long], vs: Array[Double],
+    accB: Array[Long], accErr: Array[Long], accTot: Array[Long],
+    ringB: Array[Long], ringErr: Array[Long], ringTot: Array[Long])
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -638,6 +649,93 @@ object StreamStage {
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
+        })
+  }
+
+  /** STREAMING multi-window SLO burn rate — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.sloBurnRate]] (q87). Unlike the per-bucket
+    * twins, the burn windows REACH ACROSS buckets, so state groups by key
+    * alone: the above-watermark row buffer, the open buckets' error/total
+    * counters (counts are order-free — no tie needed), and a ring of
+    * CLOSED buckets covering the long window. A bucket emits exactly once,
+    * when the watermark passes its end, with burn rates summed over the
+    * ring exactly like the batch RANGE frames (observed buckets only).
+    * Input encodes errors as value = 1.0 (ok = 0.0). State per key:
+    * O(lateness rows + longMs/bucketMs ring entries); fully drained keys
+    * are removed once the ring ages out of every future window. */
+  def sloBurnStream(
+      points: Dataset[TiedPoint],
+      budget: Double,
+      shortMs: Long,
+      longMs: Long,
+      threshold: Double,
+      lateness: String = "10 minutes"): Dataset[SloOut] = {
+    val bucketMs = 3600000L
+    require(shortMs >= bucketMs && longMs > shortMs,
+      s"windows must be >= 1h and long > short, got $shortMs/$longMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[SloBuf]) => {
+          val st = state.getOption.getOrElse(SloBuf(
+            Array.emptyLongArray, Array.emptyDoubleArray,
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray))
+          val all = st.ts.zip(st.vs) ++ rows.map(r => (r._2, r._3))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          val acc = scala.collection.mutable.TreeMap.empty[Long, (Long, Long)]
+          for (i <- st.accB.indices) acc(st.accB(i)) = (st.accErr(i), st.accTot(i))
+          ready.foreach { case (t, v) =>
+            val b = t - math.floorMod(t, bucketMs)
+            val (e, n) = acc.getOrElse(b, (0L, 0L))
+            acc(b) = (e + (if (v > 0) 1L else 0L), n + 1L)
+          }
+          val ring = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          for (i <- st.ringB.indices)
+            ring += ((st.ringB(i), st.ringErr(i), st.ringTot(i)))
+          val out = Vector.newBuilder[SloOut]
+          val closing = acc.keys.filter(b => b + bucketMs <= wm + 1).toArray.sorted
+          closing.foreach { b =>
+            val (e, n) = acc.remove(b).get
+            ring += ((b, e, n))
+            def burn(span: Long): Double = {
+              var se = 0L; var sn = 0L
+              ring.foreach { case (rb, re, rt) =>
+                if (rb > b - span && rb <= b) { se += re; sn += rt }
+              }
+              se.toDouble / sn.toDouble / budget
+            }
+            val bs = burn(shortMs); val bl = burn(longMs)
+            out += SloOut(url, b, e, n, bs, bl, bs > threshold && bl > threshold)
+            // entries no future bucket's long window can reach are dead
+            ring.filterInPlace(_._1 > b + bucketMs - longMs)
+          }
+          val ringDead = ring.isEmpty ||
+            wm >= ring.map(_._1).max + longMs
+          if (hold.isEmpty && acc.isEmpty && ringDead) state.remove()
+          else {
+            state.update(SloBuf(hold.map(_._1), hold.map(_._2),
+              acc.keys.toArray, acc.values.map(_._1).toArray,
+              acc.values.map(_._2).toArray,
+              ring.map(_._1).toArray, ring.map(_._2).toArray,
+              ring.map(_._3).toArray))
+            val wake = Seq(
+              hold.iterator.map(_._1).minOption,
+              acc.keys.headOption.map(_ + bucketMs),
+              if (ring.isEmpty) None else Some(ring.map(_._1).max + longMs)
+            ).flatten.min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          out.result().iterator
         })
   }
 

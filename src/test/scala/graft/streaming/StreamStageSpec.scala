@@ -256,6 +256,57 @@ class StreamStageSpec extends SparkTestBase {
       "stream == batch episodes that closed; the open c episode stays in state")
   }
 
+  test("streaming slo burn rate equals batch on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(31)
+    // two keys, 30 hours each, bursty error pattern (value 1.0 = error)
+    val all = for (u <- Seq("svc-a", "svc-b"); h <- 0 until 30;
+                   i <- 0 until 1 + rng.nextInt(4)) yield {
+      val isErr = if (u == "svc-a" && h >= 10 && h <= 13) rng.nextInt(2)
+                  else if (rng.nextInt(10) == 0) 1 else 0
+      TiedPoint(u, 3600000L + h * 3600000L + i * 60000L + rng.nextInt(1000),
+        (h * 10 + i).toLong, isErr.toDouble)
+    }
+    val batch = graft.ops.AnalyticsOps.sloBurnRate(
+        all.toDF("url", "tsl", "tie", "value")
+          .select(col("url"), timestamp_millis(col("tsl")).as("ts"), col("value")),
+        col("url"), col("ts"), col("value") > 0,
+        budget = 0.25, shortMs = 3600000L, longMs = 6L * 3600000L,
+        threshold = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.sloBurnStream(mem.toDS(), budget = 0.25,
+        shortMs = 3600000L, longMs = 6L * 3600000L, threshold = 1.0,
+        lateness = "2 hours")
+      .writeStream.format("memory").queryName("slo_stream")
+      .outputMode("append").start()
+    // perturb arrival by up to +-30 min, inside the 2h lateness
+    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(61) - 30) * 60000L)
+    for (chunk <- perturbed.grouped(25)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slo_stream").as[SloOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(o => (o.url, o.bucket) ->
+        ((o.err, o.tot, o.burn_short, o.burn_long, o.alert))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"every bucket emitted exactly once (missing ${batch.keySet -- streamed.keySet})")
+    for ((k, b) <- batch)
+      assert(streamed(k) == b, s"$k: stream ${streamed(k)} vs batch $b")
+    assert(batch.values.exists(_._5), "the fixture must trip at least one alert")
+  }
+
   test("streaming holt equals the sequential recurrence despite late arrivals") {
     import org.apache.spark.sql.functions._
     val (alpha, betaT) = (0.4, 0.2)
