@@ -1096,6 +1096,21 @@ object Queries {
             graft.kernel.WindowSize.suss(means))
         }
         .toDF("user_id", "n_buckets", "fft_period", "acf_period", "suss_window")
+    }),
+
+    // --- tiered read (oracle-backed, exact): every row served at the
+    // resolution its age earns — 1m for the last 7 days, 1h to 14 days,
+    // 1d beyond — in ONE pass (map-side CASE tier/bucket + a single hash
+    // aggregate; no per-tier rescan). The retention policy's query-side
+    // complement; anchor is the pruned max-ts collect (q81 license).
+    "q92_tiered_read" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val anchor = ev.agg(max(unix_millis(col("ts").cast("timestamp"))))
+        .head().getLong(0)
+      ops.RetentionOps.tieredRead(ev, col("user_id"), col("ts"),
+          col("value"), anchor, 7L * 86400000L, 14L * 86400000L)
+        .select(col("key").as("user_id"), col("tier"), col("bucket_start"),
+          col("cnt"), col("vsum").cast("double").as("vsum"))
     })
   )
 
@@ -2306,6 +2321,27 @@ FROM walk WHERE rn >= 1"""
         |WINDOW ws AS (PARTITION BY user_id ORDER BY bucket
         |    RANGE BETWEEN 0 PRECEDING AND CURRENT ROW),
         |  wl AS (PARTITION BY user_id ORDER BY bucket
-        |    RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |    RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q92_tiered_read" ->
+      """WITH a AS (
+        |  SELECT (max(epoch_ms(ts)) - 7*86400000) // 86400000 * 86400000
+        |      AS cut1,
+        |    (max(epoch_ms(ts)) - 14*86400000) // 86400000 * 86400000
+        |      AS cut2
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms,
+        |    CASE WHEN epoch_ms(ts) >= a.cut1 THEN '1m'
+        |         WHEN epoch_ms(ts) >= a.cut2 THEN '1h' ELSE '1d' END AS tier,
+        |    CASE WHEN epoch_ms(ts) >= a.cut1 THEN 60000
+        |         WHEN epoch_ms(ts) >= a.cut2 THEN 3600000
+        |         ELSE 86400000 END AS w,
+        |    value
+        |  FROM events, a)
+        |SELECT user_id, tier, CAST(tms // w * w AS BIGINT) AS bucket_start,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
+        |FROM t GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -44,6 +44,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept("1d") == 10L, "unlisted tier keeps everything")
   }
 
+  test("tieredRead serves each age band at its tier, no row double-served") {
+    val day = 86400000L
+    // anchor at day 30 noon; cuts land at day-aligned 23 and 16
+    val rows = Seq(
+      ("u", 30L * day + 1000L, 1.0),         // fresh -> 1m
+      ("u", 24L * day + 3600_500L, 2.0),     // age ~6d -> 1m
+      ("u", 22L * day + 7200_500L, 3.0),     // between cuts -> 1h
+      ("u", 10L * day + 999L, 4.0),          // old -> 1d
+      ("u", 10L * day + 1999L, 5.0)          // same 1d bucket
+    ).map { case (u, ms, v) => (u, new java.sql.Timestamp(ms), v) }
+      .toDF("user_id", "ts", "value")
+    val anchor = 30L * day + 1000L
+    val out = RetentionOps.tieredRead(rows, col("user_id"), col("ts"),
+        col("value"), anchor, 7L * day, 14L * day)
+      .collect().map(r => (r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDecimal(4).doubleValue()))).toMap
+    assert(out((
+      "1m", 30L * day)) == ((1L, 1.0)))
+    assert(out(("1m", 24L * day + 3600_000L)) == ((1L, 2.0)))
+    assert(out(("1h", 22L * day + 7200_000L)) == ((1L, 3.0)))
+    assert(out(("1d", 10L * day)) == ((2L, 9.0)), "1d bucket merges both old rows")
+    assert(out.values.map(_._1).sum == 5L, "every row served exactly once")
+  }
+
   test("sessionize splits on gaps > gapMs and numbers sessions per key") {
     val ev = Seq(
       ("u1", 0L, 1L), ("u1", 1000L, 2L), ("u1", 5000L, 3L), // gap 4s -> new session
