@@ -1111,6 +1111,35 @@ object Queries {
           col("value"), anchor, 7L * 86400000L, 14L * 86400000L)
         .select(col("key").as("user_id"), col("tier"), col("bucket_start"),
           col("cnt"), col("vsum").cast("double").as("vsum"))
+    }),
+
+    // --- interval OVERLAP join (oracle-backed, exact integers): which
+    // error-burst windows overlapped purchase-burst windows — incident
+    // correlation. Both interval sets come from 5m busy-bucket islands;
+    // the overlap join is bucket-exploded + equi-joined, each pair emitted
+    // exactly once via the canonical-bucket filter (never an inequality
+    // join, never a distinct).
+    "q93_overlap_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bucketMs = 300000L
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      def bursts(tpe: String) = ops.IntervalOps.mergeIntervals(
+        ev.filter(col("event_type") === tpe)
+          .groupBy(date_trunc("day", col("ts")).as("day"),
+            (floor(tsMs / lit(bucketMs)) * lit(bucketMs)).cast("long")
+              .as("bstart"))
+          .agg(count(lit(1)).as("cnt")),
+        col("day"), col("bstart"), bucketMs)
+      val err = bursts("error")
+        .select(col("start_ms").as("err_start"), col("end_ms").as("err_end"))
+      val pur = bursts("purchase")
+        .select(col("start_ms").as("pur_start"), col("end_ms").as("pur_end"))
+      ops.IntervalOps.overlapJoin(err, col("err_start"), col("err_end"),
+          pur, col("pur_start"), col("pur_end"), bucketMs)
+        .select(col("err_start"), col("err_end"), col("pur_start"),
+          col("pur_end"),
+          (least(col("err_end"), col("pur_end"))
+            - greatest(col("err_start"), col("pur_start"))).as("overlap_ms"))
     })
   )
 
@@ -2342,6 +2371,29 @@ FROM walk WHERE rn >= 1"""
         |SELECT user_id, tier, CAST(tms // w * w AS BIGINT) AS bucket_start,
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
-        |FROM t GROUP BY 1, 2, 3""".stripMargin
+        |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "q93_overlap_join" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(floor(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bstart
+        |  FROM events WHERE event_type IN ('error', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |i AS (
+        |  SELECT event_type, min(bstart) AS s, max(bstart) + 300000 AS e
+        |  FROM (SELECT *, bstart // 300000
+        |          - row_number() OVER (PARTITION BY event_type, day
+        |              ORDER BY bstart) AS isl
+        |        FROM b)
+        |  GROUP BY event_type, day, isl),
+        |er AS (SELECT s AS err_start, e AS err_end FROM i
+        |       WHERE event_type = 'error'),
+        |pu AS (SELECT s AS pur_start, e AS pur_end FROM i
+        |       WHERE event_type = 'purchase')
+        |SELECT err_start, err_end, pur_start, pur_end,
+        |  least(err_end, pur_end) - greatest(err_start, pur_start)
+        |    AS overlap_ms
+        |FROM er JOIN pu
+        |  ON err_start < pur_end AND pur_start < err_end""".stripMargin
   )
 }

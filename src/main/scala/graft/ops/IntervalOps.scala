@@ -77,4 +77,34 @@ object IntervalOps {
       .filter(col("__ts") >= col("__s") && col("__ts") < col("__e"))
       .drop("__bucket", "__s", "__e", "__ts")
   }
+
+  /** Overlap join of two interval sets: every (left, right) pair whose
+    * half-open [start, end) spans intersect — without the cartesian an
+    * inequality-join predicate would compile to, and without a dedup pass.
+    *
+    * Scale shape: both sides explode to the buckets they cover (fan-out =
+    * span/bucketMs), candidates pair through an EQUI-join on the bucket,
+    * and the CANONICAL-BUCKET trick makes each overlapping pair emit
+    * exactly once: of all the buckets a pair shares, only the one
+    * containing the overlap's start (the max of the two starts) passes
+    * the final filter. Callers must ensure the two sides' column names
+    * don't collide (alias before calling). */
+  def overlapJoin(
+      left: DataFrame, lStart: Column, lEnd: Column,
+      right: DataFrame, rStart: Column, rEnd: Column,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    def fan(df: DataFrame, s: Column, e: Column, sn: String, en: String) =
+      df.withColumn(sn, s.cast("long")).withColumn(en, e.cast("long"))
+        .withColumn("__bucket",
+          explode(sequence(floor(col(sn) / lit(bucketMs)).cast("long"),
+            floor((col(en) - lit(1)) / lit(bucketMs)).cast("long"))))
+    val l = fan(left, lStart, lEnd, "__ls", "__le")
+    val r = fan(right, rStart, rEnd, "__rs", "__re")
+    l.join(r, Seq("__bucket"))
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le"))
+      .filter(col("__bucket") ===
+        floor(greatest(col("__ls"), col("__rs")) / lit(bucketMs)).cast("long"))
+      .drop("__bucket", "__ls", "__le", "__rs", "__re")
+  }
 }

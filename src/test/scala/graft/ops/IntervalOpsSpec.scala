@@ -70,4 +70,20 @@ class IntervalOpsSpec extends SparkTestBase {
     assert(out("c1") == ((Some(13.0), 1L, 4L)))
     assert(out("c2") == ((None, 0L, 1L)))
   }
+
+  test("overlapJoin emits each intersecting pair exactly once, half-open") {
+    val left = Seq((1L, 0L, 1000L), (2L, 5000L, 9000L)).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 500L, 700L),   // contained in 1
+      (11L, 1000L, 2000L), // touches 1 exactly at the boundary -> NOT overlap
+      (12L, 800L, 6000L),  // overlaps BOTH 1 and 2, shares many buckets each
+      (13L, 8999L, 12000L) // clips 2's last ms
+    ).toDF("rid", "rs", "re")
+    // tiny bucket: pairs share dozens of buckets — the canonical-bucket
+    // filter must still emit each exactly once
+    val out = IntervalOps.overlapJoin(left, col("ls"), col("le"),
+        right, col("rs"), col("re"), 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 10L), (1L, 12L), (2L, 12L), (2L, 13L)))
+  }
 }
