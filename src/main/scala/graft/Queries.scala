@@ -1140,6 +1140,30 @@ object Queries {
           col("pur_end"),
           (least(col("err_end"), col("pur_end"))
             - greatest(col("err_start"), col("pur_start"))).as("overlap_ms"))
+    }),
+
+    // --- daily session metrics (oracle-backed, exact: integer durations,
+    // ratio doubles over bit-identical ints): sessions from the q38 gap
+    // rule rolled into per-day count/duration/bounce-rate — the product
+    // dashboard query over the sessionizer's output. Two hash aggregates
+    // on top of one keyed window pass.
+    "q94_session_stats" -> ((s, dir) => {
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      val sess = ops.SessionOps.sessionize(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), 1800000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(tsMs).as("s_start"),
+          (max(tsMs) - min(tsMs)).as("dur"),
+          count(lit(1)).as("n_events"))
+      sess
+        .groupBy((floor(col("s_start") / lit(86400000L)) * lit(86400000L))
+          .cast("long").as("day_ms"))
+        .agg(count(lit(1)).as("n_sessions"),
+          (sum("dur").cast("double") / count(lit(1))).as("avg_duration_ms"),
+          max("dur").as("max_duration_ms"),
+          (sum("n_events").cast("double") / count(lit(1))).as("avg_events"),
+          (sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("bounce_rate"))
     })
   )
 
@@ -2394,6 +2418,34 @@ FROM walk WHERE rn >= 1"""
         |  least(err_end, pur_end) - greatest(err_start, pur_start)
         |    AS overlap_ms
         |FROM er JOIN pu
-        |  ON err_start < pur_end AND pur_start < err_end""".stripMargin
+        |  ON err_start < pur_end AND pur_start < err_end""".stripMargin,
+
+    "q94_session_stats" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id,
+        |    epoch_ms(ts) AS t
+        |  FROM b),
+        |g AS (
+        |  SELECT user_id, session_id, min(t) AS s_start,
+        |    max(t) - min(t) AS dur, count(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(s_start // 86400000 * 86400000 AS BIGINT) AS day_ms,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(dur) AS DOUBLE) / count(*) AS avg_duration_ms,
+        |  max(dur) AS max_duration_ms,
+        |  CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS bounce_rate
+        |FROM g GROUP BY 1""".stripMargin
   )
 }

@@ -125,6 +125,17 @@ final case class SloBuf(ts: Array[Long], vs: Array[Double],
     accB: Array[Long], accErr: Array[Long], accTot: Array[Long],
     ringB: Array[Long], ringErr: Array[Long], ringTot: Array[Long])
 
+/** One M4-selected row from [[StreamStage.m4Stream]]. */
+final case class M4Out(url: String, bucket: Long, ts: Long, tie: Long,
+    value: Double)
+/** One M4 extreme candidate. */
+final case class M4Cand(ts: Long, tie: Long, value: Double)
+/** M4 bucket state: current extremes + the rows attaining each (ties
+  * only — extremes are monotone, displaced candidates can never win). */
+final case class M4State(minTs: Long, maxTs: Long, minV: Double, maxV: Double,
+    atMinTs: Seq[M4Cand], atMaxTs: Seq[M4Cand],
+    atMinV: Seq[M4Cand], atMaxV: Seq[M4Cand])
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -645,6 +656,70 @@ object StreamStage {
             rows.foreach { r => st = ss.reduce(st, r._2) }
             state.update(st)
             // fire once the watermark passes the bucket end
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING M4 downsample — the unbounded twin of
+    * [[graft.ops.DownsampleOps.m4]] (q33). Each open (url, bucket) tracks
+    * only its four extremes and the rows ATTAINING them (set semantics,
+    * like batch): extremes are monotone within a bucket, so a displaced
+    * candidate can never win again and is dropped on the spot — state is
+    * O(ties), not O(bucket rows), the bounded-state shape that makes M4
+    * a downsampler on the write path too. Rows needn't replay in order
+    * (min/max are commutative); the bucket emits once, deduped, when the
+    * watermark closes it. */
+  def m4Stream(
+      points: Dataset[TiedPoint],
+      bucketMs: Long,
+      lateness: String = "10 minutes"): Dataset[M4Out] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"),
+        (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("ts"), col("tie"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long),
+         rows: Iterator[(String, Long, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[M4State]) => {
+          val (url, bucket) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val all = s.atMinTs ++ s.atMaxTs ++ s.atMinV ++ s.atMaxV
+            all.distinct.sortBy(c => (c.ts, c.tie)).iterator
+              .map(c => M4Out(url, bucket, c.ts, c.tie, c.value))
+          } else {
+            var st = state.getOption.getOrElse(M4State(Long.MaxValue,
+              Long.MinValue, Double.PositiveInfinity, Double.NegativeInfinity,
+              Nil, Nil, Nil, Nil))
+            rows.foreach { r =>
+              val c = M4Cand(r._3, r._4, r._5)
+              st = st.copy(
+                minTs = math.min(st.minTs, c.ts),
+                maxTs = math.max(st.maxTs, c.ts),
+                minV = math.min(st.minV, c.value),
+                maxV = math.max(st.maxV, c.value),
+                atMinTs = if (c.ts < st.minTs) Seq(c)
+                  else if (c.ts == st.minTs) st.atMinTs :+ c else st.atMinTs,
+                atMaxTs = if (c.ts > st.maxTs) Seq(c)
+                  else if (c.ts == st.maxTs) st.atMaxTs :+ c else st.atMaxTs,
+                atMinV = if (c.value < st.minV) Seq(c)
+                  else if (c.value == st.minV) st.atMinV :+ c else st.atMinV,
+                atMaxV = if (c.value > st.maxV) Seq(c)
+                  else if (c.value == st.maxV) st.atMaxV :+ c else st.atMaxV)
+            }
+            state.update(st)
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty

@@ -189,7 +189,8 @@ class StreamStageSpec extends SparkTestBase {
     // boundaries out of event-time order. Max event-time displacement =
     // chunk span (10 rows / 2 urls = 5 min) + 2x noise (4 min) = 9 min,
     // inside the 10 min lateness, so no row is watermark-dropped.
-    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
     for (chunk <- perturbed.grouped(10)) {
       mem.addData(chunk.toSeq)
       q.processAllAvailable()
@@ -238,7 +239,8 @@ class StreamStageSpec extends SparkTestBase {
     val q = StreamStage.hysteresisStream(mem.toDS(), 120.0, 60.0, "10 minutes")
       .writeStream.format("memory").queryName("hyst_stream")
       .outputMode("append").start()
-    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
     for (chunk <- perturbed.grouped(4)) {
       mem.addData(chunk.toSeq)
       q.processAllAvailable()
@@ -254,6 +256,52 @@ class StreamStageSpec extends SparkTestBase {
       .toSet
     assert(streamed == batch.filterNot(_._1 == "c"),
       "stream == batch episodes that closed; the open c episode stays in state")
+  }
+
+  test("streaming m4 equals batch m4 rows on closed buckets, set semantics") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(37)
+    val bucketMs = 600000L
+    // ties included: duplicate min values must BOTH be kept (set semantics)
+    val all = (for (u <- Seq("a", "b"); i <- 0 until 90) yield {
+      val v = if (i % 30 == 7) 1.5 else 1.5 + rng.nextInt(50)
+      TiedPoint(u, 3600000L + i * 60000L + rng.nextInt(500), i.toLong, v)
+    })
+    val batch = graft.ops.DownsampleOps.m4(
+        all.toDF("url", "tsl", "tie", "value")
+          .select(col("url"), timestamp_millis(col("tsl")).as("ts"),
+            col("tie"), col("value")),
+        col("url"), col("ts"), col("value"), bucketMs)
+      .select(col("url"), unix_millis(col("ts")).as("tsl"), col("tie"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.m4Stream(mem.toDS(), bucketMs, "10 minutes")
+      .writeStream.format("memory").queryName("m4_stream")
+      .outputMode("append").start()
+    // precompute the perturbation key: a random key INSIDE sortBy would be
+    // re-evaluated per comparison and violate the sort contract
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(9) - 4) * 60000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(20)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("m4_stream").as[M4Out]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(o => (o.url, o.ts, o.tie, o.value)).toSet
+    assert(streamed == batch,
+      s"missing ${batch -- streamed}, extra ${streamed -- batch}")
+    assert(batch.size < all.size, "the fixture must actually downsample")
   }
 
   test("streaming slo burn rate equals batch on closed buckets") {
@@ -285,7 +333,8 @@ class StreamStageSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("slo_stream")
       .outputMode("append").start()
     // perturb arrival by up to +-30 min, inside the 2h lateness
-    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(61) - 30) * 60000L)
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(61) - 30) * 60000L))
+      .sortBy(_._2).map(_._1)
     for (chunk <- perturbed.grouped(25)) {
       mem.addData(chunk.toSeq)
       q.processAllAvailable()
@@ -333,7 +382,8 @@ class StreamStageSpec extends SparkTestBase {
     val q = StreamStage.holtStream(mem.toDS(), alpha, betaT, "10 minutes")
       .writeStream.format("memory").queryName("holt_stream")
       .outputMode("append").start()
-    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
     for (chunk <- perturbed.grouped(10)) {
       mem.addData(chunk.toSeq)
       q.processAllAvailable()
@@ -390,7 +440,8 @@ class StreamStageSpec extends SparkTestBase {
     val q = StreamStage.holtWintersStream(mem.toDS(), alpha, betaT, gamma, m, "10 minutes")
       .writeStream.format("memory").queryName("hw_stream")
       .outputMode("append").start()
-    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
     for (chunk <- perturbed.grouped(10)) {
       mem.addData(chunk.toSeq)
       q.processAllAvailable()
@@ -534,7 +585,8 @@ class StreamStageSpec extends SparkTestBase {
     val q = StreamStage.deltaRateStream(mem.toDS(), "10 minutes")
       .writeStream.format("memory").queryName("delta_stream")
       .outputMode("append").start()
-    val perturbed = all.sortBy(p => p.ts + (rng.nextInt(5) - 2) * 60000L)
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
     for (chunk <- perturbed.grouped(10)) {
       mem.addData(chunk.toSeq)
       q.processAllAvailable()
