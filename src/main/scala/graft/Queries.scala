@@ -1164,7 +1164,44 @@ object Queries {
           (sum("n_events").cast("double") / count(lit(1))).as("avg_events"),
           (sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("double")
             / count(lit(1))).as("bounce_rate"))
-    })
+    }),
+
+    // --- lagged cross-correlation sweep (oracle-backed; corr agrees at
+    // 6 dp cross-engine, the q74 precedent): does purchase volume trail
+    // view volume, and by how many hours? Correlation of the two hourly
+    // decimal-sum series at every lag in [-3, +3] — the lag with max r is
+    // the lead/lag estimate. Shape: two bucket-count aggregates, a 7x
+    // explode on the small side, equi-join per lag, hash agg per lag.
+    "q95_lag_correlation" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
+      def hourly(tpe: String, vc: String) = ev
+        .filter(col("event_type") === tpe)
+        .groupBy((floor(tsMs / lit(3600000L)) * lit(3600000L)).cast("long")
+          .as("b"))
+        .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as(vc))
+      val v = hourly("view", "x")
+      val p = hourly("purchase", "y")
+      val lagged = v.withColumn("lag", explode(sequence(lit(-3L), lit(3L))))
+        .withColumn("b2", col("b") + col("lag") * lit(3600000L))
+      lagged.join(p, lagged("b2") === p("b"))
+        .groupBy("lag")
+        .agg(round(corr(col("x"), col("y")), 6).as("r"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- day-over-day distribution drift (oracle-backed, exact): total
+    // variation distance between each (event_type, day)'s value histogram
+    // and the previous day's — the drift monitor a training-data pipeline
+    // runs per snapshot. TV over KL deliberately: the cross-bin sum has an
+    // INTEGER numerator, so it cannot FP-reassociate; one double division
+    // at the end.
+    "q96_histogram_drift" -> ((s, dir) =>
+      ops.AnalyticsOps.histogramDrift(events(s, dir), col("event_type"),
+          unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+          86400000L, col("value"), binWidth = 25.0)
+        .select(col("key").as("event_type"), col("period").as("day_ms"),
+          col("n"), col("m"), col("tvd")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2446,6 +2483,44 @@ FROM walk WHERE rn >= 1"""
         |  CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events,
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*) AS bounce_rate
-        |FROM g GROUP BY 1""".stripMargin
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "q95_lag_correlation" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS b,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(unnest(range(-3, 4)) AS BIGINT) AS lag)
+        |SELECT l.lag, round(corr(v.x, p.y), 6) AS r, count(*) AS n
+        |FROM l CROSS JOIN v JOIN p ON p.b = v.b + l.lag * 3600000
+        |GROUP BY 1""".stripMargin,
+
+    "q96_histogram_drift" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    epoch_ms(date_trunc('day', ts)) AS period,
+        |    CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, period, sum(c) AS n FROM c GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(c.event_type, q.event_type) AS event_type,
+        |    coalesce(c.period, q.period + 86400000) AS period,
+        |    coalesce(c.c, 0) AS c, coalesce(q.c, 0) AS q
+        |  FROM c FULL OUTER JOIN c q
+        |    ON c.event_type = q.event_type
+        |    AND c.period = q.period + 86400000 AND c.bin = q.bin)
+        |SELECT j.event_type, j.period AS day_ms,
+        |  CAST(t.n AS BIGINT) AS n, CAST(pt.n AS BIGINT) AS m,
+        |  CAST(sum(abs(c * pt.n - q * t.n)) AS DOUBLE)
+        |    / (2.0 * t.n * pt.n) AS tvd
+        |FROM j
+        |JOIN t ON t.event_type = j.event_type AND t.period = j.period
+        |JOIN t pt ON pt.event_type = j.event_type
+        |  AND pt.period = j.period - 86400000
+        |GROUP BY 1, 2, t.n, pt.n""".stripMargin
   )
 }

@@ -894,6 +894,52 @@ object AnalyticsOps {
         col("burn_short") > threshold && col("burn_long") > threshold)
   }
 
+  /** Distribution drift per (key, period): the TOTAL VARIATION distance
+    * between a period's value histogram and the key's PREVIOUS period —
+    * the day-over-day data-drift monitor a training-data pipeline runs
+    * before trusting a new snapshot. TV distance is chosen over KL
+    * deliberately: with bin counts c (today, total n) and q (previous,
+    * total m),  TV = Σ|c_i·m − q_i·n| / (2·n·m)  has an INTEGER numerator
+    * — the cross-bin sum is associative integer arithmetic, immune to FP
+    * reassociation, and the one double division happens over
+    * bit-identical operands, so the result is exact cross-engine at any
+    * parallelism (a KL/JS log-sum would reassociate).
+    *
+    * Scale shape: one event-sized hash aggregate down to (key, period,
+    * bin) cells, a full-outer self-join on period+1 (cell-sized), a join
+    * to the per-period totals, and one final cell-sized hash aggregate.
+    * Periods with no predecessor are omitted (drift is undefined). */
+  def histogramDrift(
+      events: DataFrame,
+      keyCol: Column,
+      periodCol: Column,
+      periodStepMs: Long,
+      valueCol: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(periodStepMs > 0, s"periodStepMs must be positive, got $periodStepMs")
+    val cells = events
+      .groupBy(keyCol.as("key"), periodCol.cast("long").as("period"),
+        floor(valueCol / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("key", "period").agg(sum("c").as("n"))
+    val prevCells = cells.select(col("key"),
+      (col("period") + lit(periodStepMs)).as("period"), col("bin"),
+      col("c").as("q"))
+    val prevTotals = totals.select(col("key"),
+      (col("period") + lit(periodStepMs)).as("period"), col("n").as("m"))
+    cells.join(prevCells, Seq("key", "period", "bin"), "full_outer")
+      .select(col("key"), col("period"), coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("q"), lit(0L)).as("q"))
+      .join(totals, Seq("key", "period"))
+      .join(prevTotals, Seq("key", "period"))
+      .groupBy("key", "period", "n", "m")
+      .agg(sum(abs(col("c") * col("m") - col("q") * col("n"))).as("__num"))
+      .withColumn("tvd",
+        col("__num").cast("double") / (lit(2.0) * col("n") * col("m")))
+      .drop("__num")
+  }
+
   /** [[seasonalDecompose]] for fixed-decimal telemetry, with BIT-DETERMINISTIC
     * output at any parallelism: values are scaled to exact integers
     * (`decimals` fractional digits), so the event-sized cell sums are

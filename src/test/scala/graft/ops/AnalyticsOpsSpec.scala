@@ -571,6 +571,29 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "hour8 long window spans hours 3-8: hour7 + hour8 only")
   }
 
+  test("histogramDrift is 0 for identical, 1 for disjoint, exact in between") {
+    val day = 86400000L
+    // k1 day0: bins {0:2, 1:2}; day1 identical -> tvd 0
+    // k1 day2: bins {2:4} (disjoint from day1) -> tvd 1
+    // k2 day0: {0:2}; day1: {0:1, 1:1} -> tvd = |1*2-2*2|+|1*2-0*2| / (2*2*2) = 0.5
+    val rows = Seq(
+      ("k1", 0L, 5.0), ("k1", 0L, 5.0), ("k1", 0L, 15.0), ("k1", 0L, 15.0),
+      ("k1", 1L, 5.0), ("k1", 1L, 5.0), ("k1", 1L, 15.0), ("k1", 1L, 15.0),
+      ("k1", 2L, 25.0), ("k1", 2L, 25.0), ("k1", 2L, 25.0), ("k1", 2L, 25.0),
+      ("k2", 0L, 5.0), ("k2", 0L, 5.0),
+      ("k2", 1L, 5.0), ("k2", 1L, 15.0)
+    ).map { case (k, d, v) => (k, d * day, v) }.toDF("k", "p", "v")
+    val out = AnalyticsOps.histogramDrift(rows, col("k"), col("p"), day,
+        col("v"), binWidth = 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1) / day) ->
+        r.getDouble(4)).toMap
+    assert(out(("k1", 1L)) == 0.0, "identical histograms drift 0")
+    assert(out(("k1", 2L)) == 1.0, "disjoint histograms drift 1")
+    assert(out(("k2", 1L)) == 0.5)
+    assert(!out.contains(("k1", 0L)), "first period has no predecessor")
+    assert(out.size == 3)
+  }
+
   test("quantileSax emits slot-ordered words with rank-quantile symbols") {
     val rows = Seq(
       ("u", "f1", 2, 30.0), ("u", "f1", 0, 10.0),
