@@ -1201,7 +1201,33 @@ object Queries {
           unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
           86400000L, col("value"), binWidth = 25.0)
         .select(col("key").as("event_type"), col("period").as("day_ms"),
-          col("n"), col("m"), col("tvd")))
+          col("n"), col("m"), col("tvd"))),
+
+    // --- Gorilla round-trip THROUGH THE WIRE (oracle-backed, exact): the
+    // hourly mean rollup is Gorilla-encoded per (user, day) blob, decoded,
+    // and emitted — while the ORACLE recomputes the rollup from raw events
+    // in plain SQL. Hash equality proves the delta-of-delta + XOR codec
+    // bit-lossless on real data, not just in the round-trip spec. Blobs
+    // are day-bounded (<= 24 points); one hash shuffle.
+    "q97_gorilla_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = events(s, dir)
+        .groupBy(col("user_id"),
+          (floor(unix_millis(col("ts").cast("timestamp")) / lit(3600000L))
+            * lit(3600000L)).cast("long").as("b"))
+        .agg((sum(col("value").cast("decimal(12,2)")).cast("double")
+          / count(lit(1))).as("m"))
+        .as[(Long, Long, Double)]
+      hourly
+        .groupByKey(r => (r._1, Math.floorDiv(r._2, 86400000L)))
+        .flatMapGroups { (k: (Long, Long), it: Iterator[(Long, Long, Double)]) =>
+          val rows = it.toArray.sortBy(_._2)
+          val blob = graft.kernel.Gorilla.encode(rows.map(_._2), rows.map(_._3))
+          val (ts, vs) = graft.kernel.Gorilla.decode(blob)
+          ts.iterator.zip(vs.iterator).map { case (b, m) => (k._1, b, m) }
+        }
+        .toDF("user_id", "bucket_ms", "mean")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -2521,6 +2547,16 @@ FROM walk WHERE rn >= 1"""
         |JOIN t ON t.event_type = j.event_type AND t.period = j.period
         |JOIN t pt ON pt.event_type = j.event_type
         |  AND pt.period = j.period - 86400000
-        |GROUP BY 1, 2, t.n, pt.n""".stripMargin
+        |GROUP BY 1, 2, t.n, pt.n""".stripMargin,
+
+    // plain-SQL recompute from raw events: hash equality means the engine's
+    // Gorilla encode->decode wire preserved every double BIT-FOR-BIT
+    "q97_gorilla_roundtrip" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT)
+        |    AS bucket_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |    AS mean
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

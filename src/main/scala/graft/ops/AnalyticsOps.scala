@@ -918,10 +918,14 @@ object AnalyticsOps {
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(periodStepMs > 0, s"periodStepMs must be positive, got $periodStepMs")
+    // cells feed four consumers (cells/totals and their +1-period shifts);
+    // persist the CELL-sized table so the event-sized aggregate runs once
+    // (the seasonalDecomposeExact pattern)
     val cells = events
       .groupBy(keyCol.as("key"), periodCol.cast("long").as("period"),
         floor(valueCol / lit(binWidth)).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = cells.groupBy("key", "period").agg(sum("c").as("n"))
     val prevCells = cells.select(col("key"),
       (col("period") + lit(periodStepMs)).as("period"), col("bin"),
