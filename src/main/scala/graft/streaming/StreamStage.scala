@@ -136,6 +136,17 @@ final case class M4State(minTs: Long, maxTs: Long, minV: Double, maxV: Double,
     atMinTs: Seq[M4Cand], atMaxTs: Seq[M4Cand],
     atMinV: Seq[M4Cand], atMaxV: Seq[M4Cand])
 
+/** One closed-period drift row from [[StreamStage.driftStream]] — same
+  * fields as the batch [[graft.ops.AnalyticsOps.histogramDrift]]. */
+final case class DriftOut(url: String, period: Long, n: Long, m: Long,
+    tvd: Double)
+/** Drift replay state: buffered above-watermark rows, open periods'
+  * histograms (flattened (period, bin) → count), and the LAST closed
+  * period's histogram for the next period's comparison. */
+final case class DriftBuf(ts: Array[Long], vs: Array[Double],
+    openP: Array[Long], openBin: Array[Long], openC: Array[Long],
+    prevPeriod: Long, prevBin: Array[Long], prevC: Array[Long])
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -660,6 +671,92 @@ object StreamStage {
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
+        })
+  }
+
+  /** STREAMING distribution-drift monitor — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.histogramDrift]] (q96). Per key, open
+    * periods accumulate bin counts from watermark-final rows; when a
+    * period closes, its TOTAL VARIATION distance to the key's LAST closed
+    * period is emitted — exactly the batch formula (integer numerator,
+    * one double division), and only when that predecessor is the
+    * immediately preceding period (gap periods emit nothing, like the
+    * batch join). State per key: the lateness row buffer + O(bins) open
+    * histograms + one O(bins) previous histogram; keys are removed once
+    * the watermark passes the last period a successor could still need. */
+  def driftStream(
+      points: Dataset[TiedPoint],
+      periodMs: Long,
+      binWidth: Double,
+      lateness: String = "10 minutes"): Dataset[DriftOut] = {
+    require(periodMs > 0 && binWidth > 0,
+      s"periodMs/binWidth must be positive, got $periodMs/$binWidth")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[DriftBuf]) => {
+          val st = state.getOption.getOrElse(DriftBuf(
+            Array.emptyLongArray, Array.emptyDoubleArray,
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+            Long.MinValue, Array.emptyLongArray, Array.emptyLongArray))
+          val all = st.ts.zip(st.vs) ++ rows.map(r => (r._2, r._3))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          val open = scala.collection.mutable.TreeMap
+            .empty[(Long, Long), Long]
+          for (i <- st.openP.indices)
+            open((st.openP(i), st.openBin(i))) = st.openC(i)
+          ready.foreach { case (t, v) =>
+            val p = t - math.floorMod(t, periodMs)
+            val bin = math.floor(v / binWidth).toLong
+            open((p, bin)) = open.getOrElse((p, bin), 0L) + 1L
+          }
+          var prevPeriod = st.prevPeriod
+          var prev = st.prevBin.zip(st.prevC).toMap
+          val out = Vector.newBuilder[DriftOut]
+          val closing = open.keys.map(_._1)
+            .filter(p => p + periodMs <= wm + 1).toSeq.distinct.sorted
+          closing.foreach { p =>
+            val hist = open.range((p, Long.MinValue), (p, Long.MaxValue))
+              .map { case ((_, b), c) => b -> c }.toMap
+            open.filterInPlace { case ((pp, _), _) => pp != p }
+            if (prevPeriod == p - periodMs) {
+              val n = hist.values.sum
+              val m = prev.values.sum
+              val num = (hist.keySet ++ prev.keySet).iterator.map { b =>
+                math.abs(hist.getOrElse(b, 0L) * m - prev.getOrElse(b, 0L) * n)
+              }.sum
+              out += DriftOut(url, p, n, m,
+                num.toDouble / (2.0 * n * m))
+            }
+            prevPeriod = p
+            prev = hist
+          }
+          val prevDead = prevPeriod == Long.MinValue ||
+            wm >= prevPeriod + 2 * periodMs
+          if (hold.isEmpty && open.isEmpty && prevDead) state.remove()
+          else {
+            val op = open.toArray
+            state.update(DriftBuf(hold.map(_._1), hold.map(_._2),
+              op.map(_._1._1), op.map(_._1._2), op.map(_._2),
+              prevPeriod, prev.keys.toArray, prev.values.toArray))
+            val wake = Seq(
+              hold.iterator.map(_._1).minOption,
+              open.keys.map(_._1).minOption.map(_ + periodMs),
+              if (prevPeriod == Long.MinValue) None
+              else Some(prevPeriod + 2 * periodMs)
+            ).flatten.min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          out.result().iterator
         })
   }
 
