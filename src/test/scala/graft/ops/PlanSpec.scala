@@ -247,4 +247,29 @@ class PlanSpec extends SparkTestBase {
     // the plan only for the annotate join, via InMemoryTableScan reuse
     assert(p.contains("InMemoryTableScan"), "cells must be persisted and reused")
   }
+
+  test("q92 tiered read: ONE events scan serves all three tiers") {
+    val p = plan("q92_tiered_read")
+    // tier and bucket are map-side CASE expressions feeding a single
+    // partial+final hash aggregate — the q37 lesson (never a per-tier
+    // rescan union). The anchor is collected before planning, so the plan
+    // has exactly one scan.
+    val scans = p.split("\n").filter(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans.length == 1, s"expected ONE events scan, saw ${scans.length}:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"))
+    assert(!p.contains("Union"), "tiers must not come from a rescan union")
+  }
+
+  test("q96 histogram drift: cells aggregated once, consumers reuse the cache") {
+    val p = plan("q96_histogram_drift")
+    // four consumers (cells/totals and their shifted twins) must ALL read
+    // the persisted cell table, not re-run the event-sized aggregate (the
+    // FileScan text still appears once per consumer — it is the cached
+    // relation's plan printed inside each InMemoryRelation, not a rescan)
+    val cached = p.split("\n").count(_.contains("InMemoryTableScan"))
+    assert(cached >= 4,
+      s"all four cell consumers must hit the cache, saw $cached:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
