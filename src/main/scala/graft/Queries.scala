@@ -667,7 +667,12 @@ object Queries {
     // per-stratum training mix. Every stage is an independently oracled op
     // (q07/q56/q55/q58); this pins their COMPOSITION.
     "q59_corpus_mix" -> ((s, dir) => {
+      // four keep-flag stages + the final projection each consume the
+      // corpus: persist the scan once (10 column-pruned rescans measured
+      // before; at 100 TB cache the pruned text column or accept the
+      // rescan — here the cache is strictly cheaper)
       val docs = documents(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val quality = TextOps.qualityScore(docs).select(col("doc_id"), col("keep").as("q_keep"))
       val rep = TextOps.repetitionStats(docs).select(col("doc_id"), col("keep").as("r_keep"))
       val dedup = DedupOps.dedupPipeline(docs).select(col("doc_id"), col("keep").as("d_keep"))
