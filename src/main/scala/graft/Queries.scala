@@ -1232,6 +1232,35 @@ object Queries {
           ts.iterator.zip(vs.iterator).map { case (b, m) => (k._1, b, m) }
         }
         .toDF("user_id", "bucket_ms", "mean")
+    }),
+
+    // --- transparent continuous-aggregate REWRITE (oracle-backed, exact):
+    // the hour-aligned aggregate over RAW events is rewritten by the
+    // Catalyst rule to re-aggregate a STORED rollup instead (TimescaleDB's
+    // materialized read path) — while the ORACLE recomputes from raw
+    // events, so the hash match proves the rewritten plan answers the
+    // original question exactly. The rule is applied to this one query's
+    // plan via Bridge.ofRows (no session-global optimizer state); the
+    // require() fails loudly if the rewrite ever stops firing.
+    "q98_rollup_rewrite" -> ((s, dir) => {
+      def hourAgg(df: DataFrame) = df
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("vsum"))
+      val storePath = s"/tmp/graft_q98_rollup_${math.abs(dir.hashCode)}"
+      hourAgg(events(s, dir))
+        .withColumnRenamed("bucket", "bucket_start")
+        .write.mode("overwrite").parquet(storePath)
+      val stored = s.read.parquet(storePath)
+      val rule = new plans.RollupRewriteRule("events.parquet",
+        stored.queryExecution.analyzed)
+      val q = hourAgg(events(s, dir))
+      val rewritten = rule(q.queryExecution.optimizedPlan)
+      require(rewritten ne q.queryExecution.optimizedPlan,
+        "the continuous-aggregate rewrite must fire for this shape")
+      org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+        .select(col("user_id"), col("bucket"), col("cnt"),
+          col("vsum").cast("double").as("vsum"))
     })
   )
 
@@ -2562,6 +2591,14 @@ FROM walk WHERE rn >= 1"""
         |    AS bucket_ms,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
         |    AS mean
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // plain recompute from raw events — the engine answers it from the
+    // stored rollup via the Catalyst rewrite, so hash equality proves the
+    // rewritten read path exact
+    "q98_rollup_rewrite" ->
+      """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

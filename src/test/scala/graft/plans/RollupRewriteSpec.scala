@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The continuous-aggregate rewrite must (a) serve hour-aligned aggregates
+  * from the stored rollup with IDENTICAL results and preserved schema,
+  * (b) survive a multi-partial store (re-aggregates, never assumes one row
+  * per bucket), and (c) leave anything it can't prove rewritable alone. */
+class RollupRewriteSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(s"$dir/events.parquet").exists()
+
+  test("hour-aligned aggregates over raw events are served from the rollup") {
+    assume(available, s"$dir not present")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def hourAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("vsum"))
+    // expected results BEFORE the rule exists
+    val expected = hourAgg(raw).collect()
+      .map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getLong(2), r.getDecimal(3)))).toMap
+
+    // stored rollup with DELIBERATE partial rows: two half-stores unioned,
+    // so a naive "one row per bucket" projection would be wrong
+    val half1 = hourAgg(raw.filter(col("event_id") % 2 === 0))
+    val half2 = hourAgg(raw.filter(col("event_id") % 2 =!= 0))
+    half1.union(half2)
+      .withColumnRenamed("bucket", "bucket_start")
+      .write.mode("overwrite").parquet("/tmp/graft_rw_rollup_1h")
+    val stored = spark.read.parquet("/tmp/graft_rw_rollup_1h")
+
+    val rule = RollupRewrite.register(spark, "events.parquet", stored)
+    try {
+      val q = hourAgg(spark.read.parquet(s"$dir/events.parquet"))
+      // logical Relation nodes don't print paths — assert on the physical
+      // FileScan, which carries Location
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_rw_rollup_1h"),
+        s"rewrite must target the stored rollup:\n$plan")
+      assert(!plan.contains("events.parquet"),
+        "the raw relation must be gone from the rewritten plan")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.get(1).toString) ->
+          ((r.getLong(2), r.getDecimal(3)))).toMap
+      assert(got == expected, "rewritten results must be EXACTLY the raw aggregation")
+      assert(q.schema == hourAgg(raw).schema ||
+        q.schema.map(f => (f.name, f.dataType)) ==
+          hourAgg(raw).schema.map(f => (f.name, f.dataType)),
+        "column names and types preserved")
+
+      // negative cases: not hour-aligned / extra aggregate -> untouched
+      val qMin = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(qMin.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "minute-aligned grouping must not be rewritten")
+      val qMax = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(max("value").as("mx"))
+      assert(qMax.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "max() is not derivable from (cnt, vsum) and must not be rewritten")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+}
