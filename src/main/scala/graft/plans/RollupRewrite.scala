@@ -48,6 +48,10 @@ final class RollupRewriteRule(
   private val rBucket = rollupPlan.output.find(_.name == "bucket_start").get
   private val rCnt = rollupPlan.output.find(_.name == "cnt").get
   private val rVsum = rollupPlan.output.find(_.name == "vsum").get
+  // optional extreme columns: when the store carries them, min/max of the
+  // raw value are served too (min/max re-aggregate exactly for ANY type)
+  private val rVmin = rollupPlan.output.find(_.name == "vmin")
+  private val rVmax = rollupPlan.output.find(_.name == "vmax")
 
   private def isRawScan(p: LogicalPlan): Boolean = p match {
     case l: LogicalRelation => l.relation match {
@@ -96,6 +100,18 @@ final class RollupRewriteRule(
             Some(Alias(Cast(sumOf(rVsum), ae.dataType), name)(exprId = ne.exprId))
           case _ => None
         }
+      case Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(v: AttributeReference),
+          _, false, _, _), name) if v.name == "value" && rVmin.isDefined =>
+        Some(Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(rVmin.get),
+          Complete, isDistinct = false), name)(exprId = ne.exprId))
+      case Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(v: AttributeReference),
+          _, false, _, _), name) if v.name == "value" && rVmax.isDefined =>
+        Some(Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(rVmax.get),
+          Complete, isDistinct = false), name)(exprId = ne.exprId))
       case _ => None
     }
 

@@ -62,7 +62,39 @@ class RollupRewriteSpec extends SparkTestBase {
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(max("value").as("mx"))
       assert(qMax.queryExecution.executedPlan.toString.contains("events.parquet"),
-        "max() is not derivable from (cnt, vsum) and must not be rewritten")
+        "max() must not be rewritten against a store WITHOUT vmin/vmax")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  test("a store carrying vmin/vmax serves min/max too, exactly") {
+    assume(available, s"$dir not present")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("vsum"),
+        min("value").as("vmin"), max("value").as("vmax"))
+      .write.mode("overwrite").parquet("/tmp/graft_rw_rollup_mm")
+    val stored = spark.read.parquet("/tmp/graft_rw_rollup_mm")
+    def extAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("cnt"))
+    val expected = extAgg(raw).collect()
+      .map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val rule = RollupRewrite.register(spark, "events.parquet", stored)
+    try {
+      val q = extAgg(spark.read.parquet(s"$dir/events.parquet"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_rw_rollup_mm"), s"min/max must rewrite:\n$plan")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.get(1).toString) ->
+          ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+      assert(got == expected)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ eq rule)
