@@ -1261,6 +1261,21 @@ object Queries {
       org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
         .select(col("user_id"), col("bucket"), col("cnt"),
           col("vsum").cast("double").as("vsum"))
+    }),
+
+    // --- FORWARD as-of enrichment (oracle-backed vs DuckDB's native
+    // forward ASOF JOIN): every event tagged with the user's NEXT purchase
+    // at-or-after its timestamp — the back-fill twin of q32.
+    "q99_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("next_purchase"))
+      ops.AsofOps.asofForward(ev, purchases, "user_id", "ts",
+          Seq("next_purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("next_purchase"), 6).as("next_purchase"))
     })
   )
 
@@ -2599,6 +2614,15 @@ FROM walk WHERE rn >= 1"""
     "q98_rollup_rewrite" ->
       """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q99_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS next_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  round(p.next_purchase, 6) AS next_purchase
+        |FROM events l ASOF LEFT JOIN p
+        |  ON l.user_id = p.user_id AND l.ts <= p.ts""".stripMargin
   )
 }

@@ -24,7 +24,30 @@ object AsofOps {
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, payloadCols, forward = false)
+
+  /** FORWARD as-of: for each left row, the EARLIEST right payload with
+    * `right(tsCol) >= left(tsCol)` per key — the "next observation" join
+    * (NOCB back-fill, match-to-next-feed-tick). Identical union +
+    * running-carry shape, walked in DESCENDING time order; right rows at
+    * the same timestamp still match (ties include equality, the ASOF
+    * convention mirrored). */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, payloadCols, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.filter(leftCols.contains).mkString(",")} collide with left columns")
@@ -45,7 +68,8 @@ object AsofOps {
       .select((leftCols :+ "_payload" :+ "_side").map(col): _*)
     val unioned = l.select((leftCols :+ "_payload" :+ "_side").map(col): _*)
       .unionByName(r)
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
+    val ord = if (forward) col(tsCol).desc else col(tsCol).asc
+    val w = Window.partitionBy(keyCol).orderBy(ord, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))

@@ -36,4 +36,19 @@ class AsofOpsSpec extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("b")),
       "NULL in the latest right row must survive, not be back-filled from an older row")
   }
+
+  test("asofForward attaches the earliest right payload at-or-after each ts") {
+    val left = Seq(("u1", 10L, 1L), ("u1", 15L, 2L), ("u1", 30L, 3L),
+      ("u2", 5L, 4L)).toDF("key", "t", "id")
+    val right = Seq(("u1", 15L, 100.0), ("u1", 25L, 200.0))
+      .toDF("key", "t", "p")
+    val out = AsofOps.asofForward(left, right, "key", "t", Seq("p"))
+      .select("id", "p").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out(1L) == Some(100.0), "next right after t=10 is t=15")
+    assert(out(2L) == Some(100.0), "equal ts matches (ties include equality)")
+    assert(out(3L) == None, "no future right row -> NULL")
+    assert(out(4L) == None, "keys are independent")
+  }
 }
