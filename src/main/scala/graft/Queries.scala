@@ -1276,6 +1276,53 @@ object Queries {
           Seq("next_purchase"))
         .select(col("event_id"), col("user_id"), col("ts"),
           round(col("next_purchase"), 6).as("next_purchase"))
+    }),
+
+    // --- CAPSTONE: the complete continuous-aggregate LIFECYCLE as one
+    // oracled row (oracle = a full recompute from raw events, so the hash
+    // match proves the whole loop lossless): night-1 batch builds the
+    // store; night-2 arrives as an O(delta) UPSERT set (touched buckets
+    // only — join + decimal partial adds, never a night-1 rescan) merged
+    // via mergeUpserts; the materialized store is then SERVED through the
+    // Catalyst continuous-aggregate rewrite, min/max included.
+    "q100_ca_lifecycle" -> ((s, dir) => {
+      def hourAgg(df: DataFrame) = df
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("vsum"),
+          min("value").as("vmin"), max("value").as("vmax"))
+      val ev = events(s, dir)
+      val stored1 = hourAgg(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      val delta = hourAgg(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      val upserts = delta.as("d")
+        .join(stored1.as("p"), Seq("user_id", "bucket_start"), "left")
+        .select(col("user_id"), col("bucket_start"),
+          (col("d.cnt") + coalesce(col("p.cnt"), lit(0L))).as("cnt"),
+          (col("d.vsum") + coalesce(col("p.vsum"),
+            lit(0).cast("decimal(12,2)"))).cast("decimal(22,2)").as("vsum"),
+          least(col("d.vmin"), coalesce(col("p.vmin"), col("d.vmin")))
+            .as("vmin"),
+          greatest(col("d.vmax"), coalesce(col("p.vmax"), col("d.vmax")))
+            .as("vmax"))
+      val stored = Rollup.mergeUpserts(stored1, upserts,
+        Seq("user_id", "bucket_start"))
+      val path = s"/tmp/graft_q100_store_${math.abs(dir.hashCode)}"
+      stored.write.mode("overwrite").parquet(path)
+      val storeDf = s.read.parquet(path)
+      val rule = new plans.RollupRewriteRule("events.parquet",
+        storeDf.queryExecution.analyzed)
+      val q = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("vsum"),
+          min("value").as("vmin"), max("value").as("vmax"))
+      val rewritten = rule(q.queryExecution.optimizedPlan)
+      require(rewritten ne q.queryExecution.optimizedPlan,
+        "the lifecycle read must be served through the rewrite")
+      org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+        .select(col("user_id"), col("bucket"), col("cnt"),
+          col("vsum").cast("double").as("vsum"), col("vmin"), col("vmax"))
     })
   )
 
@@ -2623,6 +2670,14 @@ FROM walk WHERE rn >= 1"""
         |SELECT l.event_id, l.user_id, l.ts,
         |  round(p.next_purchase, 6) AS next_purchase
         |FROM events l ASOF LEFT JOIN p
-        |  ON l.user_id = p.user_id AND l.ts <= p.ts""".stripMargin
+        |  ON l.user_id = p.user_id AND l.ts <= p.ts""".stripMargin,
+
+    // full recompute — the engine's answer went through initial build +
+    // incremental upsert merge + the Catalyst rewrite
+    "q100_ca_lifecycle" ->
+      """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
