@@ -1012,11 +1012,20 @@ object Queries {
         Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m",
             segment = false)
           .groupByKey(r => (r.url, Math.floorDiv(r.bucket_start, chunkMs)))
-          .flatMapGroups { (key: (String, Long), it: Iterator[pipeline.RollupRow]) =>
+          .mapGroups { (key: (String, Long), it: Iterator[pipeline.RollupRow]) =>
             val rows = it.toArray.sortBy(_.bucket_start)
+            // one row per chunk UNCONDITIONALLY (the q28 contract): a chunk
+            // too short for a discord (< 2w) still contributes its bucket
+            // count, with a null discord that the merge's max/lastByOrd
+            // ignore — so no url ever vanishes from the result
             graft.kernel.Discord.discords(rows.map(_.mean), w, top = 1)
-              .iterator.map { case (idx, dist) =>
-                (key._1, rows.length.toLong, rows(idx).bucket_start, dist)
+              .headOption match {
+                case Some((idx, dist)) =>
+                  (key._1, rows.length.toLong,
+                    Option(rows(idx).bucket_start), Option(dist))
+                case None =>
+                  (key._1, rows.length.toLong, None: Option[Long],
+                    None: Option[Double])
               }
           }
       perChunk.toDF("url", "n_buckets", "bucket", "dist")
@@ -1055,13 +1064,17 @@ object Queries {
     // top-10 compiles to TakeOrderedAndProject.
     "q90_dtw_search" -> ((s, dir) => {
       import s.implicits._
+      // persist the hourly profiles: the query-profile collect, the min-id
+      // lookup, and the scoring pass would otherwise each re-run the
+      // event-sized aggregate
       val hourly = events(s, dir)
         .groupBy(col("user_id"),
           unix_millis(date_trunc("hour", col("ts")).cast("timestamp")).as("b"))
         .agg((sum(col("value").cast("decimal(12,2)")).cast("double")
           / count(lit(1))).as("m"))
         .as[(Long, Long, Double)]
-      val qUser = events(s, dir).agg(min("user_id")).head().getLong(0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qUser = hourly.toDF().agg(min("user_id")).head().getLong(0)
       val query = graft.kernel.Dtw.znorm(
         hourly.filter(_._1 == qUser).collect().sortBy(_._2).map(_._3))
       hourly
@@ -1252,13 +1265,8 @@ object Queries {
         .withColumnRenamed("bucket", "bucket_start")
         .write.mode("overwrite").parquet(storePath)
       val stored = s.read.parquet(storePath)
-      val rule = new plans.RollupRewriteRule("events.parquet",
-        stored.queryExecution.analyzed)
-      val q = hourAgg(events(s, dir))
-      val rewritten = rule(q.queryExecution.optimizedPlan)
-      require(rewritten ne q.queryExecution.optimizedPlan,
-        "the continuous-aggregate rewrite must fire for this shape")
-      org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+      plans.RollupRewrite.servedFrom(s, "events.parquet", stored,
+          hourAgg(events(s, dir)))
         .select(col("user_id"), col("bucket"), col("cnt"),
           col("vsum").cast("double").as("vsum"))
     }),
@@ -1310,17 +1318,12 @@ object Queries {
       val path = s"/tmp/graft_q100_store_${math.abs(dir.hashCode)}"
       stored.write.mode("overwrite").parquet(path)
       val storeDf = s.read.parquet(path)
-      val rule = new plans.RollupRewriteRule("events.parquet",
-        storeDf.queryExecution.analyzed)
       val q = ev.groupBy(col("user_id"),
           date_trunc("hour", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(12,2)")).as("vsum"),
           min("value").as("vmin"), max("value").as("vmax"))
-      val rewritten = rule(q.queryExecution.optimizedPlan)
-      require(rewritten ne q.queryExecution.optimizedPlan,
-        "the lifecycle read must be served through the rewrite")
-      org.apache.spark.sql.graft.Bridge.ofRows(s, rewritten)
+      plans.RollupRewrite.servedFrom(s, "events.parquet", storeDf, q)
         .select(col("user_id"), col("bucket"), col("cnt"),
           col("vsum").cast("double").as("vsum"), col("vmin"), col("vmax"))
     })

@@ -908,7 +908,13 @@ object AnalyticsOps {
     * Scale shape: one event-sized hash aggregate down to (key, period,
     * bin) cells, a full-outer self-join on period+1 (cell-sized), a join
     * to the per-period totals, and one final cell-sized hash aggregate.
-    * Periods with no predecessor are omitted (drift is undefined). */
+    * Periods with no predecessor are omitted (drift is undefined).
+    *
+    * CACHE LIFETIME: the cell table is persisted (four consumers would
+    * otherwise re-run the event aggregate); the cache is CELL-sized
+    * (keys × periods × bins) and stays registered for the session — a
+    * long-lived service calling this repeatedly should
+    * `spark.catalog.clearCache()` or unpersist between runs. */
   def histogramDrift(
       events: DataFrame,
       keyCol: Column,

@@ -94,8 +94,11 @@ object IntervalOps {
       right: DataFrame, rStart: Column, rEnd: Column,
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    // empty [x, x) intervals intersect nothing (and would explode a
+    // DESCENDING 2-bucket sequence at bucket-aligned x) — drop them first
     def fan(df: DataFrame, s: Column, e: Column, sn: String, en: String) =
       df.withColumn(sn, s.cast("long")).withColumn(en, e.cast("long"))
+        .filter(col(sn) < col(en))
         .withColumn("__bucket",
           explode(sequence(floor(col(sn) / lit(bucketMs)).cast("long"),
             floor((col(en) - lit(1)) / lit(bucketMs)).cast("long"))))

@@ -52,6 +52,10 @@ final class RollupRewriteRule(
   // raw value are served too (min/max re-aggregate exactly for ANY type)
   private val rVmin = rollupPlan.output.find(_.name == "vmin")
   private val rVmax = rollupPlan.output.find(_.name == "vmax")
+  private val vsumScale: Option[Int] = rVsum.dataType match {
+    case d: DecimalType => Some(d.scale)
+    case _ => None
+  }
 
   private def isRawScan(p: LogicalPlan): Boolean = p match {
     case l: LogicalRelation => l.relation match {
@@ -65,7 +69,15 @@ final class RollupRewriteRule(
   private def isHourTrunc(e: Expression): Boolean = e match {
     case TruncTimestamp(StringLiteral(fmt), ts, _)
       if fmt.equalsIgnoreCase("hour") =>
-      ts.references.forall(_.name == "ts")
+      // the trunc argument must be the BARE ts attribute (modulo the
+      // ntz→tz cast Spark inserts): date_trunc('hour', ts + INTERVAL …)
+      // or any derived expression must NOT be served from bucket_start
+      ts match {
+        case a: AttributeReference => a.name == "ts"
+        case Cast(a: AttributeReference, _: org.apache.spark.sql.types.TimestampType, _, _) =>
+          a.name == "ts"
+        case _ => false
+      }
     case _ => false
   }
 
@@ -91,12 +103,19 @@ final class RollupRewriteRule(
         Some(Alias(rBucket, a.name)(exprId = a.exprId))
       case Alias(a: AttributeReference, name) if a.exprId == truncId =>
         Some(Alias(rBucket, name)(exprId = ne.exprId))
-      case Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, _, _), name) =>
+      // count(NULL) is always 0 — only a NON-null literal is row count
+      case Alias(AggregateExpression(Count(Seq(Literal(v, _))), _, false, _, _), name)
+          if v != null =>
         Some(Alias(Coalesce(Seq(sumOf(rCnt), Literal(0L, LongType))), name)(
           exprId = ne.exprId))
       case Alias(ae @ AggregateExpression(Sum(se, _), _, false, _, _), name) =>
         se match {
-          case Cast(v: AttributeReference, DecimalType(), _, _) if v.name == "value" =>
+          // the cast SCALE must match the store's (per-row rounding at a
+          // different scale is NOT recoverable from vsum: rounding to 0
+          // decimals then summing ≠ summing 2-decimal partials then
+          // rounding); precision only bounds overflow, so any >= works
+          case Cast(v: AttributeReference, dt: DecimalType, _, _)
+              if v.name == "value" && vsumScale.contains(dt.scale) =>
             Some(Alias(Cast(sumOf(rVsum), ae.dataType), name)(exprId = ne.exprId))
           case _ => None
         }
@@ -173,5 +192,22 @@ object RollupRewrite {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ rule
     rule
+  }
+
+  /** Apply the rewrite to ONE query without touching session-global
+    * optimizer state: builds the rule for `stored`, applies it to `q`'s
+    * optimized plan, fails loudly if it does not fire, and returns the
+    * rewritten frame (q98/q100's shape). */
+  def servedFrom(
+      spark: SparkSession,
+      rawPathContains: String,
+      stored: DataFrame,
+      q: DataFrame): DataFrame = {
+    val rule = new RollupRewriteRule(rawPathContains,
+      stored.queryExecution.analyzed)
+    val rewritten = rule(q.queryExecution.optimizedPlan)
+    require(rewritten ne q.queryExecution.optimizedPlan,
+      "the continuous-aggregate rewrite must fire for this query shape")
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, rewritten)
   }
 }

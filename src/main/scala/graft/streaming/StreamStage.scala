@@ -845,6 +845,11 @@ object StreamStage {
     val bucketMs = 3600000L
     require(shortMs >= bucketMs && longMs > shortMs,
       s"windows must be >= 1h and long > short, got $shortMs/$longMs")
+    // the batch RANGE frame and the stream's ring test (`rb > b - span`)
+    // only agree when spans are whole buckets — a fractional span would
+    // include one extra bucket here
+    require(shortMs % bucketMs == 0 && longMs % bucketMs == 0,
+      s"windows must be whole buckets, got $shortMs/$longMs vs $bucketMs")
     val spark = points.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -891,8 +896,12 @@ object StreamStage {
             // entries no future bucket's long window can reach are dead
             ring.filterInPlace(_._1 > b + bucketMs - longMs)
           }
+          // an entry rb is still needed by any future bucket b'' with
+          // b'' < rb + longMs; the earliest bucket a still-admissible row
+          // (ts > wm) can open is wm+1-(bucketMs-1), so removal is safe
+          // only once wm clears rbmax + longMs + bucketMs
           val ringDead = ring.isEmpty ||
-            wm >= ring.map(_._1).max + longMs
+            wm >= ring.map(_._1).max + longMs + bucketMs
           if (hold.isEmpty && acc.isEmpty && ringDead) state.remove()
           else {
             state.update(SloBuf(hold.map(_._1), hold.map(_._2),
@@ -903,7 +912,8 @@ object StreamStage {
             val wake = Seq(
               hold.iterator.map(_._1).minOption,
               acc.keys.headOption.map(_ + bucketMs),
-              if (ring.isEmpty) None else Some(ring.map(_._1).max + longMs)
+              if (ring.isEmpty) None
+              else Some(ring.map(_._1).max + longMs + bucketMs)
             ).flatten.min
             state.setTimeoutTimestamp(math.max(wake, wm + 1L))
           }

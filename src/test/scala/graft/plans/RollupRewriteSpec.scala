@@ -63,6 +63,25 @@ class RollupRewriteSpec extends SparkTestBase {
         .agg(max("value").as("mx"))
       assert(qMax.queryExecution.executedPlan.toString.contains("events.parquet"),
         "max() must not be rewritten against a store WITHOUT vmin/vmax")
+      // guard holes pinned: a SHIFTED truncation is a different bucketing,
+      // a different-SCALE decimal cast rounds per row before summing, and
+      // count(NULL) is always zero — none are derivable from the store
+      val qShift = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts") + expr("INTERVAL 30 MINUTES")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(qShift.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "date_trunc of a SHIFTED ts must not be served from bucket_start")
+      val qScale = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(sum(col("value").cast("decimal(12,0)")).as("s0"))
+      assert(qScale.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a scale-0 cast rounds per row; not recoverable from scale-2 vsum")
+      val qCntNull = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(null)).as("cn"))
+      assert(qCntNull.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "count(NULL) is 0, not the row count")
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ eq rule)
