@@ -147,6 +147,17 @@ final case class DriftBuf(ts: Array[Long], vs: Array[Double],
     openP: Array[Long], openBin: Array[Long], openC: Array[Long],
     prevPeriod: Long, prevBin: Array[Long], prevC: Array[Long])
 
+/** One closed-bucket row from [[StreamStage.calendarBaselineStream]] —
+  * same fields as the batch [[graft.ops.AnalyticsOps.calendarBaseline]]. */
+final case class CalOut(url: String, bucket: Long, n: Long, mean: Double,
+    baseline: Option[Double], ratio: Option[Double])
+/** Calendar-baseline replay state: buffered above-watermark rows, open
+  * hourly buckets' (cents, n) accumulators, and the 24 hour-of-day
+  * trailing accumulators (decimal cents + counts). */
+final case class CalBuf(ts: Array[Long], vs: Array[Double],
+    openB: Array[Long], openC: Array[Long], openN: Array[Long],
+    hodC: Array[Long], hodN: Array[Long])
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -821,6 +832,86 @@ object StreamStage {
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
+        })
+  }
+
+  /** STREAMING calendar-baseline anomaly scores — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.calendarBaseline]] (q84). Per key, raw
+    * points accumulate into open hourly buckets as EXACT decimal cents
+    * (value HALF_UP-rounded to 2 dp, Spark's double→decimal cast
+    * semantics); when the watermark closes a bucket, its mean is compared
+    * to the TRAILING same-hour-of-day accumulator and the row emits with
+    * the exact batch arithmetic (decimal-sum → double, one division per
+    * term) — stream ≡ batch bit-for-bit on closed buckets. Buckets close
+    * in ascending order, so the hour-of-day running sums see exactly the
+    * batch window's prefix. State per key: the lateness row buffer + open
+    * buckets + 24 (cents, n) pairs; cents are held in a Long (overflows
+    * past ~9e16 cents per hour-of-day per key — far beyond any real
+    * per-key volume; the batch op is the deep-history path). */
+  def calendarBaselineStream(
+      points: Dataset[TiedPoint],
+      lateness: String = "10 minutes"): Dataset[CalOut] = {
+    val bucketMs = 3600000L
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    def decDouble(c: Long): Double =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(c), 2).doubleValue
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[CalBuf]) => {
+          val st = state.getOption.getOrElse(CalBuf(
+            Array.emptyLongArray, Array.emptyDoubleArray,
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+            new Array[Long](24), new Array[Long](24)))
+          val all = st.ts.zip(st.vs) ++ rows.map(r => (r._2, r._3))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          val open = scala.collection.mutable.TreeMap.empty[Long, (Long, Long)]
+          for (i <- st.openB.indices)
+            open(st.openB(i)) = (st.openC(i), st.openN(i))
+          ready.foreach { case (t, v) =>
+            val b = t - math.floorMod(t, bucketMs)
+            val (c, n) = open.getOrElse(b, (0L, 0L))
+            open(b) = (c + cents(v), n + 1L)
+          }
+          val hodC = st.hodC.clone(); val hodN = st.hodN.clone()
+          val out = Vector.newBuilder[CalOut]
+          val closing = open.keys.filter(b => b + bucketMs <= wm + 1)
+            .toArray.sorted
+          closing.foreach { b =>
+            val (c, n) = open.remove(b).get
+            val hod = math.floorMod(b / bucketMs, 24L).toInt
+            val mean = decDouble(c) / n
+            val baseline =
+              if (hodN(hod) > 0) Some(decDouble(hodC(hod)) / hodN(hod))
+              else None
+            val ratio = baseline.filter(_ > 0).map(mean / _)
+            out += CalOut(url, b, n, mean, baseline, ratio)
+            hodC(hod) += c; hodN(hod) += n
+          }
+          // the hour-of-day baselines are UNBOUNDED history (O(24) per
+          // key): dropping them would reset a resuming key's baseline,
+          // diverging from batch — keep the state for the key's lifetime
+          val ob = open.toArray
+          state.update(CalBuf(hold.map(_._1), hold.map(_._2),
+            ob.map(_._1), ob.map(_._2._1), ob.map(_._2._2), hodC, hodN))
+          val wake = Seq(
+            hold.iterator.map(_._1).minOption,
+            open.keys.headOption.map(_ + bucketMs)
+          ).flatten
+          if (wake.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wake.min, wm + 1L))
+          out.result().iterator
         })
   }
 

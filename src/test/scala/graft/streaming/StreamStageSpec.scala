@@ -304,6 +304,57 @@ class StreamStageSpec extends SparkTestBase {
     assert(batch.size < all.size, "the fixture must actually downsample")
   }
 
+  test("streaming calendar baseline equals batch bit-for-bit on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(43)
+    // 3 days x a few hours per day, two keys, values with 3+ decimals so
+    // the HALF_UP cents rounding is actually exercised
+    val all = (for (u <- Seq("a", "b"); d <- 0 until 3; h <- Seq(3, 4, 9);
+                    i <- 0 until 1 + rng.nextInt(3)) yield {
+      TiedPoint(u, 3600000L + (d * 24L + h) * 3600000L + i * 60000L,
+        (d * 1000 + h * 10 + i).toLong, rng.nextDouble() * 100.0)
+    })
+    val batch = graft.ops.AnalyticsOps.calendarBaseline(
+        all.toDF("url", "tsl", "tie", "value")
+          .select(col("url"), timestamp_millis(col("tsl")).as("ts"),
+            col("value")),
+        col("url"), col("ts"), col("value"))
+      .select(col("key"), unix_millis(col("bucket")).as("b"), col("n"),
+        col("mean"), col("baseline"), col("ratio"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.calendarBaselineStream(mem.toDS(), "2 hours")
+      .writeStream.format("memory").queryName("cal_stream")
+      .outputMode("append").start()
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(12)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cal_stream").as[CalOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(o => (o.url, o.bucket) ->
+        ((o.n, o.mean, o.baseline, o.ratio))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"missing ${batch.keySet -- streamed.keySet}")
+    for ((k, b) <- batch)
+      assert(streamed(k) == b, s"$k: stream ${streamed(k)} vs batch $b " +
+        "(must be BIT-identical: decimal cents + one division per term)")
+    assert(batch.values.exists(_._3.isDefined), "fixture must have baselines")
+  }
+
   test("streaming drift equals batch TVD on closed periods, skipping gap days") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(41)
