@@ -158,6 +158,19 @@ final case class CalBuf(ts: Array[Long], vs: Array[Double],
     openB: Array[Long], openC: Array[Long], openN: Array[Long],
     hodC: Array[Long], hodN: Array[Long])
 
+/** One closed-day row from [[StreamStage.availabilityStream]] — same
+  * fields as the batch [[graft.ops.AnalyticsOps.availability]]. */
+final case class AvailOut(url: String, day: Long, observed: Long,
+    expected: Long, missing: Long, longest_gap_ms: Long)
+/** Availability state: the day's distinct observed buckets. */
+final case class AvailBuf(buckets: Array[Long])
+
+/** One closed-frame word from [[StreamStage.saxStream]] — same fields as
+  * the batch [[graft.ops.DownsampleOps.quantileSax]]. */
+final case class SaxOut(url: String, frame: Long, word: String, n_slots: Long)
+/** SAX frame state: per-slot decimal-cents sums and counts. */
+final case class SaxBuf(slots: Array[Long], cents: Array[Long], ns: Array[Long])
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -829,6 +842,132 @@ object StreamStage {
             }
             state.update(st)
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING availability report — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.availability]] (q83). Each open (url, day)
+    * holds its DISTINCT observed buckets (≤ day/bucketMs longs); when the
+    * watermark closes the day, the observed/expected/missing counts and
+    * the longest silent gap emit — pure integer math, ≡ batch exactly. */
+  def availabilityStream(
+      points: Dataset[TiedPoint],
+      bucketMs: Long,
+      lateness: String = "10 minutes"): Dataset[AvailOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val dayMs = 86400000L
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"),
+        (col("ts") - pmod(col("ts"), lit(dayMs))).as("day"),
+        (col("ts") - pmod(col("ts"), lit(bucketMs))).as("b"),
+        col("event_time"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long),
+         rows: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[AvailBuf]) => {
+          val (url, day) = key
+          if (state.hasTimedOut) {
+            val bs = state.get.buckets.sorted
+            state.remove()
+            var longest = 0L
+            var i = 1
+            while (i < bs.length) {
+              val g = bs(i) - bs(i - 1) - bucketMs
+              if (g > longest) longest = g
+              i += 1
+            }
+            val expected = (bs.last - bs.head) / bucketMs + 1L
+            Iterator.single(AvailOut(url, day, bs.length.toLong, expected,
+              expected - bs.length, longest))
+          } else {
+            val prev = state.getOption.getOrElse(AvailBuf(Array.emptyLongArray))
+            val set = scala.collection.mutable.SortedSet(prev.buckets: _*)
+            rows.foreach(r => set += r._3)
+            state.update(AvailBuf(set.toArray))
+            state.setTimeoutTimestamp(math.max(day + dayMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING PAA + quantile-SAX words — the unbounded twin of
+    * [[graft.ops.DownsampleOps.quantileSax]] with day frames and hour
+    * slots. Each open (url, day) holds per-slot decimal-cents sums and
+    * counts (O(24) state); on watermark close the slot means are
+    * rank-discretized with SQL NTILE semantics (first n%4 tiles one
+    * larger, ties broken by slot) and the slot-ordered word emits —
+    * ≡ batch exactly (means are the same decimal-cast doubles). */
+  def saxStream(
+      points: Dataset[TiedPoint],
+      alphabet: Int = 4,
+      lateness: String = "10 minutes"): Dataset[SaxOut] = {
+    require(alphabet >= 2 && alphabet <= 26, s"alphabet must be 2..26, got $alphabet")
+    val dayMs = 86400000L
+    val hourMs = 3600000L
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"),
+        (col("ts") - pmod(col("ts"), lit(dayMs))).as("day"),
+        pmod(floor(col("ts") / lit(hourMs)), lit(24L)).cast("long").as("slot"),
+        col("value"), col("event_time"))
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long),
+         rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[SaxBuf]) => {
+          val (url, day) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val n = s.slots.length
+            val means = Array.tabulate(n)(i =>
+              new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(s.cents(i)), 2).doubleValue / s.ns(i))
+            // rank by (mean, slot); NTILE: first n%k tiles get one extra
+            val order = Array.range(0, n).sortBy(i => (means(i), s.slots(i)))
+            val base = n / alphabet; val rem = n % alphabet
+            val sym = new Array[Char](n)
+            for ((idx, r) <- order.zipWithIndex) {
+              val tile =
+                if (base == 0) r
+                else if (r < rem * (base + 1)) r / (base + 1)
+                else rem + (r - rem * (base + 1)) / base
+              sym(idx) = ('a' + tile).toChar
+            }
+            val word = s.slots.zip(sym).sortBy(_._1).map(_._2).mkString
+            Iterator.single(SaxOut(url, day, word, n.toLong))
+          } else {
+            val prev = state.getOption.getOrElse(
+              SaxBuf(Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray))
+            val m = scala.collection.mutable.TreeMap.empty[Long, (Long, Long)]
+            for (i <- prev.slots.indices)
+              m(prev.slots(i)) = (prev.cents(i), prev.ns(i))
+            rows.foreach { r =>
+              val (c, cnt) = m.getOrElse(r._3, (0L, 0L))
+              m(r._3) = (c + cents(r._4), cnt + 1L)
+            }
+            val arr = m.toArray
+            state.update(SaxBuf(arr.map(_._1), arr.map(_._2._1), arr.map(_._2._2)))
+            state.setTimeoutTimestamp(math.max(day + dayMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }

@@ -304,6 +304,63 @@ class StreamStageSpec extends SparkTestBase {
     assert(batch.size < all.size, "the fixture must actually downsample")
   }
 
+  test("streaming availability and sax words equal batch on closed days") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(47)
+    val all = (for (u <- Seq("a", "b"); d <- 0 until 2; h <- 0 until 8;
+                    i <- 0 until 1 + rng.nextInt(2)) yield {
+      TiedPoint(u, (d * 24L + h) * 3600000L + rng.nextInt(50) * 60000L,
+        (d * 100 + h * 10 + i).toLong, rng.nextDouble() * 100.0)
+    }).distinct
+    val df = all.toDF("url", "tsl", "tie", "value")
+
+    val availBatch = graft.ops.AnalyticsOps.availability(
+        df.select(col("url"),
+          (col("tsl") - pmod(col("tsl"), lit(86400000L))).as("day"),
+          (col("tsl") - pmod(col("tsl"), lit(60000L))).as("b")),
+        col("url"), col("day"), col("b"), 60000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(4)))).toMap
+    val saxBatch = graft.ops.DownsampleOps.quantileSax(df, col("url"),
+        (col("tsl") - pmod(col("tsl"), lit(86400000L))),
+        pmod(floor(col("tsl") / lit(3600000L)), lit(24L)), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[TiedPoint]
+    val qA = StreamStage.availabilityStream(memA.toDS(), 60000L, "2 hours")
+      .writeStream.format("memory").queryName("avail_stream")
+      .outputMode("append").start()
+    val memS = MemoryStream[TiedPoint]
+    val qS = StreamStage.saxStream(memS.toDS(), 4, "2 hours")
+      .writeStream.format("memory").queryName("sax_stream")
+      .outputMode("append").start()
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(10)) {
+      memA.addData(chunk.toSeq); qA.processAllAvailable()
+      memS.addData(chunk.toSeq); qS.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    for (q <- Seq((memA, qA), (memS, qS)); k <- 0 to 1) {
+      q._1.addData(Seq(TiedPoint("sentinel", far + k, k.toLong, 0.0)))
+      q._2.processAllAvailable()
+    }
+    qA.stop(); qS.stop()
+    val availStream = spark.table("avail_stream").as[AvailOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(o => (o.url, o.day) ->
+        ((o.observed, o.expected, o.missing, o.longest_gap_ms))).toMap
+    val saxStream = spark.table("sax_stream").as[SaxOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(o => (o.url, o.frame) -> ((o.word, o.n_slots))).toMap
+    assert(availStream == availBatch,
+      s"avail: ${availStream.toSeq.sorted.take(3)} vs ${availBatch.toSeq.sorted.take(3)}")
+    assert(saxStream == saxBatch,
+      s"sax: ${saxStream.toSeq.sorted.take(3)} vs ${saxBatch.toSeq.sorted.take(3)}")
+  }
+
   test("streaming calendar baseline equals batch bit-for-bit on closed buckets") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(43)
