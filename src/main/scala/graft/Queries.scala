@@ -1326,6 +1326,19 @@ object Queries {
       plans.RollupRewrite.servedFrom(s, "events.parquet", storeDf, q)
         .select(col("user_id"), col("bucket"), col("cnt"),
           col("vsum").cast("double").as("vsum"), col("vmin"), col("vmax"))
+    }),
+
+    // --- nearest-observation gap fill (oracle-backed, exact: the fill
+    // COPIES decimal-exact hourly means and tie-breaks on integer ms
+    // distances — no arithmetic, no rounding): completes the
+    // locf (q04/q30) / linear (q36) interpolation family
+    "q101_gapfill_nearest" -> ((s, dir) => {
+      val agg = events(s, dir)
+        .groupBy(col("user_id").cast("string").as("key"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg((sum(col("value").cast("decimal(12,2)")).cast("double")
+          / count(lit(1))).as("mean"))
+      Rollup.gapFillNearest(agg, 3600L)
     })
   )
 
@@ -2674,6 +2687,40 @@ FROM walk WHERE rn >= 1"""
         |  round(p.next_purchase, 6) AS next_purchase
         |FROM events l ASOF LEFT JOIN p
         |  ON l.user_id = p.user_id AND l.ts <= p.ts""".stripMargin,
+
+    "q101_gapfill_nearest" ->
+      """WITH agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key,
+        |    date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |      AS mean
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT key, unnest(generate_series(min(bucket), max(bucket),
+        |    INTERVAL 1 HOUR)) AS bucket
+        |  FROM agg GROUP BY key),
+        |j AS (
+        |  SELECT s.key, s.bucket, a.mean AS raw,
+        |    last_value(a.mean IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(CASE WHEN a.mean IS NOT NULL THEN s.bucket END
+        |      IGNORE NULLS) OVER wp AS prev_t,
+        |    first_value(a.mean IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(CASE WHEN a.mean IS NOT NULL THEN s.bucket END
+        |      IGNORE NULLS) OVER wn AS next_t
+        |  FROM spans s LEFT JOIN agg a ON s.key = a.key AND s.bucket = a.bucket
+        |  WINDOW wp AS (PARTITION BY s.key ORDER BY s.bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY s.key ORDER BY s.bucket
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key, bucket,
+        |  CASE WHEN raw IS NOT NULL THEN raw
+        |       WHEN next_v IS NULL THEN prev_v
+        |       WHEN prev_v IS NULL THEN next_v
+        |       WHEN epoch_ms(bucket) - epoch_ms(prev_t)
+        |         <= epoch_ms(next_t) - epoch_ms(bucket) THEN prev_v
+        |       ELSE next_v END AS mean,
+        |  raw IS NULL AS gap_filled
+        |FROM j""".stripMargin,
 
     // full recompute — the engine's answer went through initial build +
     // incremental upsert merge + the Catalyst rewrite

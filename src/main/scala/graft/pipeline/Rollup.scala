@@ -631,4 +631,43 @@ object Rollup {
           .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * (eb - ep) / (en - ep)))
       .select(col("key"), col("bucket"), col("mean"), col("gap_filled"))
   }
+
+  /** Nearest-observation gap fill (pandas `resample(...).nearest()`
+    * semantics, public method — completing the locf/linear family): every
+    * missing bucket takes the value of the CLOSEST observation in time;
+    * exact-middle ties take the PREVIOUS one (so the fill degrades to LOCF
+    * at ties — deterministic and oracle-expressible). Same scale shape as
+    * [[gapFillLocf]]: per-key span explode + two windows carrying one
+    * running endpoint each. Distances are integer ms — the op is exact. */
+  def gapFillNearest(
+      agg: DataFrame, // columns: key, bucket (timestamp), mean (double)
+      bucketSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = agg.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("key"), explode(
+        sequence(col("b0"), col("b1"), expr(s"interval $bucketSeconds seconds"))).as("bucket"))
+    val wPrev = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("raw").isNotNull, col("bucket"))
+    val joined = spans.join(agg.withColumnRenamed("mean", "raw"), Seq("key", "bucket"), "left")
+      .withColumn("prev_v", last("raw", ignoreNulls = true).over(wPrev))
+      .withColumn("prev_t", last(obsTs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first("raw", ignoreNulls = true).over(wNext))
+      .withColumn("next_t", first(obsTs, ignoreNulls = true).over(wNext))
+    val eb = unix_millis(col("bucket").cast("timestamp"))
+    val dPrev = eb - unix_millis(col("prev_t").cast("timestamp"))
+    val dNext = unix_millis(col("next_t").cast("timestamp")) - eb
+    joined
+      .withColumn("gap_filled", col("raw").isNull)
+      .withColumn("mean",
+        when(col("raw").isNotNull, col("raw"))
+          .when(col("next_v").isNull, col("prev_v"))
+          .when(col("prev_v").isNull, col("next_v"))
+          .when(dPrev <= dNext, col("prev_v"))
+          .otherwise(col("next_v")))
+      .select(col("key"), col("bucket"), col("mean"), col("gap_filled"))
+  }
 }

@@ -44,6 +44,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept("1d") == 10L, "unlisted tier keeps everything")
   }
 
+  test("gapFillNearest copies the closest observation, ties to previous") {
+    val agg = Seq(("u", 0L, 10.0), ("u", 4L, 50.0))
+      .map { case (k, h, v) => (k, new java.sql.Timestamp(h * 3600000L), v) }
+      .toDF("key", "bucket", "mean")
+    val out = graft.pipeline.Rollup.gapFillNearest(agg, 3600L)
+      .collect().map(r => r.getTimestamp(1).getTime / 3600000L ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((10.0, false)))
+    assert(out(1L) == ((10.0, true)))
+    assert(out(2L) == ((10.0, true)), "exact-middle tie takes the PREVIOUS")
+    assert(out(3L) == ((50.0, true)))
+    assert(out(4L) == ((50.0, false)))
+    assert(out.size == 5)
+  }
+
   test("tieredRead serves each age band at its tier, no row double-served") {
     val day = 86400000L
     // anchor at day 30 noon; cuts land at day-aligned 23 and 16
