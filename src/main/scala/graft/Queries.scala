@@ -57,7 +57,8 @@ object Queries {
 
   // ------------------------------------------------------------- queries
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // --- continuous aggregates / tiers (oracle-backed)
     "q01_rollup_1m" -> ((s, dir) =>
       events(s, dir)
@@ -1339,7 +1340,79 @@ object Queries {
         .agg((sum(col("value").cast("decimal(12,2)")).cast("double")
           / count(lit(1))).as("mean"))
       Rollup.gapFillNearest(agg, 3600L)
-    })
+    }),
+
+    // --- distributed CUSUM drift detector (oracle-backed, EXACT: the
+    // tropical (max, +) segmented scan runs in integer cents, so unlike
+    // the FP-mirror smoothers the oracle is the plain sequential
+    // recurrence — reassociation cannot exist in a semiring whose ops are
+    // exact): Page's classic SPC statistic, s = max(0, s + x − k),
+    // alarm above h. k = 60 sits above the mean (~49.6) so in-control
+    // stretches clamp to 0; h = 250 fires on sustained high-value runs.
+    "q102_cusum" -> ((s, dir) =>
+      ops.AnalyticsOps.cusum(events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          k = 60.0, h = 250.0, bucketMs = 86400000L)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("ts"), col("value"), col("cusum"), col("alarm")))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // --- SAX motif pairing (oracle-backed, exact: SAX words are integer
+    // order statistics, the pairing is an equi-join with a deterministic
+    // bucket cap): series whose daily frames discretize to the same
+    // symbolic word — the symbolic analogue of the MinHash band join,
+    // and the standard cheap motif prefilter
+    "q103_sax_motifs" -> ((s, dir) => {
+      val words = ops.DownsampleOps.quantileSax(events(s, dir),
+        col("user_id"), date_trunc("day", col("ts")), hour(col("ts")),
+        col("value"))
+      ops.DownsampleOps.saxMotifPairs(words, maxBucket = 50)
+        .select(col("frame").as("day"), col("word"),
+          col("url_a"), col("url_b"))
+    }),
+
+    // --- continuous-aggregate rewrite serving AVG (oracle-backed, exact:
+    // the oracle recomputes the mean from raw events in exact integer
+    // arithmetic — round-half-up((2·sum·10^4 + n) / (2n)) at scale 6, the
+    // precise value Spark's decimal Average produces — so the hash match
+    // proves the rewritten avg read path is bit-exact, not approximately
+    // right). Complements q98 (count/sum) and q100 (min/max).
+    "q104_rewrite_avg" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val storePath = s"/tmp/graft_q104_rollup_${math.abs(dir.hashCode)}"
+      ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("vsum"))
+        .write.mode("overwrite").parquet(storePath)
+      val stored = s.read.parquet(storePath)
+      val q = ev.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          avg(col("value").cast("decimal(12,2)")).as("avg_v"))
+      plans.RollupRewrite.servedFrom(s, "events.parquet", stored, q)
+        .select(col("user_id"), col("bucket"), col("cnt"),
+          col("avg_v").cast("double").as("avg_v"))
+    }),
+
+    // --- robust median/MAD outliers (oracle-backed, exact: lower medians
+    // are rank-selected order statistics in integer cents — no FP
+    // mean/variance, no interpolation): the outlier rule that survives
+    // its own outliers, complementing q42's z-score
+    "q105_mad_outliers" -> ((s, dir) =>
+      ops.AnalyticsOps.madOutliers(events(s, dir),
+          col("user_id"), date_trunc("day", col("ts")), col("event_id"),
+          col("value"), k = 3.0)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("bucket").as("day"), col("value"), col("median"), col("mad"),
+          col("is_outlier"))),
+
+    // --- trailing 7-day distinct actives (oracle-backed, exact integer):
+    // the WAU query — sliding DISTINCT via the bounded day fan-out of the
+    // deduplicated (user, day) table; q45's HLL sketches are the
+    // approximate at-scale twin
+    "q106_rolling_actives" -> ((s, dir) =>
+      ops.AnalyticsOps.rollingActives(events(s, dir),
+        col("user_id"), col("ts"), windowDays = 7))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2728,6 +2801,119 @@ FROM walk WHERE rn >= 1"""
       """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum,
         |  min(value) AS vmin, max(value) AS vmax
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the SEQUENTIAL CUSUM recurrence in integer cents (k = 60.00 ->
+    // 6000c, h = 250.00 -> 25000c). The engine answers it with the
+    // tropical segmented scan; integer max/+ are exact, so the hash match
+    // needs no FP mirroring — any correct evaluation order agrees.
+    "q102_cusum" ->
+      """WITH RECURSIVE rord AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms, value,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events
+        |), walk AS (
+        |  SELECT user_id, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
+        |    NULL::BIGINT AS tms, NULL::DOUBLE AS value, 0::BIGINT AS s
+        |  FROM (SELECT DISTINCT user_id FROM rord)
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.event_id, o.tms, o.value,
+        |    greatest(0, w.s + o.vc - 6000) AS s
+        |  FROM rord o JOIN walk w
+        |    ON o.user_id = w.user_id AND o.rn = w.rn + 1
+        |)
+        |SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts, value,
+        |  CAST(s AS DOUBLE) / 100.0 AS cusum, s > 25000 AS alarm
+        |FROM walk WHERE rn >= 1""".stripMargin,
+
+    // the q86 word pipeline + the capped self-join: words shared by 2..50
+    // series in a day pair each member combination exactly once
+    "q103_sax_motifs" ->
+      """WITH paa AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    extract(hour FROM ts) AS slot,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS m
+        |  FROM events GROUP BY 1, 2, 3),
+        |sym AS (
+        |  SELECT user_id, day, slot,
+        |    chr(CAST(96 + ntile(4) OVER (
+        |      PARTITION BY user_id, day ORDER BY m, slot) AS INTEGER)) AS s
+        |  FROM paa),
+        |w AS (
+        |  SELECT user_id, day, string_agg(s, '' ORDER BY slot) AS word
+        |  FROM sym GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT day, word FROM w GROUP BY day, word
+        |  HAVING count(*) BETWEEN 2 AND 50)
+        |SELECT a.day, a.word, a.user_id AS url_a, b.user_id AS url_b
+        |FROM w a
+        |JOIN w b ON a.day = b.day AND a.word = b.word
+        |  AND a.user_id < b.user_id
+        |JOIN sized z ON z.day = a.day AND z.word = a.word""".stripMargin,
+
+    // exact integer mirror of Spark's decimal Average: the mean of n
+    // DECIMAL(12,2) values, expressed at scale 6, is
+    // round-half-up(sum·10^6 / n) — i.e. floor((2·sum·10^6 + n) / (2n))
+    // in HUGEINT — then one exact
+    // int→double conversion and one correctly-rounded /1e6, both of which
+    // Spark's decimal(16,6)→double cast reproduces bit-for-bit. (Spark
+    // rounds the division at scale 23 first, but the rational sum/n is
+    // never within 5e-18 of a 6-dp boundary, so the double rounding is
+    // provably inert.) The engine answers from the REWRITTEN store read.
+    "q104_rewrite_avg" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 1000000 AS HUGEINT) AS nn
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, bucket, cnt,
+        |  CAST((2 * nn + cnt) // (2 * cnt) AS DOUBLE) / 1000000.0 AS avg_v
+        |FROM h""".stripMargin,
+
+    // lower medians by rank selection in integer cents — the same order
+    // statistics the engine's two window passes pick
+    "q105_mad_outliers" ->
+      """WITH o AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, event_id, value,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, day ORDER BY vc, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, day) AS n
+        |  FROM o),
+        |med AS (
+        |  SELECT user_id, day, vc AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT o.user_id, o.day, o.event_id, o.value, m.med,
+        |    abs(o.vc - m.med) AS dev
+        |  FROM o JOIN med m ON o.user_id = m.user_id AND o.day = m.day),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, day ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, day) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT user_id, day, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_id, d.user_id, d.day, d.value,
+        |  CAST(d.med AS DOUBLE) / 100.0 AS median,
+        |  CAST(x.mad AS DOUBLE) / 100.0 AS mad,
+        |  CAST(d.dev AS DOUBLE) > 3.0 * CAST(x.mad AS DOUBLE) AS is_outlier
+        |FROM d JOIN mad x ON d.user_id = x.user_id AND d.day = x.day""".stripMargin,
+
+    // exact sliding distinct: dedup to (user, day), fan out 7 report days,
+    // dedup again, count — inner-joined to observed days
+    "q106_rolling_actives" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |obs AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |c AS (
+        |  SELECT DISTINCT ud.user_id, ud.day + i.i * INTERVAL 1 DAY AS tday
+        |  FROM ud, generate_series(0, 6) AS i(i))
+        |SELECT c.tday AS day, count(*) AS actives
+        |FROM c JOIN obs ON obs.day = c.tday
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -24,6 +24,16 @@ private[ops] final case class HoltChunk(key: String, bucket: Long,
 private[ops] final case class HoltInit(key: String, bucket: Long,
     lIn: Double, bIn: Double)
 
+/** Phase-1 row of [[AnalyticsOps.cusum]]: the input row plus the prefix
+  * TROPICAL affine (mPre, tPre) of its chunk — the row's CUSUM is
+  * max(mPre, s_in + tPre) once the chunk's incoming state s_in is known.
+  * All drift arithmetic is integer cents, so the scan is EXACT. */
+final case class CusumRow(key: String, bucket: Long, ts: Long, tie: Long,
+    value: Double, mPre: Long, tPre: Long)
+private[ops] final case class CusumChunk(key: String, bucket: Long,
+    m: Long, t: Long)
+private[ops] final case class CusumInit(key: String, bucket: Long, sIn: Long)
+
 /** Output row of [[AnalyticsOps.holtWinters]]. */
 final case class HwOut(key: String, ts: Long, tie: Long, value: Double,
     level: Double, trend: Double, seasonal: Double, forecast: Double)
@@ -460,6 +470,214 @@ object AnalyticsOps {
       .toDF()
       .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
         col("value"), col("level"), col("trend"), col("seasonal"), col("forecast"))
+  }
+
+  /** Per-key one-sided (upper) CUSUM drift detector, distributed.
+    *
+    * CUSUM (Page 1954, the SPC standard) is the classic sequential
+    * change/drift statistic:
+    *   s_i = max(0, s_{i−1} + (x_i − k)),   s_0 = 0,   alarm when s_i > h,
+    * where k is the allowance (in-control level + slack). The recurrence
+    * looks inherently sequential, but each element is an affine map in the
+    * (max, +) TROPICAL semiring — f_a(s) = max(0, s + a) — and those maps
+    * compose in closed form: writing (M, T) for s ↦ max(M, s + T),
+    *   (M₂, T₂) ∘ (M₁, T₁) = (max(M₂, M₁ + T₂), T₁ + T₂),
+    * which is associative. So the [[ewma]] segmented scan applies verbatim
+    * with tropical composition in place of real affine composition:
+    *
+    *   phase 1: rows chunked by (key, time bucket), chunk-local prefix
+    *     (mPre, tPre) per row — one event-sized hash shuffle;
+    *   phase 2: per-key scan over chunk summaries (chunk-count-sized)
+    *     resolves each chunk's incoming state s_in, seeded 0;
+    *   phase 3: broadcastable join back; each row finalizes as
+    *     cusum_i = max(mPre_i, s_in + tPre_i).
+    *
+    * Unlike the real-affine scans (q46/q49/q50), this one has NO
+    * floating-point reassociation caveat: values are fixed to integer
+    * cents (Spark's HALF_UP double→DECIMAL(12,2), the q79/q80 idiom), and
+    * max/+ over integers are exact — so the distributed result is
+    * BIT-IDENTICAL to the sequential recurrence (and to a sequential
+    * DuckDB oracle) at any parallelism and any chunking. Overflow headroom:
+    * tPre is bounded by chunk length × max|drift| and s by the series'
+    * net positive drift since its last zero — with cent-scaled telemetry
+    * values both sit far below 2^63 even at 10^12-row series (a series
+    * that never returns to 0 for 10^12 consecutive samples is a
+    * mis-parameterized monitor: k below the in-control mean).
+    *
+    * Emits (key, ts, tie, value, cusum, alarm). Same 100-TB properties as
+    * [[ewma]]: chunk-bounded memory, chunk-count-sized phase 2, one
+    * event-sized shuffle. */
+  def cusum(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      k: Double,
+      h: Double,
+      bucketMs: Long): DataFrame = {
+    require(h > 0, s"alarm threshold h must be positive, got $h")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    val kC = cents(k)
+    val hC = cents(h)
+
+    val base = events.select(
+        keyCol.cast("string").as("key"),
+        unix_millis(tsCol.cast("timestamp")).as("ts"),
+        tieCol.cast("long").as("tie"),
+        valueCol.cast("double").as("value"),
+        (valueCol.cast("decimal(12,2)") * lit(100)).cast("long").as("vc"))
+      .withColumn("bucket", floor(col("ts") / lit(bucketMs)).cast("long"))
+      .select("key", "bucket", "ts", "tie", "value", "vc")
+
+    // phase 1: chunk-local tropical prefixes. Seed (M, T) = (0, 0) is
+    // s ↦ max(0, s), identity on the reachable domain (s_in ≥ 0 always).
+    val rowsPrefix = base
+      .as(Encoders.product[(String, Long, Long, Long, Double, Long)])
+      .groupByKey { case (key, b, _, _, _, _) => (key, b) }(
+        Encoders.product[(String, Long)])
+      .flatMapGroups { (kb: (String, Long),
+          it: Iterator[(String, Long, Long, Long, Double, Long)]) =>
+        val (key, b) = kb
+        val rows = it.toArray.sortBy { case (_, _, ts, tie, _, _) => (ts, tie) }
+        var m = 0L
+        var t = 0L
+        rows.iterator.map { case (_, _, ts, tie, v, vc) =>
+          val a = vc - kC
+          m = math.max(0L, m + a)
+          t += a
+          CusumRow(key, b, ts, tie, v, m, t)
+        }
+      }(Encoders.product[CusumRow])
+      .toDF()
+
+    // chunk summaries: the LAST row's prefix in (ts, tie) order —
+    // flat-buffer ordered aggregate so the event-sized agg stays in
+    // HashAggregateExec (see the q46 note)
+    import graft.functions.OrderedAggregates.lastByOrd
+    val chunks = rowsPrefix.groupBy("key", "bucket")
+      .agg(lastByOrd(col("mPre"), col("ts"), col("tie")).as("m"),
+        lastByOrd(col("tPre"), col("ts"), col("tie")).as("t"))
+
+    // phase 2: per-key tropical scan over chunk summaries, seeded s = 0
+    val inits = chunks.as(Encoders.product[CusumChunk])
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroups { (key: String, it: Iterator[CusumChunk]) =>
+        val cs = it.toArray.sortBy(_.bucket)
+        var s = 0L
+        cs.iterator.map { ch =>
+          val out = CusumInit(key, ch.bucket, s)
+          s = math.max(ch.m, s + ch.t)
+          out
+        }
+      }(Encoders.product[CusumInit])
+      .toDF()
+
+    // phase 3: finalize — exact integer max, one multiply-free op per row
+    val sC = greatest(col("mPre"), col("sIn") + col("tPre"))
+    rowsPrefix.join(inits, Seq("key", "bucket"))
+      .withColumn("__s", sC)
+      .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
+        col("value"),
+        (col("__s").cast("double") / lit(100.0)).as("cusum"),
+        (col("__s") > lit(hC)).as("alarm"))
+  }
+
+  /** Robust per-group outliers via median/MAD — the outlier rule of choice
+    * when the data itself contains the outliers you're hunting ([[zscore]]'s
+    * mean/stddev are dragged by the very spikes they should flag; the
+    * median and the median absolute deviation have a 50% breakdown point).
+    * Flags |x − median| > k·MAD per (key, bucket) group.
+    *
+    * Medians are LOWER medians — exact order statistics selected by rank
+    * ((n+1)/2 in (value, tie) order), not interpolated — and all deviation
+    * arithmetic runs in integer cents, so the op is EXACT cross-engine at
+    * any parallelism: no FP mean/variance to reassociate, no interpolation
+    * to round. Zero-MAD groups (a majority of identical values) flag any
+    * row strictly above the median deviation — the standard degenerate
+    * case reading.
+    *
+    * Scale shape: two keyed window passes (rank + count) and two joins,
+    * ALL keyed on the full group key — one hash exchange, reused by every
+    * operator in the chain; window state is O(1) per row (row_number +
+    * partition count, never a buffered frame). The median tables are
+    * group-count-sized, AQE-broadcastable. */
+  def madOutliers(
+      events: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      k: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val o = events.select(keyCol.as("key"), bucketCol.as("bucket"),
+      tieCol.as("tie"), valueCol.cast("double").as("value"),
+      (valueCol.cast("decimal(12,2)") * lit(100)).cast("long").as("__vc"))
+    val wp = Window.partitionBy("key", "bucket")
+    val wv = wp.orderBy("__vc", "tie")
+    val med = o
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .filter(col("__rn") === floor((col("__n") + 1) / 2))
+      .select(col("key"), col("bucket"), col("__vc").as("__med"))
+    val dev = o.join(med, Seq("key", "bucket"))
+      .withColumn("__dev", abs(col("__vc") - col("__med")))
+    val wd = wp.orderBy("__dev", "tie")
+    val mad = dev
+      .withColumn("__rn", row_number().over(wd))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .filter(col("__rn") === floor((col("__n") + 1) / 2))
+      .select(col("key"), col("bucket"), col("__dev").as("__mad"))
+    dev.join(mad, Seq("key", "bucket"))
+      .select(col("key"), col("bucket"), col("tie"), col("value"),
+        (col("__med").cast("double") / lit(100.0)).as("median"),
+        (col("__mad").cast("double") / lit(100.0)).as("mad"),
+        // integer-cents comparison promoted exactly: k·mad and dev are
+        // both exact doubles below 2^53
+        (col("__dev").cast("double") > lit(k) * col("__mad").cast("double"))
+          .as("is_outlier"))
+  }
+
+  /** Trailing-window distinct actives (the WAU/MAU query): for every
+    * observed day, the number of distinct keys active in the `windowDays`
+    * days ending on it. Sliding DISTINCT does not decompose like a sum —
+    * the exact public shape is to deduplicate to (key, day) once and
+    * fan each row out to the ≤ `windowDays` report days it contributes
+    * to, then deduplicate (key, report-day) and count.
+    *
+    * Scale shape: one event-sized partial+final hash aggregate down to
+    * (key, day) — map-side combine does the heavy lifting — then all work
+    * is (keys × days)-sized with a BOUNDED ×windowDays fan-out (the q93
+    * canonical-bucket trick), one more hash distinct, and a day-count
+    * aggregate; report days are inner-joined to the observed-day table so
+    * no phantom post-horizon days appear. Pure integer arithmetic — exact
+    * cross-engine. (The approximate at-scale alternative — mergeable HLL
+    * sketches per day, range-unioned — is q45's territory; this is the
+    * exact path, linear in windowDays.) */
+  def rollingActives(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayMs = 86400000L
+    val keyDays = events
+      .select(keyCol.as("key"),
+        unix_millis(date_trunc("day", tsCol).cast("timestamp")).as("day"))
+      .distinct()
+    val observed = keyDays.select(col("day")).distinct()
+    keyDays
+      .select(col("key"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
+        col("day"))
+      .select(col("key"), (col("day") + col("__i") * lit(dayMs)).as("day"))
+      .distinct()
+      .join(observed, Seq("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("actives"))
+      .select(timestamp_millis(col("day")).as("day"), col("actives"))
   }
 
   /** Forecast-residual anomaly detection — the classic TS alerting query:

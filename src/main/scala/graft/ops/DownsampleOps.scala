@@ -79,6 +79,35 @@ object DownsampleOps {
         count(lit(1)).as("n_slots"))
   }
 
+  /** Cross-series motif candidates from the SAX index ([[quantileSax]]):
+    * pairs of series whose frames discretize to the SAME word in the same
+    * frame window — the symbolic time-series analogue of MinHash-LSH
+    * near-dup pairing (word = bucket key), and the standard cheap motif
+    * prefilter in the SAX literature.
+    *
+    * Scale shape: input is the WORD table (frame-count rows, never raw
+    * events); pairing is an equi-join keyed on (frame, word) with the same
+    * bucket-cap guard as the LSH ops — words shared by more than
+    * `maxBucket` series in one frame (degenerate flat patterns, e.g. all-
+    * constant days) are DROPPED WHOLE rather than quadratically exploded.
+    * The cap is deterministic (a membership predicate, not a sample), so
+    * an exact SQL oracle mirrors it with HAVING. Pairs emit exactly once
+    * with url_a < url_b (the input key's native ordering). */
+  def saxMotifPairs(words: DataFrame, maxBucket: Int = 50): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sized = words.groupBy("frame", "word")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select("frame", "word")
+    val member = words.join(sized, Seq("frame", "word"))
+      .select(col("frame"), col("word"), col("key"))
+    val a = member.select(col("frame"), col("word"), col("key").as("url_a"))
+    val b = member.select(col("frame"), col("word"), col("key").as("url_b"))
+    a.join(b, Seq("frame", "word"))
+      .filter(col("url_a") < col("url_b"))
+      .select("frame", "word", "url_a", "url_b")
+  }
+
   /** LTTB — largest-triangle-three-buckets (Steinarsson 2013, public
     * method): select `threshold` visually representative points of one
     * series. Input must be time-sorted; returns the SELECTED INDICES

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -29,6 +29,8 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *  - count(*) ↦ coalesce(sum(cnt), 0) (non-nullable, like count);
   *    sum(cast(value as decimal(12,2))) ↦ cast(sum(vsum), original type)
   *    — decimal arithmetic, so the rewrite is EXACT, not approximate;
+  *    avg(cast(value as decimal)) ↦ sum(vsum) / sum(cnt) rebuilt with
+  *    Average's own internal operand types, bit-identical (see mapOutput);
   *  - output attribute ids are preserved, so parent operators (and the
   *    analyzed schema) are untouched;
   *  - anything it cannot prove rewritable (extra grouping keys, other
@@ -117,6 +119,30 @@ final class RollupRewriteRule(
           case Cast(v: AttributeReference, dt: DecimalType, _, _)
               if v.name == "value" && vsumScale.contains(dt.scale) =>
             Some(Alias(Cast(sumOf(rVsum), ae.dataType), name)(exprId = ne.exprId))
+          case _ => None
+        }
+      // avg(cast(value as decimal(s-scale))) ↦ sum(vsum) / sum(cnt),
+      // rebuilt to mirror Average's OWN decimal evaluation exactly: Spark
+      // evaluates a decimal Average as Divide(sum: DECIMAL(p+10, s),
+      // count cast DECIMAL(20,0)) cast to DECIMAL(p+4, s+4) — we feed that
+      // same division the SAME operand types and (exact-decimal) values,
+      // so every rounding step is bit-identical to the raw-scan answer.
+      // The store's re-aggregated totals are exact (decimal sums), hence
+      // the rewrite serves avg EXACTLY, not approximately — the
+      // TimescaleDB finalized-aggregate read for mean.
+      case Alias(ae @ AggregateExpression(Average(se, _), _, false, _, _), name) =>
+        se match {
+          case Cast(v: AttributeReference, dt: DecimalType, _, _)
+              if v.name == "value" && vsumScale.contains(dt.scale) =>
+            // DecimalType.bounded / LongDecimal are private[sql]; these are
+            // their public definitions (sum type = p+10 capped at 38; count
+            // cast = DECIMAL(20,0))
+            val sumT = DecimalType(math.min(dt.precision + 10, 38), dt.scale)
+            val divided = Divide(
+              Cast(sumOf(rVsum), sumT),
+              Cast(Coalesce(Seq(sumOf(rCnt), Literal(0L, LongType))),
+                DecimalType(20, 0)))
+            Some(Alias(Cast(divided, ae.dataType), name)(exprId = ne.exprId))
           case _ => None
         }
       case Alias(AggregateExpression(

@@ -51,6 +51,17 @@ final case class EwmaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
 final case class DeltaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     prevTs: Long, prevVal: Double, primed: Boolean)
 
+/** One CUSUM point from [[StreamStage.cusumStream]]. */
+final case class CusumOut(url: String, ts: Long, tie: Long, value: Double,
+    cusum: Double, alarm: Boolean)
+
+/** Per-url state for [[StreamStage.cusumStream]]: the above-watermark
+  * buffer plus the running CUSUM statistic in integer cents — O(1) beyond
+  * the lateness buffer, and self-expiring (state is removable whenever the
+  * statistic has clamped back to 0, because that IS the seed). */
+final case class CusumBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
+    s: Long)
+
 /** One smoothed point from [[StreamStage.holtStream]]. */
 final case class HoltOut(url: String, ts: Long, tie: Long, value: Double,
     level: Double, trend: Double, forecast: Double)
@@ -459,6 +470,43 @@ object StreamStage {
           row
         }.toVector
         (out, st.copy(prevTs = prevTs, prevVal = prevVal, primed = primed))
+      })
+  }
+
+  /** STREAMING one-sided CUSUM drift detection — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.cusum]], with the same watermark-buffered
+    * in-order replay as [[ewmaStream]]. The statistic is integer cents
+    * (the batch op's exact arithmetic), so emitted rows equal the batch
+    * output EXACTLY — bit-for-bit, not at a tolerance — under any arrival
+    * order within the lateness window. State per url is the O(lateness)
+    * buffer plus ONE long, and it self-expires: a url whose statistic has
+    * clamped back to 0 with nothing buffered carries no state at all
+    * (s = 0 is the seed), so quiet in-control keys cost nothing. */
+  def cusumStream(
+      points: Dataset[TiedPoint],
+      k: Double,
+      h: Double,
+      lateness: String = "10 minutes"): Dataset[CusumOut] = {
+    require(h > 0, s"alarm threshold h must be positive, got $h")
+    val spark = points.sparkSession
+    import spark.implicits._
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    val kC = cents(k)
+    val hC = cents(h)
+    bufferedReplay[CusumBuf, CusumOut](points, lateness,
+        CusumBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0L))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => s.s == 0L,
+      (url, st, ready) => {
+        var s = st.s
+        val out = ready.iterator.map { case (t, q, v) =>
+          s = math.max(0L, s + cents(v) - kC)
+          CusumOut(url, t, q, v, s.toDouble / 100.0, s > hC)
+        }.toVector
+        (out, st.copy(s = s))
       })
   }
 

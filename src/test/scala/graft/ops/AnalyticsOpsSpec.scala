@@ -139,6 +139,103 @@ class AnalyticsOpsSpec extends SparkTestBase {
         s"chunking changed $k: $v vs ${single(k)}")
   }
 
+  test("cusum is bit-identical to the sequential recurrence, any chunking") {
+    // reference: s_0 = 0; s_i = max(0, s_{i-1} + (x_i - k)), in cents
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    def seqCusum(xs: Seq[Double], k: Double): Seq[Long] = {
+      val kc = cents(k)
+      xs.scanLeft(0L)((s, x) => math.max(0L, s + cents(x) - kc)).tail
+    }
+    val rng = new scala.util.Random(11)
+    val series = Map(
+      "u1" -> Seq.fill(137)(rng.nextDouble() * 100),  // spans many chunks
+      "u2" -> Seq(42.0),                              // single element
+      "u3" -> Seq.fill(3000)(rng.nextDouble() * 120)) // mega chunk (no FP decay
+                                                      // to underflow: tropical)
+    val rows = series.toSeq.flatMap { case (u, xs) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        (u, new java.sql.Timestamp(i * 6L * 3600 * 1000), i.toLong, x)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    def run(bucketMs: Long) = AnalyticsOps.cusum(df, col("user_id"), col("ts"),
+        col("event_id"), col("value"), k = 50.0, h = 200.0, bucketMs = bucketMs)
+      .select("key", "tie", "cusum", "alarm")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val daily = run(86400000L)
+    for ((u, xs) <- series) {
+      val expect = seqCusum(xs, 50.0)
+      for (i <- xs.indices) {
+        val (got, alarm) = daily((u, i.toLong))
+        assert(got == expect(i).toDouble / 100.0,   // EXACT — integer scan
+          s"$u[$i]: got $got expected ${expect(i)}")
+        assert(alarm == (expect(i) > 20000L), s"$u[$i] alarm")
+      }
+    }
+    // chunking invariance is also EXACT (tropical ops don't reassociate)
+    val giant = run(Long.MaxValue / 4)
+    assert(giant == daily, "chunking changed the CUSUM output")
+  }
+
+  test("madOutliers picks lower medians by rank and survives zero MAD") {
+    val ev = (
+      // A (odd n=5): median 11, MAD 1 -> only 100 exceeds 3*MAD
+      Seq(("A", 1L, 10.0), ("A", 2L, 12.0), ("A", 3L, 11.0),
+        ("A", 4L, 100.0), ("A", 5L, 10.0)) ++
+      // B (even n=4): LOWER median 2 (not interpolated 2.5), MAD 1
+      Seq(("B", 6L, 1.0), ("B", 7L, 2.0), ("B", 8L, 3.0), ("B", 9L, 4.0)) ++
+      // C: majority identical -> MAD 0; any deviation flags
+      Seq(("C", 10L, 7.0), ("C", 11L, 7.0), ("C", 12L, 7.0), ("C", 13L, 50.0))
+    ).toDF("k", "id", "value").withColumn("b", lit(1))
+    val out = AnalyticsOps.madOutliers(ev, col("k"), col("b"), col("id"),
+        col("value"), k = 3.0)
+      .select("tie", "median", "mad", "is_outlier")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((11.0, 1.0, false)))
+    assert(out(4L) == ((11.0, 1.0, true)), "89 > 3*1 must flag")
+    assert(out(6L) == ((2.0, 1.0, false)), "even group takes the LOWER median")
+    assert(out(9L) == ((2.0, 1.0, false)), "dev 2 <= 3*MAD: not flagged")
+    assert(out(10L) == ((7.0, 0.0, false)))
+    assert(out(13L) == ((7.0, 0.0, true)), "zero-MAD group flags any deviation")
+  }
+
+  test("rollingActives counts trailing-window distinct keys per observed day") {
+    val day = 86400000L
+    val ev = Seq(
+      ("u1", 0L), ("u1", 2 * day), // active d0, d2
+      ("u2", 1 * day),             // active d1
+      ("u1", 10L)                  // same day as d0 -> dedup
+    ).map { case (u, ms) => (u, new java.sql.Timestamp(ms)) }
+      .toDF("user_id", "ts")
+    val out = AnalyticsOps.rollingActives(ev, col("user_id"), col("ts"), 2)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, day -> 2L, 2 * day -> 2L),
+      s"windows: d0={u1}, d1={u1@d0,u2}, d2={u1@d2,u2@d1}; got $out")
+  }
+
+  test("cusum clamps at zero and alarms strictly above h") {
+    // k = 10: drifts +5, -20 (clamped), +10.01 cents-boundary
+    val ev = Seq(
+      ("u", 0L, 1L, 15.0),    // s = 5.00
+      ("u", 1000L, 2L, 0.0),  // s = max(0, 5 - 10) = 0
+      ("u", 2000L, 3L, 30.0), // s = 20.00 == h -> NOT alarmed (strict >)
+      ("u", 3000L, 4L, 10.01) // s = 20.01 > h -> alarmed
+    ).map { case (u, ms, id, v) => (u, new java.sql.Timestamp(ms), id, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = AnalyticsOps.cusum(ev, col("user_id"), col("ts"),
+        col("event_id"), col("value"), k = 10.0, h = 20.0, bucketMs = 86400000L)
+      .select("tie", "cusum", "alarm")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((5.0, false)))
+    assert(out(2L) == ((0.0, false)), "negative drift clamps at zero")
+    assert(out(3L) == ((20.0, false)), "s == h is not an alarm (strict)")
+    assert(out(4L) == ((20.01, true)))
+  }
+
   test("ewma long chunks survive beta^n underflow (chunk-final affine is positional)") {
     // (1-alpha)^n underflows to exactly 0.0 after ~2090 rows at alpha=0.3,
     // so every row past that point in a chunk has cPre == 0.0. Selecting

@@ -119,4 +119,52 @@ class RollupRewriteSpec extends SparkTestBase {
         spark.experimental.extraOptimizations.filterNot(_ eq rule)
     }
   }
+
+  test("avg is served from the rollup bit-identically (decimal Average mirror)") {
+    assume(available, s"$dir not present")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def avgAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(avg(col("value").cast("decimal(12,2)")).as("avg_v"),
+        count(lit(1)).as("cnt"))
+    // raw truth BEFORE the rule exists — compare the DECIMAL(16,6) values
+    // themselves, so any divergence in the rebuilt division/rounding chain
+    // fails loudly instead of hiding under a double tolerance
+    val expected = avgAgg(raw).collect()
+      .map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getDecimal(2), r.getLong(3)))).toMap
+    def hourStore(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("vsum"))
+    // multi-partial store: avg must re-derive from summed partials
+    hourStore(raw.filter(col("event_id") % 2 === 0))
+      .union(hourStore(raw.filter(col("event_id") % 2 =!= 0)))
+      .write.mode("overwrite").parquet("/tmp/graft_rw_rollup_avg")
+    val stored = spark.read.parquet("/tmp/graft_rw_rollup_avg")
+    val rule = RollupRewrite.register(spark, "events.parquet", stored)
+    try {
+      val q = avgAgg(spark.read.parquet(s"$dir/events.parquet"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_rw_rollup_avg"), s"avg must rewrite:\n$plan")
+      assert(!plan.contains("events.parquet"),
+        "the raw relation must be gone from the rewritten plan")
+      assert(q.schema.map(f => (f.name, f.dataType)) ==
+        avgAgg(raw).schema.map(f => (f.name, f.dataType)),
+        "avg result type must be preserved (decimal(16,6))")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.get(1).toString) ->
+          ((r.getDecimal(2), r.getLong(3)))).toMap
+      assert(got == expected, "rewritten avg must equal the raw Average EXACTLY")
+      // a plain DOUBLE avg reassociates; it must NOT be rewritten
+      val qDouble = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(avg(col("value")).as("m"))
+      assert(qDouble.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "avg over the raw double column is not exactly derivable")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
 }

@@ -214,6 +214,56 @@ class StreamStageSpec extends SparkTestBase {
         s"$k#$q2: stream ${streamed((k, q2))} vs sequential $y")
   }
 
+  test("streaming cusum is bit-identical to batch under late arrivals") {
+    import org.apache.spark.sql.functions._
+    val (k, h) = (50.0, 150.0)
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    val rng = new scala.util.Random(17)
+    // url "a" row 30 duplicates row 29's ts (distinct tie): dup-ts rows
+    // must drain in tie order, matching the batch contract
+    val all = for (u <- Seq("a", "b"); i <- 0 until 60) yield {
+      val ts = if (u == "a" && i == 30) 3600000L + 29 * 60000L
+               else 3600000L + i * 60000L
+      TiedPoint(u, ts, i.toLong, rng.nextDouble() * 100)
+    }
+    // sequential truth in integer cents — the batch op's exact arithmetic
+    val expect = all.groupBy(_.url).flatMap { case (u, pts) =>
+      val sorted = pts.sortBy(p => (p.ts, p.tie))
+      sorted.map(_.tie).zip(
+        sorted.map(_.value).scanLeft(0L)((s, x) =>
+          math.max(0L, s + cents(x) - cents(k))).tail).map {
+        case (q, s) => (u, q) -> ((s.toDouble / 100.0, s > cents(h)))
+      }
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.cusumStream(mem.toDS(), k, h, "10 minutes")
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(10)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_stream").as[CusumOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.tie) -> ((e.cusum, e.alarm))).toMap
+    assert(streamed.size == all.size,
+      s"every point emitted exactly once (got ${streamed.size} of ${all.size})")
+    for ((key, want) <- expect)
+      assert(streamed(key) == want,   // EXACT — integer-cents statistic
+        s"$key: stream ${streamed(key)} vs sequential $want")
+  }
+
   test("streaming hysteresis emits exactly the batch episodes that close") {
     import org.apache.spark.sql.functions._
     // a: fire, dead-band hold, clear, dead-band-from-below hold, fire, clear
