@@ -18,8 +18,30 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder0 = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM local[n] default — used
+    // with `local-cluster[N,C,MB]` (Spark's real multi-executor test
+    // mode: separate executor JVMs, socket shuffle, serialized task
+    // dispatch) to evidence the north rule's two-cluster-size criterion
+    // with actual executors, not just thread counts. Executor JVMs need
+    // the engine classes on THEIR classpath: pass
+    // spark.executor.extraClassPath=target/scala-2.13/classes via
+    // SPARK_GRAFT_EXECUTOR_CLASSPATH. The worker's executor launcher also
+    // needs SPARK_HOME=/opt/spark and SPARK_SCALA_VERSION=2.13 in the
+    // environment (it rebuilds the executor command from SPARK_HOME —
+    // without it, "Cannot find any build directories").
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder00 = SparkSession.builder().master(master)
+    val builder01 = sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH") match {
+      case Some(cp) => builder00.config("spark.executor.extraClassPath", cp)
+      case None => builder00
+    }
+    // local-cluster's third parameter is WORKER memory; executor heaps
+    // still default to 1g and GC-thrash on the html-bytes scan — size them
+    // explicitly for multi-executor runs
+    val builder0 = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM") match {
+      case Some(m) => builder01.config("spark.executor.memory", m)
+      case None => builder01
+    }
     // Shuffle/spill dirs: this VM's virtio disk collapses under concurrent
     // shuffle writers (measured at 48k urls/local[32]: scan-stage taskSum
     // 6322 s vs cpuSum 295 s, tasks 90% blocked on write; moving local

@@ -51,6 +51,14 @@ final case class EwmaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
 final case class DeltaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     prevTs: Long, prevVal: Double, primed: Boolean)
 
+/** One flagged point from [[StreamStage.madStream]] (bucket = epoch ms). */
+final case class MadOut(url: String, bucket: Long, tie: Long, value: Double,
+    median: Double, mad: Double, is_outlier: Boolean)
+
+/** Per-(url, bucket) buffer for [[StreamStage.madStream]]: one bucket's
+  * (tie, value) rows, bounded by bucket span + lateness. */
+final case class MadBuf(tie: Array[Long], vs: Array[Double])
+
 /** One CUSUM point from [[StreamStage.cusumStream]]. */
 final case class CusumOut(url: String, ts: Long, tie: Long, value: Double,
     cusum: Double, alarm: Boolean)
@@ -1244,6 +1252,65 @@ object StreamStage {
             val prev = state.getOption.getOrElse(ZBuf(Array.emptyLongArray, Array.emptyDoubleArray))
             val inc = rows.map(r => (r._3, r._4)).toArray
             state.update(ZBuf(prev.ts ++ inc.map(_._1), prev.vs ++ inc.map(_._2)))
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING median/MAD outliers — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.madOutliers]], per closed (url, bucket):
+    * like z-scores, the op is inherently whole-group (a late row can move
+    * the median), so it buffers ONE bucket per key and emits exactly once
+    * when the watermark closes it — the [[zscoreStream]] discipline, state
+    * bounded by bucket span + lateness. Medians are the same rank-selected
+    * lower order statistics in integer cents as the batch op, so the
+    * emitted rows equal batch q105's rows for closed buckets EXACTLY. */
+  def madStream(
+      points: Dataset[TiedPoint],
+      bucketMs: Long,
+      k: Double,
+      lateness: String = "10 minutes"): Dataset[MadOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("tie"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[MadBuf]) => {
+          val (url, bucket) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val n = s.tie.length
+            val vc = s.vs.map(cents)
+            // lower median = 1-based rank (n+1)/2 = 0-based index (n-1)/2;
+            // rank selection needs only the VALUE at the rank, so sorting
+            // by the value alone matches the batch (value, tie) order
+            val med = vc.sorted.apply((n - 1) / 2)
+            val dev = vc.map(c => math.abs(c - med))
+            val mad = dev.sorted.apply((n - 1) / 2)
+            s.tie.indices.iterator.map { i =>
+              MadOut(url, bucket, s.tie(i), s.vs(i),
+                med.toDouble / 100.0, mad.toDouble / 100.0,
+                dev(i).toDouble > k * mad.toDouble)
+            }
+          } else {
+            val prev = state.getOption.getOrElse(
+              MadBuf(Array.emptyLongArray, Array.emptyDoubleArray))
+            val inc = rows.map(r => (r._3, r._4)).toArray
+            state.update(MadBuf(prev.tie ++ inc.map(_._1), prev.vs ++ inc.map(_._2)))
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty

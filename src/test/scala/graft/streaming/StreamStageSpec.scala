@@ -877,6 +877,58 @@ class StreamStageSpec extends SparkTestBase {
       "constant bucket yields z = None")
   }
 
+  test("streaming mad outliers equal batch exactly on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(67)
+    val bucketMs = 3600000L
+    // spiky values: mostly 10-30 with occasional 200s so MAD flags fire;
+    // plus an even-count bucket (lower-median edge) and a majority-constant
+    // bucket (zero-MAD edge)
+    val all = (for (u <- Seq("a", "b"); b <- 0 until 3; i <- 0 until 21) yield {
+      val v = if (i % 10 == 9) 200.0 + rng.nextInt(100) else 10.0 + rng.nextInt(2000) / 100.0
+      TiedPoint(u, 3600000L + b * bucketMs + rng.nextInt(bucketMs.toInt),
+        (u.hashCode.toLong << 32) | (b * 100 + i).toLong, v)
+    }) ++
+      (0 until 4).map(i => TiedPoint("even", 3600000L + i * 60000L, i.toLong,
+        Seq(1.0, 2.0, 3.0, 4.0)(i))) ++
+      (0 until 5).map(i => TiedPoint("flat", 3600000L + i * 60000L, i.toLong,
+        if (i == 4) 50.0 else 7.0))
+    val batch = graft.ops.AnalyticsOps.madOutliers(
+        all.toDF(), col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))),
+        col("tie"), col("value"), 3.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.madStream(mem.toDS(), bucketMs, 3.0, "4 hours")
+      .writeStream.format("memory").queryName("mad_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(40)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mad_stream").as[MadOut]
+      .filter(col("url") =!= "sentinel")
+      .collect()
+      .map(e => (e.url, e.tie) -> ((e.median, e.mad, e.is_outlier)))
+      .toMap
+    assert(streamed.size == all.size, s"${streamed.size} of ${all.size} rows emitted")
+    for ((k, want) <- batch)
+      assert(streamed(k) == want, s"$k: stream ${streamed(k)} vs batch $want")
+    assert(streamed.count(_._2._3) > 0, "fixture must contain outliers")
+    assert(streamed(("even", 1L))._1 == 2.0, "even bucket takes the LOWER median")
+    assert(streamed(("flat", 4L)) == ((7.0, 0.0, true)), "zero-MAD flags deviation")
+  }
+
   test("streaming histogram equals batch histogram on closed buckets") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(53)
