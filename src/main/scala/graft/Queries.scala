@@ -1412,7 +1412,22 @@ object Queries {
     // approximate at-scale twin
     "q106_rolling_actives" -> ((s, dir) =>
       ops.AnalyticsOps.rollingActives(events(s, dir),
-        col("user_id"), col("ts"), windowDays = 7))
+        col("user_id"), col("ts"), windowDays = 7)),
+
+    // --- Mann-Kendall trend test + Sen's slope (oracle-backed, exact):
+    // per-user daily DECIMAL sums (exact under any partitioning) tested
+    // for monotone trend — S, tie-corrected variance, and every pairwise
+    // sign are integer-cents exact; z and the slope doubles follow a
+    // fixed op order the mirror reproduces bit-for-bit
+    "q107_mann_kendall" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("dsum"))
+      ops.AnalyticsOps.mannKendall(daily,
+          col("user_id"), col("day"), col("dsum"), slopeUnitMs = 86400000L)
+        .select(col("key").as("user_id"), col("n"), col("s"), col("var_s"),
+          col("z"), col("trend"), col("sen_slope"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -2914,6 +2929,59 @@ FROM walk WHERE rn >= 1"""
         |  FROM ud, generate_series(0, 6) AS i(i))
         |SELECT c.tday AS day, count(*) AS actives
         |FROM c JOIN obs ON obs.day = c.tday
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // Mann-Kendall: integer-cents S + tie correction (exact), z and Sen's
+    // slope mirror the engine's double op order (cents diff -> double ->
+    // /100 -> / unit count; continuity-corrected z) bit-for-bit
+    "q107_mann_kendall" ->
+      """WITH s0 AS (
+        |  SELECT user_id, epoch_ms(date_trunc('day', ts)) AS ts,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(12,2))
+        |      * 100 AS BIGINT) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, count(*) AS n FROM s0 GROUP BY 1),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(sum(tt * (tt - 1) * (tt * 2 + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT user_id, vc, count(*) AS tt FROM s0 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.user_id, a.ts AS ta, b.ts AS tb,
+        |    CASE WHEN b.vc > a.vc THEN 1 WHEN b.vc < a.vc THEN -1
+        |         ELSE 0 END AS sgn,
+        |    CAST(b.vc - a.vc AS DOUBLE) / 100.0 /
+        |      (CAST(b.ts - a.ts AS DOUBLE) / 86400000.0) AS slope
+        |  FROM s0 a JOIN s0 b ON a.user_id = b.user_id AND a.ts < b.ts),
+        |sa AS (SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s FROM p GROUP BY 1),
+        |sen AS (
+        |  SELECT user_id, slope AS sen_slope FROM (
+        |    SELECT user_id, slope, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY slope, ta, tb) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS np
+        |    FROM p)
+        |  WHERE rn = (np + 1) // 2),
+        |j AS (
+        |  SELECT n.user_id, n.n, coalesce(sa.s, 0) AS s,
+        |    CAST(n.n * (n.n - 1) * (n.n * 2 + 5) - t.tsum AS DOUBLE) / 18.0
+        |      AS var_s,
+        |    sen.sen_slope
+        |  FROM n JOIN t ON n.user_id = t.user_id
+        |    LEFT JOIN sa ON n.user_id = sa.user_id
+        |    LEFT JOIN sen ON n.user_id = sen.user_id),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN var_s = 0 THEN NULL
+        |         WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |         ELSE 0.0 END AS z
+        |  FROM j)
+        |SELECT user_id, n, s, var_s, z,
+        |  CASE WHEN z IS NULL THEN 'no trend'
+        |       WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no trend' END AS trend,
+        |  sen_slope
+        |FROM z""".stripMargin
   )
 }

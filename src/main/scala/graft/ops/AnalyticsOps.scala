@@ -1217,4 +1217,80 @@ object AnalyticsOps {
       .withColumn("residual", valueCol - col("trend") - col("seasonal"))
       .drop("__key", "__tb", "__ph")
   }
+
+  /** Mann-Kendall trend test + Sen's (Theil-Sen) slope per key — the
+    * standard non-parametric "is this telemetry series monotonically
+    * trending?" monitor (Mann 1945, Kendall 1975, Sen 1968; the
+    * hydrology-standard formulation with the tie-corrected variance).
+    *
+    * Input contract: ONE row per (key, ts) — a rollup tier, not raw
+    * events (the caller aggregates first; see q107). Values are compared
+    * as integer cents (`decimal(12,2)·100`), so the S statistic, the tie
+    * correction, and every sign are EXACT; the variance and z-score are
+    * single-expression doubles over those integers and Sen's slope is a
+    * rank-selected lower median of pairwise-slope doubles — each slope
+    * computed with a fixed op order (cents diff → double → /100 → ÷ unit
+    * count) so a SQL oracle reproduces every output bit-for-bit.
+    *
+    * Scale shape: the pairwise S/slope table is a per-key self EQUI-join
+    * — one shuffle on the key, n·(n−1)/2 rows per key where n is the
+    * series length at the ROLLUP tier (calendar-bounded: a year of daily
+    * buckets is 66k pairs), never the raw-event count. The alternative
+    * O(n log n) inversion-count form saves nothing at rollup sizes and
+    * has no mirrorable SQL twin. Long arithmetic in the variance is exact
+    * for n < 2^20 — far past any calendar-bounded series.
+    *
+    * Output per key: n, S, tie-corrected var(S), the continuity-corrected
+    * z (null when var = 0, e.g. all values tied or n = 1), the 5%-level
+    * trend label, and Sen's slope per `slopeUnitMs` (null when n < 2). */
+  def mannKendall(
+      series: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      slopeUnitMs: Long = 86400000L): DataFrame = {
+    require(slopeUnitMs > 0, s"slopeUnitMs must be positive, got $slopeUnitMs")
+    val s0 = series.select(keyCol.as("key"),
+      unix_millis(tsCol.cast("timestamp")).as("__ts"),
+      (valueCol.cast("decimal(12,2)") * lit(100)).cast("long").as("__vc"))
+    val n = s0.groupBy("key").agg(count(lit(1)).as("n"))
+    val ties = s0.groupBy("key", "__vc").agg(count(lit(1)).as("__t"))
+      .groupBy("key")
+      .agg(sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tsum"))
+    val a = s0.select(col("key"), col("__ts").as("__ta"), col("__vc").as("__va"))
+    val b = s0.select(col("key"), col("__ts").as("__tb"), col("__vc").as("__vb"))
+    val pairs = a.join(b, Seq("key")).filter(col("__ta") < col("__tb"))
+      .select(col("key"), col("__ta"), col("__tb"),
+        signum(col("__vb") - col("__va")).cast("long").as("__sgn"),
+        ((col("__vb") - col("__va")).cast("double") / lit(100.0) /
+          ((col("__tb") - col("__ta")).cast("double") / lit(slopeUnitMs.toDouble)))
+          .as("__slope"))
+    val sAgg = pairs.groupBy("key").agg(sum("__sgn").as("s"))
+    val wp = Window.partitionBy("key")
+    val sen = pairs
+      .withColumn("__rn",
+        row_number().over(wp.orderBy(col("__slope"), col("__ta"), col("__tb"))))
+      .withColumn("__np", count(lit(1)).over(wp))
+      .filter(col("__rn") === floor((col("__np") + 1) / 2))
+      .select(col("key"), col("__slope").as("sen_slope"))
+    n.join(ties, Seq("key"))
+      .join(sAgg, Seq("key"), "left")
+      .join(sen, Seq("key"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("__tsum"))
+          .cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("var_s") === 0.0, lit(null).cast("double"))
+          .when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z").isNull, lit("no trend"))
+          .when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("no trend")))
+      .select(col("key"), col("n"), col("s"), col("var_s"), col("z"),
+        col("trend"), col("sen_slope"))
+  }
 }

@@ -59,6 +59,20 @@ final case class MadOut(url: String, bucket: Long, tie: Long, value: Double,
   * (tie, value) rows, bounded by bucket span + lateness. */
 final case class MadBuf(tie: Array[Long], vs: Array[Double])
 
+/** One enriched left row from [[StreamStage.asofStream]]: the event plus
+  * the most recent right-side payload with `right.ts <= ts` (None until the
+  * first right row for the url). */
+final case class AsofOut(url: String, ts: Long, tie: Long, value: Double,
+    payload: Option[Double])
+
+/** Per-url state for [[StreamStage.asofStream]]: above-watermark buffered
+  * rows of BOTH sides plus the carried last right payload. The carry never
+  * expires (a future left row may need a right value from arbitrarily long
+  * ago), so steady state is O(1) per url — like the batch op's running
+  * last-value window, keyed. */
+final case class AsofBuf(ts: Array[Long], tie: Array[Long], side: Array[Int],
+    vs: Array[Double], last: Double, hasLast: Boolean)
+
 /** One CUSUM point from [[StreamStage.cusumStream]]. */
 final case class CusumOut(url: String, ts: Long, tie: Long, value: Double,
     cusum: Double, alarm: Boolean)
@@ -1315,6 +1329,64 @@ object StreamStage {
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }
+        })
+  }
+
+  /** STREAMING as-of enrichment — the unbounded twin of
+    * [[graft.ops.AsofOps.asofJoin]] for a single double payload: left
+    * (event) rows are annotated with the most recent right (signal) value
+    * with `right.ts <= left.ts` per url, right rows winning ties at equal
+    * ts — the ASOF convention the batch op encodes by sorting side 0
+    * first. Both sides share one watermark, so a left row is emitted
+    * exactly when no earlier-or-equal right row can still arrive: rows
+    * above the watermark buffer in state and the final prefix drains in
+    * (ts, side, tie) order — the [[ewmaStream]] replay discipline over a
+    * two-sided input. Dup-ts right rows are ordered by the explicit tie
+    * (the batch window leaves that order unspecified; feed unique
+    * (url, ts) right rows for exact batch parity). The carried payload
+    * never expires — steady state is O(1) per url, the streaming analogue
+    * of the batch running last-value window. */
+  def asofStream(
+      leftPoints: Dataset[TiedPoint],
+      rightPoints: Dataset[TiedPoint],
+      lateness: String = "10 minutes"): Dataset[AsofOut] = {
+    val spark = leftPoints.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def tag(ds: Dataset[TiedPoint], side: Int) = ds.toDF()
+      .select(col("url"), col("ts"), col("tie"), lit(side).as("side"),
+        col("value"))
+    tag(leftPoints, 1).unionByName(tag(rightPoints, 0))
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .as[(String, Long, Long, Int, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String,
+         rows: Iterator[(String, Long, Long, Int, Double, java.sql.Timestamp)],
+         state: GroupState[AsofBuf]) => {
+          val st = state.getOption.getOrElse(AsofBuf(Array.emptyLongArray,
+            Array.emptyLongArray, Array.emptyIntArray, Array.emptyDoubleArray,
+            0.0, false))
+          val buffered = st.ts.indices.map(i =>
+            (st.ts(i), st.side(i), st.tie(i), st.vs(i)))
+          val incoming = rows.map(r => (r._2, r._4, r._3, r._5))
+          // right (side 0) sorts before left at equal ts: ASOF tie rule
+          val all = (buffered ++ incoming).toArray
+            .sortBy { case (t, s, q, _) => (t, s, q) }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          var last = st.last
+          var has = st.hasLast
+          val out = ready.iterator.flatMap { case (t, s, q, v) =>
+            if (s == 0) { last = v; has = true; None }
+            else Some(AsofOut(url, t, q, v, if (has) Some(last) else None))
+          }.toVector
+          state.update(AsofBuf(hold.map(_._1), hold.map(_._3),
+            hold.map(_._2), hold.map(_._4), last, has))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.head._1, wm + 1L))
+          out.iterator
         })
   }
 

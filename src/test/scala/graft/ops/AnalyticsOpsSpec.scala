@@ -705,4 +705,67 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "word is in SLOT order even though ranks are by value")
     assert(out(("u", "f2")) == (("ab", 2L)))
   }
+
+  test("mannKendall matches the sequential definition, ties and edges included") {
+    val day = 86400000L
+    val rng = new scala.util.Random(71)
+    // per-key series: a rising trend, a falling one, a heavy-tie series,
+    // a single point, and an all-tied pair; irregular day spacing
+    val series: Map[String, Seq[(Long, Double)]] = Map(
+      "up" -> (0 until 24).map(i => (i * day + (i % 3) * day, 10.0 + i * 1.5 + rng.nextInt(200) / 100.0)),
+      "down" -> (0 until 17).map(i => (i * 2 * day, 300.0 - i * 4.0 + rng.nextInt(300) / 100.0)),
+      "ties" -> (0 until 20).map(i => (i * day, Seq(5.0, 5.0, 7.0, 7.0, 7.0)(i % 5))),
+      "one" -> Seq((0L, 42.0)),
+      "flat" -> Seq((0L, 9.0), (day, 9.0), (2 * day, 9.0))
+    ).map { case (k, v) =>
+      // distinct ts per key (contract); collapse the deliberate dups in "up"
+      k -> v.groupBy(_._1).map { case (t, rs) => (t, rs.head._2) }.toSeq.sortBy(_._1)
+    }
+    val df = series.toSeq.flatMap { case (k, pts) =>
+      pts.map { case (t, v) => (k, new java.sql.Timestamp(t), v) }
+    }.toDF("k", "ts", "v")
+    val out = AnalyticsOps.mannKendall(df, col("k"), col("ts"), col("v"), day)
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getString(5),
+          Option(r.get(6)).map(_.asInstanceOf[Double])))
+      }.toMap
+
+    for ((k, pts) <- series) {
+      val n = pts.length
+      val vc = pts.map { case (_, v) => math.round(v * 100) }
+      val ts = pts.map(_._1)
+      val idx = for (i <- 0 until n; j <- i + 1 until n) yield (i, j)
+      val sRef = idx.map { case (i, j) => java.lang.Long.signum(vc(j) - vc(i)).toLong }.sum
+      val tsum = vc.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (t * 2 + 5)).sum
+      val varRef = (n.toLong * (n - 1) * (n * 2 + 5) - tsum).toDouble / 18.0
+      val zRef = if (varRef == 0.0) None
+        else if (sRef > 0) Some((sRef - 1).toDouble / math.sqrt(varRef))
+        else if (sRef < 0) Some((sRef + 1).toDouble / math.sqrt(varRef))
+        else Some(0.0)
+      val slopes = idx.map { case (i, j) =>
+        ((vc(j) - vc(i)).toDouble / 100.0 /
+          ((ts(j) - ts(i)).toDouble / day.toDouble), ts(i), ts(j))
+      }.sorted
+      val senRef = if (slopes.isEmpty) None
+        else Some(slopes((slopes.length - 1) / 2)._1)
+      val (gn, gs, gvar, gz, gtrend, gsen) = out(k)
+      assert(gn == n && gs == sRef, s"$k: n/S")
+      assert(gvar == varRef, s"$k: var")
+      assert(gz == zRef, s"$k: z")
+      assert(gsen == senRef, s"$k: sen slope")
+      val wantTrend = gz match {
+        case Some(z) if z > 1.96 => "increasing"
+        case Some(z) if z < -1.96 => "decreasing"
+        case _ => "no trend"
+      }
+      assert(gtrend == wantTrend, s"$k: trend")
+    }
+    assert(out("up")._5 == "increasing")
+    assert(out("down")._5 == "decreasing")
+    assert(out("flat")._4.isEmpty && out("flat")._5 == "no trend",
+      "all-tied series: var 0 -> z null")
+    assert(out("one") == ((1L, 0L, 0.0, None, "no trend", None)))
+  }
 }

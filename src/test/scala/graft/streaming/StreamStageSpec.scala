@@ -929,6 +929,59 @@ class StreamStageSpec extends SparkTestBase {
     assert(streamed(("flat", 4L)) == ((7.0, 0.0, true)), "zero-MAD flags deviation")
   }
 
+  test("streaming as-of enrichment equals batch asofJoin under late arrivals") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(73)
+    val hour = 3600000L
+    // unique (url, ts) right rows (batch parity contract); left rows include
+    // exact-ts ties with right rows and a head row before any right row
+    val rights = for (u <- Seq("a", "b"); i <- 0 until 40) yield
+      TiedPoint(u, hour + i * 977000L, 1000L + i, 100.0 + i + (if (u == "a") 0.5 else 0.0))
+    val lefts = (for (u <- Seq("a", "b"); i <- 0 until 120) yield
+      TiedPoint(u, hour - 500000L + rng.nextInt(40 * 977000 + 1000000),
+        i.toLong, rng.nextInt(1000) / 10.0)) ++
+      Seq(TiedPoint("a", hour + 5 * 977000L, 900L, 7.0)) // exact-ts tie: matches
+    val leftDf = lefts.toDF()
+    val rightDf = rights.map(r => (r.url, r.ts, r.value)).toDF("url", "ts", "sig")
+    val batch = graft.ops.AsofOps.asofJoin(leftDf, rightDf, "url", "ts", Seq("sig"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double]))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[TiedPoint]
+    val memR = MemoryStream[TiedPoint]
+    // lateness exceeds the full fixture span (~11 h): fully shuffled
+    // arrival must never watermark-drop a row
+    val q = StreamStage.asofStream(memL.toDS(), memR.toDS(), "24 hours")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    val mixed = rng.shuffle(lefts.map(p => (p, true)) ++ rights.map(p => (p, false)))
+    for (chunk <- mixed.grouped(50)) {
+      memL.addData(chunk.filter(_._2).map(_._1))
+      memR.addData(chunk.filterNot(_._2).map(_._1))
+      q.processAllAvailable()
+    }
+    val far = (lefts ++ rights).map(_.ts).max + 365L * 86400000L
+    memL.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    memL.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_stream").as[AsofOut]
+      .filter(col("url") =!= "sentinel")
+      .collect()
+      .map(e => (e.url, e.tie) -> e.payload)
+      .toMap
+    assert(streamed.size == lefts.size, s"${streamed.size} of ${lefts.size} left rows")
+    for ((k, want) <- batch)
+      assert(streamed(k) == want, s"$k: stream ${streamed(k)} vs batch $want")
+    assert(streamed.values.exists(_.isEmpty), "head rows before any signal -> None")
+    assert(streamed(("a", 900L)) == Some(100.5 + 5),
+      "equal-ts right row matches (ASOF tie rule)")
+  }
+
   test("streaming histogram equals batch histogram on closed buckets") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(53)
