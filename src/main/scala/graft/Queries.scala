@@ -1427,6 +1427,20 @@ object Queries {
           col("user_id"), col("day"), col("dsum"), slopeUnitMs = 86400000L)
         .select(col("key").as("user_id"), col("n"), col("s"), col("var_s"),
           col("z"), col("trend"), col("sen_slope"))
+    }),
+
+    // --- Seasonal Mann-Kendall (Hirsch-Slack): same exactness story as
+    // q107, but hourly sums compared only within the same hour-of-day —
+    // the diurnal cycle can't fake a trend. Slope per day = per cycle.
+    "q108_seasonal_mk" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hb"))
+        .agg(sum(col("value").cast("decimal(12,2)")).as("hsum"))
+      ops.AnalyticsOps.seasonalMannKendall(hourly,
+          col("user_id"), col("hb"), col("hsum"),
+          hour(col("hb")), slopeUnitMs = 86400000L)
+        .select(col("key").as("user_id"), col("n"), col("s"), col("var_s"),
+          col("z"), col("trend"), col("sen_slope"))
     })
   )
 
@@ -2969,6 +2983,60 @@ FROM walk WHERE rn >= 1"""
         |  FROM n JOIN t ON n.user_id = t.user_id
         |    LEFT JOIN sa ON n.user_id = sa.user_id
         |    LEFT JOIN sen ON n.user_id = sen.user_id),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN var_s = 0 THEN NULL
+        |         WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |         WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |         ELSE 0.0 END AS z
+        |  FROM j)
+        |SELECT user_id, n, s, var_s, z,
+        |  CASE WHEN z IS NULL THEN 'no trend'
+        |       WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no trend' END AS trend,
+        |  sen_slope
+        |FROM z""".stripMargin,
+
+    // Seasonal MK: the q107 mirror with season = hour-of-day in every
+    // grouping and the pair join; variance = exact-long per-season sum
+    "q108_seasonal_mk" ->
+      """WITH s0 AS (
+        |  SELECT user_id, hour(hb) AS g, epoch_ms(hb) AS ts,
+        |    CAST(CAST(hsum AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+        |  FROM (SELECT user_id, date_trunc('hour', ts) AS hb,
+        |          sum(CAST(value AS DECIMAL(12,2))) AS hsum
+        |        FROM events GROUP BY 1, 2)),
+        |gs AS (
+        |  SELECT user_id, g, CAST(sum(t) AS BIGINT) AS ng,
+        |    CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tsumg
+        |  FROM (SELECT user_id, g, vc, count(*) AS t FROM s0 GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(ng * (ng - 1) * (ng * 2 + 5) - tsumg) AS BIGINT) AS varint
+        |  FROM gs GROUP BY 1),
+        |p AS (
+        |  SELECT a.user_id, a.ts AS ta, b.ts AS tb,
+        |    CASE WHEN b.vc > a.vc THEN 1 WHEN b.vc < a.vc THEN -1
+        |         ELSE 0 END AS sgn,
+        |    CAST(b.vc - a.vc AS DOUBLE) / 100.0 /
+        |      (CAST(b.ts - a.ts AS DOUBLE) / 86400000.0) AS slope
+        |  FROM s0 a JOIN s0 b
+        |    ON a.user_id = b.user_id AND a.g = b.g AND a.ts < b.ts),
+        |sa AS (SELECT user_id, CAST(sum(sgn) AS BIGINT) AS s FROM p GROUP BY 1),
+        |sen AS (
+        |  SELECT user_id, slope AS sen_slope FROM (
+        |    SELECT user_id, slope, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY slope, ta, tb) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS np
+        |    FROM p)
+        |  WHERE rn = (np + 1) // 2),
+        |j AS (
+        |  SELECT st.user_id, st.n, coalesce(sa.s, 0) AS s,
+        |    CAST(st.varint AS DOUBLE) / 18.0 AS var_s, sen.sen_slope
+        |  FROM st LEFT JOIN sa ON st.user_id = sa.user_id
+        |    LEFT JOIN sen ON st.user_id = sen.user_id),
         |z AS (
         |  SELECT *,
         |    CASE WHEN var_s = 0 THEN NULL

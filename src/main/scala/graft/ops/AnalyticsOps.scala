@@ -1248,18 +1248,50 @@ object AnalyticsOps {
       keyCol: Column,
       tsCol: Column,
       valueCol: Column,
+      slopeUnitMs: Long = 86400000L): DataFrame =
+    seasonalMannKendall(series, keyCol, tsCol, valueCol, lit(0L), slopeUnitMs)
+
+  /** Seasonal Mann-Kendall (Hirsch & Slack 1984) — the classic test made
+    * robust to periodicity: observations are compared only WITHIN a
+    * season (same hour-of-day, same month, …), so a diurnal or annual
+    * cycle can't masquerade as a trend. S and the tie-corrected variance
+    * are per-season sums (both exact longs here — one integer per (key,
+    * season), summed before the single /18.0), the continuity-corrected z
+    * uses the totals, and Sen's slope is the lower median over all
+    * within-season pairwise slopes. With a constant `seasonCol` this IS
+    * the classic test — [[mannKendall]] delegates here — because every
+    * per-season integer collapses to the unpartitioned formula before any
+    * double is formed.
+    *
+    * Same contract and scale shape as [[mannKendall]]: one row per
+    * (key, ts), pairwise work is an equi-self-join on (key, season) —
+    * seasonality CUTS the pair count (Σ n_g² ≤ n²), never grows it. */
+  def seasonalMannKendall(
+      series: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      seasonCol: Column,
       slopeUnitMs: Long = 86400000L): DataFrame = {
     require(slopeUnitMs > 0, s"slopeUnitMs must be positive, got $slopeUnitMs")
-    val s0 = series.select(keyCol.as("key"),
+    val s0 = series.select(keyCol.as("key"), seasonCol.cast("long").as("__g"),
       unix_millis(tsCol.cast("timestamp")).as("__ts"),
       (valueCol.cast("decimal(12,2)") * lit(100)).cast("long").as("__vc"))
-    val n = s0.groupBy("key").agg(count(lit(1)).as("n"))
-    val ties = s0.groupBy("key", "__vc").agg(count(lit(1)).as("__t"))
+    // per-(key, season) counts and tie terms, then exact-long totals:
+    // n = Σ n_g, varint = Σ_g [n_g(n_g−1)(2n_g+5) − Σ_t t(t−1)(2t+5)]
+    val stats = s0.groupBy("key", "__g", "__vc").agg(count(lit(1)).as("__t"))
+      .groupBy("key", "__g")
+      .agg(sum(col("__t")).as("__ng"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tsumg"))
       .groupBy("key")
-      .agg(sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)).as("__tsum"))
-    val a = s0.select(col("key"), col("__ts").as("__ta"), col("__vc").as("__va"))
-    val b = s0.select(col("key"), col("__ts").as("__tb"), col("__vc").as("__vb"))
-    val pairs = a.join(b, Seq("key")).filter(col("__ta") < col("__tb"))
+      .agg(sum(col("__ng")).as("n"),
+        sum(col("__ng") * (col("__ng") - 1) * (col("__ng") * 2 + 5)
+          - col("__tsumg")).as("__varint"))
+    val a = s0.select(col("key"), col("__g"), col("__ts").as("__ta"),
+      col("__vc").as("__va"))
+    val b = s0.select(col("key"), col("__g"), col("__ts").as("__tb"),
+      col("__vc").as("__vb"))
+    val pairs = a.join(b, Seq("key", "__g")).filter(col("__ta") < col("__tb"))
       .select(col("key"), col("__ta"), col("__tb"),
         signum(col("__vb") - col("__va")).cast("long").as("__sgn"),
         ((col("__vb") - col("__va")).cast("double") / lit(100.0) /
@@ -1267,19 +1299,19 @@ object AnalyticsOps {
           .as("__slope"))
     val sAgg = pairs.groupBy("key").agg(sum("__sgn").as("s"))
     val wp = Window.partitionBy("key")
+    // (ta, tb) identifies a pair uniquely (ts unique per key; a pair lives
+    // in at most one season), so the rank order is total and portable
     val sen = pairs
       .withColumn("__rn",
         row_number().over(wp.orderBy(col("__slope"), col("__ta"), col("__tb"))))
       .withColumn("__np", count(lit(1)).over(wp))
       .filter(col("__rn") === floor((col("__np") + 1) / 2))
       .select(col("key"), col("__slope").as("sen_slope"))
-    n.join(ties, Seq("key"))
+    stats
       .join(sAgg, Seq("key"), "left")
       .join(sen, Seq("key"), "left")
       .withColumn("s", coalesce(col("s"), lit(0L)))
-      .withColumn("var_s",
-        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("__tsum"))
-          .cast("double") / lit(18.0))
+      .withColumn("var_s", col("__varint").cast("double") / lit(18.0))
       .withColumn("z",
         when(col("var_s") === 0.0, lit(null).cast("double"))
           .when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))

@@ -768,4 +768,72 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "all-tied series: var 0 -> z null")
     assert(out("one") == ((1L, 0L, 0.0, None, "no trend", None)))
   }
+
+  test("seasonalMannKendall matches the Hirsch-Slack sequential definition") {
+    val hourMs = 3600000L
+    val rng = new scala.util.Random(79)
+    // "cycle": pure diurnal sine over 20 days — strong hour-to-hour swing,
+    // zero within-season trend; "drift": the same cycle plus a slow rise;
+    // "sparse": one observation per season (no pairs at all)
+    def diurnal(h: Long): Double = 50.0 + 30.0 * math.sin(h % 24 * math.Pi / 12)
+    val series: Map[String, Seq[(Long, Double)]] = Map(
+      "cycle" -> (0 until 480).map(i =>
+        (i * hourMs, diurnal(i) + rng.nextInt(100) / 100.0)),
+      "drift" -> (0 until 480).map(i =>
+        (i * hourMs, diurnal(i) + i * 0.05 + rng.nextInt(100) / 100.0)),
+      "sparse" -> (0 until 24).map(i => (i * hourMs, rng.nextInt(5000) / 100.0))
+    )
+    val df = series.toSeq.flatMap { case (k, pts) =>
+      pts.map { case (t, v) => (k, new java.sql.Timestamp(t), v) }
+    }.toDF("k", "ts", "v")
+    val out = AnalyticsOps.seasonalMannKendall(df, col("k"), col("ts"),
+        col("v"), org.apache.spark.sql.functions.hour(col("ts")), 86400000L)
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getString(5),
+          Option(r.get(6)).map(_.asInstanceOf[Double])))
+      }.toMap
+
+    for ((k, pts) <- series) {
+      val vc = pts.map { case (_, v) => math.round(v * 100) }
+      val ts = pts.map(_._1)
+      val season = ts.map(t => t / hourMs % 24)
+      val idx = for (i <- pts.indices; j <- i + 1 until pts.length
+        if season(i) == season(j)) yield (i, j)
+      val sRef = idx.map { case (i, j) => java.lang.Long.signum(vc(j) - vc(i)).toLong }.sum
+      val varInt = season.distinct.map { g =>
+        val gv = pts.indices.filter(season(_) == g).map(vc)
+        val ng = gv.length.toLong
+        val tsum = gv.groupBy(identity).values.map(_.length.toLong)
+          .map(t => t * (t - 1) * (t * 2 + 5)).sum
+        ng * (ng - 1) * (ng * 2 + 5) - tsum
+      }.sum
+      val varRef = varInt.toDouble / 18.0
+      val zRef = if (varRef == 0.0) None
+        else if (sRef > 0) Some((sRef - 1).toDouble / math.sqrt(varRef))
+        else if (sRef < 0) Some((sRef + 1).toDouble / math.sqrt(varRef))
+        else Some(0.0)
+      val slopes = idx.map { case (i, j) =>
+        ((vc(j) - vc(i)).toDouble / 100.0 /
+          ((ts(j) - ts(i)).toDouble / 86400000.0), ts(i), ts(j))
+      }.sorted
+      val senRef = if (slopes.isEmpty) None
+        else Some(slopes((slopes.length - 1) / 2)._1)
+      val (gn, gs, gvar, gz, _, gsen) = out(k)
+      assert(gn == pts.length && gs == sRef, s"$k: n/S")
+      assert(gvar == varRef, s"$k: var")
+      assert(gz == zRef, s"$k: z")
+      assert(gsen == senRef, s"$k: sen slope")
+    }
+    assert(out("cycle")._5 == "no trend",
+      "a pure diurnal cycle must not register as a seasonal trend")
+    assert(out("drift")._5 == "increasing")
+    assert(out("sparse") == ((24L, 0L, 0.0, None, "no trend", None)),
+      "one obs per season: no pairs, var 0, z null")
+    // classic MK is the constant-season special case — same rows exactly
+    val classic = AnalyticsOps.mannKendall(df, col("k"), col("ts"), col("v"))
+    val viaConst = AnalyticsOps.seasonalMannKendall(df, col("k"), col("ts"),
+      col("v"), lit(7L))
+    assert(classic.collect().toSet == viaConst.collect().toSet)
+  }
 }
