@@ -1441,6 +1441,21 @@ object Queries {
           hour(col("hb")), slopeUnitMs = 86400000L)
         .select(col("key").as("user_id"), col("n"), col("s"), col("var_s"),
           col("z"), col("trend"), col("sen_slope"))
+    }),
+
+    // --- histogram_quantile (Prometheus) served from the q43 distribution
+    // tier: p50/p90/p99 per (user, day) computed ENTIRELY from the stored
+    // bin counts — rollup-sized input, linear interpolation inside the
+    // picked bin, exact FP mirror (fixed op order over integer counts)
+    "q109_hist_quantile" -> ((s, dir) => {
+      val hist = ops.AnalyticsOps.histogram(events(s, dir),
+        col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value"), 10.0)
+      ops.AnalyticsOps.histogramQuantile(hist,
+          col("user_id"), col("day"), col("bin"), col("cnt"),
+          10.0, Seq(0.5, 0.9, 0.99))
+        .select(col("key").as("user_id"), col("bucket").as("day"),
+          col("q"), col("est"))
     })
   )
 
@@ -3050,6 +3065,39 @@ FROM walk WHERE rn >= 1"""
         |       WHEN z < -1.96 THEN 'decreasing'
         |       ELSE 'no trend' END AS trend,
         |  sen_slope
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    // histogram_quantile mirror: identical bin/cum/total integers, then the
+    // engine's exact interpolation op order — rank = q·total;
+    // est = bin·10 + (rank − (cum−cnt))/cnt · 10 — over bit-identical
+    // operands, so raw doubles hash-match with no rounding
+    "q109_hist_quantile" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT user_id, day, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY user_id, day ORDER BY bin)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY user_id, day) AS BIGINT) AS total
+        |  FROM h),
+        |f AS (
+        |  -- CAST q out of DECIMAL(2,2) (VALUES literals): 0.5 would canon
+        |  -- as '0.50' and rank would multiply in the decimal domain
+        |  SELECT c.*, CAST(qs.q AS DOUBLE) AS q,
+        |    CAST(qs.q AS DOUBLE) * CAST(total AS DOUBLE) AS rank
+        |  FROM c CROSS JOIN (VALUES (0.5), (0.9), (0.99)) qs(q)
+        |  WHERE CAST(cum AS DOUBLE)
+        |    >= CAST(qs.q AS DOUBLE) * CAST(total AS DOUBLE)),
+        |p AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, day, q ORDER BY bin) AS rn
+        |  FROM f)
+        |SELECT user_id, day, q,
+        |  CAST(bin AS DOUBLE) * 10.0 +
+        |    (rank - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) * 10.0
+        |    AS est
+        |FROM p WHERE rn = 1""".stripMargin
   )
 }

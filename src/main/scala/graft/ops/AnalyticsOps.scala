@@ -731,6 +731,55 @@ object AnalyticsOps {
         round(max(valueCol), 6).as("bin_max"))
   }
 
+  /** Prometheus-style `histogram_quantile` SERVED FROM the stored
+    * distribution rollup ([[histogram]]'s output) — the tier read that
+    * answers "p95 per (key, day)" without ever rescanning raw events.
+    * Within each (key, bucket) the bin counts are cumulated in bin order;
+    * quantile q picks the FIRST bin whose cumulative count reaches
+    * rank = q·total and interpolates linearly inside it:
+    * est = bin·W + (rank − cum_below)/cnt · W (so a rank landing exactly
+    * on a bin boundary returns the bin's UPPER edge, like Prometheus).
+    *
+    * Exact cross-engine: counts are integers, rank/interpolation is a
+    * FIXED double op order over bit-identical operands — the oracle
+    * mirrors it literally, no rounding needed.
+    *
+    * Scale shape: input is ALREADY rollup-sized (bins × groups, not
+    * events). One hash exchange on (key, bucket) shared by the cumulate
+    * window and the quantile fan-out; the explode multiplies cells by
+    * |qs| (tiny); the first-qualifying-bin pick is a per-(key, bucket, q)
+    * row_number over at most `bins` rows. No event-sized anything. */
+  def histogramQuantile(
+      hist: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      binCol: Column,
+      cntCol: Column,
+      binWidth: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0, 1), got $qs")
+    val wcum = Window.partitionBy("key", "bucket").orderBy("bin")
+    val cum = hist
+      .select(keyCol.as("key"), bucketCol.as("bucket"),
+        binCol.cast("long").as("bin"), cntCol.cast("long").as("cnt"))
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("total",
+        sum("cnt").over(Window.partitionBy("key", "bucket")))
+    val pick = Window.partitionBy("key", "bucket", "q").orderBy("bin")
+    cum
+      .select(col("*"), explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("rank", col("q") * col("total").cast("double"))
+      .filter(col("cum").cast("double") >= col("rank"))
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("bucket"), col("q"),
+        (col("bin").cast("double") * lit(binWidth) +
+          (col("rank") - (col("cum") - col("cnt")).cast("double"))
+            / col("cnt").cast("double") * lit(binWidth)).as("est"))
+  }
+
   /** Semi-structured property extraction + rollup: pull a numeric field out
     * of a JSON `props` column and aggregate it per event type — the
     * "parse the instrumentation payload" step that sits in front of every

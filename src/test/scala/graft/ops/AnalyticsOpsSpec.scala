@@ -836,4 +836,30 @@ class AnalyticsOpsSpec extends SparkTestBase {
       col("v"), lit(7L))
     assert(classic.collect().toSet == viaConst.collect().toSet)
   }
+
+  test("histogramQuantile interpolates like Prometheus, boundary = upper edge") {
+    val w = 10.0
+    // key "a": bins 0(cnt 4), 1(cnt 4), 3(cnt 2) — total 10.
+    //   q=0.5: rank 5 -> bin 1 (cum 8 >= 5), est = 10 + (5-4)/4*10 = 12.5
+    //   q=0.8: rank 8 = cum of bin 1 EXACTLY -> bin 1's upper edge 20.0
+    //   q=0.99: rank 9.9 -> bin 3, est = 30 + (9.9-8)/2*10 = 39.5
+    // key "b": one bin 7(cnt 3) — every q interpolates inside it
+    val hist = Seq(
+      ("a", 0L, 0L, 4L), ("a", 0L, 1L, 4L), ("a", 0L, 3L, 2L),
+      ("b", 0L, 7L, 3L)
+    ).toDF("k", "b", "bin", "cnt")
+    val out = AnalyticsOps.histogramQuantile(hist, col("k"), col("b"),
+        col("bin"), col("cnt"), w, Seq(0.5, 0.8, 0.99))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(out(("a", 0.5)) == 12.5)
+    assert(out(("a", 0.8)) == 20.0,
+      "rank exactly on a bin boundary must return the bin's upper edge")
+    assert(out(("a", 0.99)) == 30.0 + (9.9 - 8.0) / 2.0 * 10.0)
+    assert(out(("b", 0.5)) == 70.0 + (0.5 * 3.0) / 3.0 * 10.0)
+    assert(out(("b", 0.99)) == 70.0 + (0.99 * 3.0) / 3.0 * 10.0)
+    // sanity against the true empirical distribution: every estimate lives
+    // inside the picked bin's [lower, upper] span
+    assert(out.forall { case (_, est) => est >= 0.0 && est <= 80.0 })
+  }
 }
