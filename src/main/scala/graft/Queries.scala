@@ -1456,7 +1456,21 @@ object Queries {
           10.0, Seq(0.5, 0.9, 0.99))
         .select(col("key").as("user_id"), col("bucket").as("day"),
           col("q"), col("est"))
-    })
+    }),
+
+    // --- change-only (LOCF) compression of a level gauge (floor(value/25)
+    // steps): each run of consecutive identical readings per user keeps
+    // only its first row + run_len — the write-path dedup of a tiered
+    // gauge store, lossless under locf replay. Exact: integer levels,
+    // integer run lengths.
+    "q110_change_compress" -> ((s, dir) =>
+      ops.AnalyticsOps.changeCompress(
+          events(s, dir).withColumn("level", floor(col("value") / 25.0)),
+          col("user_id"), col("ts"), col("event_id"), col("level"))
+        .select(col("key").as("user_id"),
+          timestamp_millis(col("ts")).cast("timestamp_ntz").as("ts"),
+          col("tie").as("event_id"), col("value").cast("long").as("level"),
+          col("run_len")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3098,6 +3112,27 @@ FROM walk WHERE rn >= 1"""
         |  CAST(bin AS DOUBLE) * 10.0 +
         |    (rank - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) * 10.0
         |    AS est
-        |FROM p WHERE rn = 1""".stripMargin
+        |FROM p WHERE rn = 1""".stripMargin,
+
+    // change compression mirror: identical gaps-and-islands construction
+    // (change flag -> running-sum run id -> per-run first row + count);
+    // all integers, so no FP canon risk anywhere
+    "q110_change_compress" ->
+      """WITH s0 AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, event_id,
+        |    CAST(floor(value / 25.0) AS BIGINT) AS level
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(level) OVER w IS NULL
+        |      OR level <> lag(level) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM s0 WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |r AS (
+        |  SELECT *, CAST(sum(chg) OVER (
+        |      PARTITION BY user_id ORDER BY tms, event_id) AS BIGINT) AS run
+        |  FROM f)
+        |SELECT user_id, make_timestamp(min(tms) * 1000) AS ts,
+        |  first(event_id ORDER BY tms, event_id) AS event_id,
+        |  min(level) AS level, count(*) AS run_len
+        |FROM r GROUP BY user_id, run""".stripMargin
   )
 }

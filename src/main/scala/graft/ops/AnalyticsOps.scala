@@ -780,6 +780,45 @@ object AnalyticsOps {
             / col("cnt").cast("double") * lit(binWidth)).as("est"))
   }
 
+  /** Change-only (LOCF) compression: collapse each run of consecutive
+    * identical values per key — in (ts, tie) order — to its FIRST row,
+    * carrying `run_len` (how many raw rows the kept row stands for). The
+    * write-path dedup a tiered gauge store applies before persisting:
+    * LOSSLESS under last-observation-carried-forward semantics, because
+    * gap-fill locf over the kept rows reproduces every raw reading.
+    *
+    * Scale shape: ONE hash exchange on the key feeds a single window pass
+    * (the change flag via lag and the run id via a running sum share the
+    * same frame), then the run aggregate groups by (key, run) — clustering
+    * by a superset of the exchange keys, so no second shuffle. The run's
+    * first (ts, tie) comes from [[graft.functions.OrderedAggregates]]'
+    * flat-buffer first-by-order aggregate (a `min_by` struct buffer would
+    * degrade the aggregate to SortAggregate). O(1) state per row
+    * everywhere; never a group buffer. */
+  def changeCompress(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column): DataFrame = {
+    import graft.functions.OrderedAggregates.firstByOrd
+    val w = Window.partitionBy("key").orderBy("ts", "tie")
+    events
+      .select(keyCol.as("key"),
+        unix_millis(tsCol.cast("timestamp")).as("ts"),
+        tieCol.cast("long").as("tie"), valueCol.cast("double").as("value"))
+      .withColumn("__chg",
+        when(coalesce(col("value") =!= lag("value", 1).over(w), lit(true)), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum("__chg").over(w))
+      .groupBy("key", "__run")
+      .agg(min("ts").as("ts"),
+        firstByOrd(col("tie"), col("ts"), col("tie")).as("tie"),
+        min("value").as("value"),
+        count(lit(1)).as("run_len"))
+      .drop("__run")
+  }
+
   /** Semi-structured property extraction + rollup: pull a numeric field out
     * of a JSON `props` column and aggregate it per event type — the
     * "parse the instrumentation payload" step that sits in front of every

@@ -51,6 +51,17 @@ final case class EwmaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
 final case class DeltaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     prevTs: Long, prevVal: Double, primed: Boolean)
 
+/** One CLOSED run from [[StreamStage.changeStream]]: the run's first row
+  * (ts, tie, value) plus how many raw readings it absorbed. */
+final case class ChangeOut(url: String, ts: Long, tie: Long, value: Double,
+    run_len: Long)
+
+/** Per-url state for [[StreamStage.changeStream]]: the above-watermark
+  * buffer plus the OPEN run (first row + length so far) — O(1) beyond the
+  * lateness buffer. */
+final case class ChangeBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
+    runTs: Long, runTie: Long, runVal: Double, runLen: Long, primed: Boolean)
+
 /** One flagged point from [[StreamStage.madStream]] (bucket = epoch ms). */
 final case class MadOut(url: String, bucket: Long, tie: Long, value: Double,
     median: Double, mad: Double, is_outlier: Boolean)
@@ -492,6 +503,44 @@ object StreamStage {
           row
         }.toVector
         (out, st.copy(prevTs = prevTs, prevVal = prevVal, primed = primed))
+      })
+  }
+
+  /** STREAMING change-only (LOCF) compression — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.changeCompress]], on the same
+    * watermark-buffered in-order replay as [[ewmaStream]]. A run EMITS
+    * when it closes — i.e. when a differing value drains after it — so
+    * the emitted set equals the batch output minus each key's final
+    * still-open run (the same "closed only" discipline as the bucket
+    * twins). Values compare exactly (the batch op's semantics), state per
+    * url is the O(lateness) buffer plus one open-run record, and a url
+    * whose stream pauses simply holds its open run until the next change
+    * — nothing is ever re-emitted or revised. */
+  def changeStream(
+      points: Dataset[TiedPoint],
+      lateness: String = "10 minutes"): Dataset[ChangeOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    bufferedReplay[ChangeBuf, ChangeOut](points, lateness,
+        ChangeBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0L, 0L, 0.0, 0L, false))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.primed,
+      (url, st, ready) => {
+        var (rTs, rTie, rVal, rLen, primed) =
+          (st.runTs, st.runTie, st.runVal, st.runLen, st.primed)
+        val out = Vector.newBuilder[ChangeOut]
+        ready.foreach { case (t, q, v) =>
+          if (!primed) { rTs = t; rTie = q; rVal = v; rLen = 1L; primed = true }
+          else if (v == rVal) rLen += 1L
+          else {
+            out += ChangeOut(url, rTs, rTie, rVal, rLen)
+            rTs = t; rTie = q; rVal = v; rLen = 1L
+          }
+        }
+        (out.result(), st.copy(runTs = rTs, runTie = rTie, runVal = rVal,
+          runLen = rLen, primed = primed))
       })
   }
 

@@ -862,4 +862,37 @@ class AnalyticsOpsSpec extends SparkTestBase {
     // inside the picked bin's [lower, upper] span
     assert(out.forall { case (_, est) => est >= 0.0 && est <= 80.0 })
   }
+
+  test("changeCompress keeps first-of-run rows and is locf-lossless") {
+    // u1: 5,5,7,7,7,5 — three runs (value returning to 5 starts a NEW run);
+    // dup-ts rows (ts=2000) order by tie, so the run break lands on tie=4
+    val raw = Seq(
+      ("u1", 0L, 1L, 5.0), ("u1", 1000L, 2L, 5.0),
+      ("u1", 2000L, 3L, 7.0), ("u1", 2000L, 4L, 7.0), ("u1", 3000L, 5L, 7.0),
+      ("u1", 4000L, 6L, 5.0),
+      ("u2", 0L, 7L, 1.0)
+    )
+    val df = raw.map { case (u, ms, id, v) =>
+      (u, new java.sql.Timestamp(ms), id, v)
+    }.toDF("u", "ts", "id", "v")
+    val out = AnalyticsOps.changeCompress(df, col("u"), col("ts"),
+        col("id"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(out == Set(
+      ("u1", 0L, 1L, 5.0, 2L),
+      ("u1", 2000L, 3L, 7.0, 3L),
+      ("u1", 4000L, 6L, 5.0, 1L),
+      ("u2", 0L, 7L, 1.0, 1L)))
+    // locf losslessness: replaying each raw row against the latest kept
+    // row at-or-before it reproduces the raw value exactly
+    val kept = out.toSeq.sortBy { case (u, t, q, _, _) => (u, t, q) }
+    for ((u, ms, id, v) <- raw) {
+      val locf = kept.filter { case (ku, kt, kq, _, _) =>
+        ku == u && (kt < ms || (kt == ms && kq <= id))
+      }.last._4
+      assert(locf == v, s"locf replay diverged at ($u, $ms, $id)")
+    }
+  }
 }

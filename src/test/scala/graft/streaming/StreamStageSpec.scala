@@ -264,6 +264,77 @@ class StreamStageSpec extends SparkTestBase {
         s"$key: stream ${streamed(key)} vs sequential $want")
   }
 
+  test("streaming change compression emits batch's closed runs under late arrivals") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(41)
+    // step levels with runs of 1-6 rows, including value-returns (5→7→5
+    // starts a NEW run) and one dup-ts pair that must drain in tie order
+    val all = (for (u <- Seq("a", "b")) yield {
+      var level = 5.0
+      var i = 0
+      val pts = Vector.newBuilder[TiedPoint]
+      while (i < 60) {
+        val len = 1 + rng.nextInt(6)
+        for (j <- 0 until math.min(len, 60 - i)) {
+          val ts = if (u == "a" && i + j == 31) 3600000L + 30 * 60000L
+                   else 3600000L + (i + j) * 60000L
+          pts += TiedPoint(u, ts, (i + j).toLong, level)
+        }
+        i += len
+        level = if (rng.nextBoolean()) level + 1.0 else 5.0
+      }
+      pts.result()
+    }).flatten
+    // sequential truth: runs in (ts, tie) order; the stream emits every
+    // run except each url's final (still-open) one
+    val expect = all.groupBy(_.url).flatMap { case (u, pts) =>
+      val sorted = pts.sortBy(p => (p.ts, p.tie))
+      val runs = Vector.newBuilder[(String, Long, Long, Double, Long)]
+      var (rTs, rTie, rVal, rLen) = (sorted.head.ts, sorted.head.tie,
+        sorted.head.value, 1L)
+      for (p <- sorted.tail) {
+        if (p.value == rVal) rLen += 1L
+        else {
+          runs += ((u, rTs, rTie, rVal, rLen))
+          rTs = p.ts; rTie = p.tie; rVal = p.value; rLen = 1L
+        }
+      }
+      runs.result() // the open tail run is intentionally NOT appended
+    }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.changeStream(mem.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("change_stream")
+      .outputMode("append").start()
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 60000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(10)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("change_stream").as[ChangeOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.ts, e.tie, e.value, e.run_len)).toSet
+    assert(streamed == expect,
+      s"stream != batch closed runs: extra=${streamed -- expect}, missing=${expect -- streamed}")
+    // and the batch op agrees on the SAME input: every streamed run is a
+    // batch row, and the only batch rows not streamed are the open tails
+    val batch = graft.ops.AnalyticsOps.changeCompress(
+        all.toDF(), col("url"), timestamp_millis(col("ts")), col("tie"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(streamed.subsetOf(batch))
+    assert((batch -- streamed).size == 2, "one open tail run per url")
+  }
+
   test("streaming hysteresis emits exactly the batch episodes that close") {
     import org.apache.spark.sql.functions._
     // a: fire, dead-band hold, clear, dead-band-from-below hold, fire, clear
