@@ -1470,7 +1470,16 @@ object Queries {
         .select(col("key").as("user_id"),
           timestamp_millis(col("ts")).cast("timestamp_ntz").as("ts"),
           col("tie").as("event_id"), col("value").cast("long").as("level"),
-          col("run_len")))
+          col("run_len"))),
+
+    // --- forecast-accuracy rollup (MAE / bias / MASE, Hyndman-Koehler):
+    // seasonal-naive hourly forecast scored per user — decimal-exact error
+    // sums, three fixed-order double divisions at the end
+    "q111_forecast_accuracy" -> ((s, dir) =>
+      ops.AnalyticsOps.forecastAccuracy(events(s, dir),
+          col("user_id"), col("ts"), col("value"))
+        .select(col("key").as("user_id"), col("n_fc"), col("mae"),
+          col("bias"), col("mase")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3133,6 +3142,35 @@ FROM walk WHERE rn >= 1"""
         |SELECT user_id, make_timestamp(min(tms) * 1000) AS ts,
         |  first(event_id ORDER BY tms, event_id) AS event_id,
         |  min(level) AS level, count(*) AS run_len
-        |FROM r GROUP BY user_id, run""".stripMargin
+        |FROM r GROUP BY user_id, run""".stripMargin,
+
+    // forecast-accuracy mirror: identical decimal bucket totals, the same
+    // 1-row range-frame seasonal/one-step lookups, decimal error sums, and
+    // the engine's exact final division order — raw doubles hash-match
+    "q111_forecast_accuracy" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS bucket,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS vs
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id, vs,
+        |    vs - max(vs) OVER (PARTITION BY user_id ORDER BY bucket
+        |      RANGE BETWEEN 86400000 PRECEDING AND 86400000 PRECEDING) AS e,
+        |    vs - max(vs) OVER (PARTITION BY user_id ORDER BY bucket
+        |      RANGE BETWEEN 3600000 PRECEDING AND 3600000 PRECEDING) AS d
+        |  FROM h),
+        |a AS (
+        |  SELECT user_id, CAST(count(e) AS BIGINT) AS n_fc,
+        |    sum(abs(e)) AS sae, sum(e) AS se,
+        |    CAST(count(d) AS BIGINT) AS nd, sum(abs(d)) AS sad
+        |  FROM s GROUP BY 1)
+        |SELECT user_id, n_fc,
+        |  CAST(sae AS DOUBLE) / CAST(n_fc AS DOUBLE) AS mae,
+        |  CAST(se AS DOUBLE) / CAST(n_fc AS DOUBLE) AS bias,
+        |  CASE WHEN sad > 0 THEN
+        |    (CAST(sae AS DOUBLE) / CAST(n_fc AS DOUBLE))
+        |      / (CAST(sad AS DOUBLE) / CAST(nd AS DOUBLE)) END AS mase
+        |FROM a WHERE n_fc > 0""".stripMargin
   )
 }

@@ -1130,6 +1130,61 @@ object AnalyticsOps {
       .drop("__vs")
   }
 
+  /** Forecast-accuracy rollup for the SEASONAL-NAIVE forecast (the q84
+    * baseline family): per key, score f_t = y_{t−season} against the
+    * actual bucket totals with MAE, bias (mean signed error) and MASE —
+    * mean absolute error scaled by the one-step naive's in-sample MAE
+    * (Hyndman & Koehler 2006), so accuracy is comparable across keys with
+    * wildly different magnitudes. Buckets whose seasonal predecessor is
+    * MISSING are excluded from the numerator (not imputed); a constant
+    * series (naive MAE 0) gets NULL MASE.
+    *
+    * Exact cross-engine: bucket totals are decimal cents, the seasonal
+    * and one-step lookups are 1-row range frames (exact bucket-epoch
+    * offsets, NOT row lags — gaps would desynchronize a row lag), every
+    * error sum stays decimal, and only the final three divisions are
+    * doubles in a fixed op order the oracle mirrors.
+    *
+    * Scale shape: one event-sized hash aggregate down to (key, bucket),
+    * then two single-row range-frame window lookups sharing one key
+    * exchange + sort, then a bucket-count-sized hash aggregate. O(1)
+    * window state per row. */
+  def forecastAccuracy(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      seasonMs: Long = 86400000L,
+      stepMs: Long = 3600000L): DataFrame = {
+    require(stepMs > 0 && seasonMs > stepMs && seasonMs % stepMs == 0,
+      s"need season a positive multiple of step, got $seasonMs/$stepMs")
+    val hourly = events
+      .groupBy(keyCol.as("key"),
+        (floor(unix_millis(tsCol.cast("timestamp")) / lit(stepMs))
+          * lit(stepMs)).cast("long").as("bucket"))
+      .agg(sum(valueCol.cast("decimal(12,2)")).as("__vs"))
+    def at(offset: Long) = max("__vs").over(
+      Window.partitionBy("key").orderBy("bucket")
+        .rangeBetween(-offset, -offset))
+    hourly
+      .withColumn("__e", col("__vs") - at(seasonMs))
+      .withColumn("__d", col("__vs") - at(stepMs))
+      .groupBy("key")
+      .agg(count(col("__e")).as("n_fc"),
+        sum(abs(col("__e"))).as("__sae"),
+        sum(col("__e")).as("__se"),
+        count(col("__d")).as("__nd"),
+        sum(abs(col("__d"))).as("__sad"))
+      .filter(col("n_fc") > 0)
+      .select(col("key"), col("n_fc"),
+        (col("__sae").cast("double") / col("n_fc").cast("double")).as("mae"),
+        (col("__se").cast("double") / col("n_fc").cast("double")).as("bias"),
+        when(col("__sad") > 0,
+          (col("__sae").cast("double") / col("n_fc").cast("double"))
+            / (col("__sad").cast("double") / col("__nd").cast("double")))
+          .as("mase"))
+  }
+
   /** Global top-k day-over-day movers: per key, |Δ| between each day's
     * decimal total and the key's previous ACTIVE day's total, ranked
     * globally, deterministic tie-break by (key, day).

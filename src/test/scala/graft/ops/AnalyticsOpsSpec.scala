@@ -895,4 +895,48 @@ class AnalyticsOpsSpec extends SparkTestBase {
       assert(locf == v, s"locf replay diverged at ($u, $ms, $id)")
     }
   }
+
+  test("forecastAccuracy scores seasonal-naive with gaps and a constant key") {
+    val hourMs = 3600000L
+    val rng = new scala.util.Random(53)
+    // "gappy": 3 days of hourly points with hours 5 and 29 MISSING — hour
+    // 29's absence must drop bucket 53 from the numerator (no seasonal
+    // predecessor) and leave holes in the one-step denominator too;
+    // "flat": constant value -> naive MAE 0 -> NULL mase
+    val gappyHours = (0 until 72).filter(h => h != 5 && h != 29)
+    val gappy = gappyHours.map(h => (h, rng.nextInt(10000) / 100.0))
+    val flat = (0 until 48).map(h => (h, 7.25))
+    val df = (gappy.map { case (h, v) => ("gappy", h, v) } ++
+        flat.map { case (h, v) => ("flat", h, v) })
+      .map { case (u, h, v) => (u, new java.sql.Timestamp(h * hourMs), v) }
+      .toDF("u", "ts", "v")
+    val out = AnalyticsOps.forecastAccuracy(df, col("u"), col("ts"), col("v"))
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      }.toMap
+
+    // sequential truth over exact cents
+    def cents(v: Double) = math.round(v * 100)
+    val series = gappy.map { case (h, v) => h.toLong -> cents(v) }.toMap
+    val es = gappyHours.flatMap(h =>
+      series.get(h.toLong - 24).map(f => series(h.toLong) - f))
+    val ds = gappyHours.flatMap(h =>
+      series.get(h.toLong - 1).map(p => series(h.toLong) - p))
+    val nFc = es.size.toLong
+    val saeD = es.map(math.abs(_)).sum.toDouble / 100.0
+    val seD = es.sum.toDouble / 100.0
+    val sadD = ds.map(math.abs(_)).sum.toDouble / 100.0
+    val (gn, gmae, gbias, gmase) = out("gappy")
+    assert(gn == nFc)
+    // the engine divides double(sum)/double(n): reproduce exactly
+    assert(gmae == saeD / nFc.toDouble)
+    assert(gbias == seD / nFc.toDouble)
+    assert(gmase.get ==
+      (saeD / nFc.toDouble) / (sadD / ds.size.toDouble))
+    // constant key: perfect forecast, undefined scale
+    val (fn, fmae, fbias, fmase) = out("flat")
+    assert(fn == 24L && fmae == 0.0 && fbias == 0.0 && fmase.isEmpty,
+      "constant series: zero errors, NULL mase (naive MAE is 0)")
+  }
 }
