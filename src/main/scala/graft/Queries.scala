@@ -1479,7 +1479,36 @@ object Queries {
       ops.AnalyticsOps.forecastAccuracy(events(s, dir),
           col("user_id"), col("ts"), col("value"))
         .select(col("key").as("user_id"), col("n_fc"), col("mae"),
-          col("bias"), col("mase")))
+          col("bias"), col("mase"))),
+
+    // --- per-series staleness / heartbeat report (oracle-backed, exact
+    // integers; one double division): Prometheus `absent_over_time` as a
+    // batch rollup. Anchor = corpus max(ts) from a column-pruned scan,
+    // broadcast 1-row — the q37 pruned-anchor discipline.
+    "q112_staleness" -> ((s, dir) => {
+      val anchor = events(s, dir)
+        .agg(max(unix_millis(col("ts").cast("timestamp"))).as("anchor_ms"))
+      ops.AnalyticsOps.staleness(events(s, dir), col("user_id"), col("ts"),
+          anchor, thresholdMs = 6L * 3600000L)
+        .select(col("key").as("user_id"), col("n"), col("last_ts_ms"),
+          col("age_ms"), col("stale"), col("mean_interval_ms"))
+    }),
+
+    // --- series-lifecycle churn (oracle-backed, exact): per day, active /
+    // born / retired series counts — the TSDB cardinality-management
+    // rollup. Retirement is right-censored at the corpus edge.
+    "q113_series_churn" -> ((s, dir) =>
+      ops.AnalyticsOps.seriesChurn(events(s, dir), col("user_id"), col("ts"))
+        .select(col("day"), col("active"), col("born"), col("retired"))),
+
+    // --- Apdex rollup (oracle-backed; integer counts + one fixed-order
+    // double): satisfied ≤ 50, tolerating ≤ 200, per (user, day)
+    "q114_apdex" -> ((s, dir) =>
+      ops.AnalyticsOps.apdex(events(s, dir),
+          col("user_id"), date_trunc("day", col("ts")), col("value"), t = 50.0)
+        .select(col("key").as("user_id"), col("bucket").as("day"),
+          col("satisfied"), col("tolerating"), col("frustrated"),
+          col("total"), col("apdex")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3171,6 +3200,54 @@ FROM walk WHERE rn >= 1"""
         |  CASE WHEN sad > 0 THEN
         |    (CAST(sae AS DOUBLE) / CAST(n_fc AS DOUBLE))
         |      / (CAST(sad AS DOUBLE) / CAST(nd AS DOUBLE)) END AS mase
-        |FROM a WHERE n_fc > 0""".stripMargin
+        |FROM a WHERE n_fc > 0""".stripMargin,
+
+    // staleness mirror: integer timestamps/ages/flags; the single double
+    // division (last-first)/(n-1) in the engine's exact op order
+    "q112_staleness" ->
+      """WITH k AS (
+        |  SELECT user_id, count(*) AS n,
+        |    min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(epoch_ms(ts)) AS anchor_ms FROM events)
+        |SELECT user_id, n, last_ms AS last_ts_ms,
+        |  anchor_ms - last_ms AS age_ms,
+        |  (anchor_ms - last_ms) > 21600000 AS stale,
+        |  CASE WHEN n > 1 THEN CAST(last_ms - first_ms AS DOUBLE)
+        |    / CAST(n - 1 AS DOUBLE) END AS mean_interval_ms
+        |FROM k CROSS JOIN a""".stripMargin,
+
+    // series-churn mirror: identical distinct -> lifetime -> per-day-count
+    // construction, all integers
+    "q113_series_churn" ->
+      """WITH kd AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |life AS (
+        |  SELECT user_id, min(day) AS born_day, max(day) AS last_day
+        |  FROM kd GROUP BY 1)
+        |SELECT kd.day, count(*) AS active,
+        |  CAST(sum(CASE WHEN kd.day = life.born_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS born,
+        |  CAST(sum(CASE WHEN kd.day = life.last_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS retired
+        |FROM kd JOIN life USING (user_id) GROUP BY kd.day""".stripMargin,
+
+    // apdex mirror: exact integer counts; the score reproduces the
+    // engine's (sat + 0.5*tol)/total op order verbatim
+    "q114_apdex" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS satisfied,
+        |    CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+        |    CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS frustrated,
+        |    count(*) AS total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, satisfied, tolerating, frustrated, total,
+        |  (CAST(satisfied AS DOUBLE) + CAST(tolerating AS DOUBLE) * 0.5)
+        |    / CAST(total AS DOUBLE) AS apdex
+        |FROM c""".stripMargin
   )
 }

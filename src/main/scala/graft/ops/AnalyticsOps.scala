@@ -1468,4 +1468,93 @@ object AnalyticsOps {
       .select(col("key"), col("n"), col("s"), col("var_s"), col("z"),
         col("trend"), col("sen_slope"))
   }
+
+  /** Per-series staleness / heartbeat report — the batch form of
+    * Prometheus `absent_over_time` and TimescaleDB's `heartbeat_agg`: for
+    * every key, when did it last report, how far behind the corpus
+    * watermark is it, and is it STALE (age > `thresholdMs`)? The anchor
+    * (corpus watermark) arrives as an explicit 1-row DataFrame with an
+    * `anchor_ms` long column, broadcast like
+    * [[RetentionOps.applyRetention]]'s pruned anchor — derive it from a
+    * column-pruned scan of the base table, NOT from this op's own output.
+    *
+    * Exactness: counts, timestamps, age and the stale flag are all
+    * integer; `mean_interval_ms` = (last−first)/(n−1) is the one double,
+    * a single fixed-order division (NULL for n = 1). Scale shape: one
+    * hash agg keyed on the series key (map-side partials, key-count-sized
+    * result) + a broadcast 1-row cross join — no window, no sort. */
+  def staleness(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      anchor: DataFrame,
+      thresholdMs: Long): DataFrame = {
+    require(thresholdMs > 0, s"thresholdMs must be positive, got $thresholdMs")
+    events
+      .select(keyCol.as("key"), unix_millis(tsCol.cast("timestamp")).as("__ts"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), min("__ts").as("__first"),
+        max("__ts").as("__last"))
+      .crossJoin(broadcast(anchor))
+      .select(col("key"), col("n"),
+        col("__last").as("last_ts_ms"),
+        (col("anchor_ms") - col("__last")).as("age_ms"),
+        (col("anchor_ms") - col("__last") > thresholdMs).as("stale"),
+        when(col("n") > 1, (col("__last") - col("__first")).cast("double")
+          / (col("n") - 1).cast("double")).as("mean_interval_ms"))
+  }
+
+  /** Series-lifecycle churn — the cardinality-management rollup every TSDB
+    * operator watches: per day, how many series were ACTIVE, how many were
+    * BORN (first-ever observation that day) and how many RETIRED (last-ever
+    * observation that day — right-censored at the corpus edge, so the final
+    * day retires everything still alive; documented, not hidden).
+    *
+    * Exactness: all integers. Scale shape: one (key, day) distinct hash
+    * agg over the events (map-side partials), a key-keyed min/max agg of
+    * that rollup-sized table, an equi-join back on the key, and a final
+    * day-keyed count agg — every post-scan stage is bounded by the series
+    * count, never the event count. */
+  def seriesChurn(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column): DataFrame = {
+    val kd = events
+      .select(keyCol.as("key"), date_trunc("day", tsCol).as("day"))
+      .distinct()
+    val life = kd.groupBy("key")
+      .agg(min("day").as("__born"), max("day").as("__last"))
+    kd.join(life, Seq("key"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("day") === col("__born"), 1L).otherwise(0L)).as("born"),
+        sum(when(col("day") === col("__last"), 1L).otherwise(0L)).as("retired"))
+  }
+
+  /** Apdex score rollup (the SRE latency-satisfaction standard): per
+    * (key, bucket), counts of satisfied (≤ t), tolerating (≤ 4t) and
+    * frustrated (> 4t) samples, and apdex = (satisfied + tolerating/2) /
+    * total. Counts are exact integers; the score is one fixed-order double
+    * expression — (sat + 0.5·tol) / total — an oracle mirrors verbatim.
+    * Scale shape: a single hash agg with map-side partials; no window,
+    * no join, no sort. */
+  def apdex(
+      events: DataFrame,
+      keyCol: Column,
+      bucketCol: Column,
+      valueCol: Column,
+      t: Double): DataFrame = {
+    require(t > 0, s"apdex threshold t must be positive, got $t")
+    events
+      .select(keyCol.as("key"), bucketCol.as("bucket"), valueCol.as("__v"))
+      .groupBy("key", "bucket")
+      .agg(sum(when(col("__v") <= t, 1L).otherwise(0L)).as("satisfied"),
+        sum(when(col("__v") > t && col("__v") <= 4 * t, 1L).otherwise(0L))
+          .as("tolerating"),
+        sum(when(col("__v") > 4 * t, 1L).otherwise(0L)).as("frustrated"),
+        count(lit(1)).as("total"))
+      .withColumn("apdex",
+        (col("satisfied").cast("double") + col("tolerating").cast("double") * 0.5)
+          / col("total").cast("double"))
+  }
 }

@@ -939,4 +939,56 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(fn == 24L && fmae == 0.0 && fbias == 0.0 && fmase.isEmpty,
       "constant series: zero errors, NULL mase (naive MAE is 0)")
   }
+
+  test("staleness flags strictly-older-than-threshold keys, NULL interval at n=1") {
+    val hourMs = 3600000L
+    val ev = Seq(
+      ("live", 0L), ("live", 10 * hourMs),            // age 0: fresh
+      ("edge", 0L), ("edge", 4 * hourMs),             // age == threshold: NOT stale
+      ("dead", 0L), ("dead", 2 * hourMs),             // age 8h > 6h: stale
+      ("once", 3 * hourMs)                            // n=1: NULL interval
+    ).map { case (u, ms) => (u, new java.sql.Timestamp(ms)) }.toDF("u", "ts")
+    val anchor = ev.agg(max(unix_millis(col("ts").cast("timestamp"))).as("anchor_ms"))
+    val out = AnalyticsOps.staleness(ev, col("u"), col("ts"), anchor, 6 * hourMs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("live") == ((2L, 0L, false, Some(10.0 * hourMs))))
+    assert(out("edge") == ((2L, 6L * hourMs, false, Some(4.0 * hourMs))),
+      "age == threshold is not yet stale (strict >)")
+    assert(out("dead") == ((2L, 8L * hourMs, true, Some(2.0 * hourMs))))
+    assert(out("once") == ((1L, 7L * hourMs, true, None)),
+      "single-observation key: stale by age, NULL mean interval")
+  }
+
+  test("seriesChurn counts born/active/retired per day, censored at the edge") {
+    val dayMs = 86400000L
+    val ev = Seq(
+      ("a", 0L), ("a", dayMs), ("a", 2 * dayMs),      // alive all 3 days
+      ("b", dayMs),                                   // born+retired day 2
+      ("c", dayMs), ("c", 2 * dayMs),                 // born day 2, to the edge
+      ("a", dayMs + 1000L)                            // dup (key, day): no double count
+    ).map { case (u, ms) => (u, new java.sql.Timestamp(ms)) }.toDF("u", "ts")
+    val out = AnalyticsOps.seriesChurn(ev, col("u"), col("ts"))
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((1L, 1L, 0L)))
+    assert(out(dayMs) == ((3L, 2L, 1L)), "day 2: a+b+c active, b+c born, b retired")
+    assert(out(2 * dayMs) == ((2L, 0L, 2L)),
+      "corpus edge retires everything still alive (right-censored)")
+  }
+
+  test("apdex buckets on the t/4t boundaries inclusively and scores exactly") {
+    val ev = Seq(
+      ("k", 50.0), ("k", 0.0),      // satisfied (<= t, inclusive)
+      ("k", 50.001), ("k", 200.0),  // tolerating (t < v <= 4t, inclusive)
+      ("k", 200.001), ("k", 999.0)  // frustrated
+    ).map { case (u, v) => (u, 1L, v) }.toDF("u", "b", "v")
+    val r = AnalyticsOps.apdex(ev, col("u"), col("b"), col("v"), 50.0)
+      .select("satisfied", "tolerating", "frustrated", "total", "apdex")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 6L)))
+    assert(r.getDouble(4) == (2.0 + 2.0 * 0.5) / 6.0)
+  }
 }
