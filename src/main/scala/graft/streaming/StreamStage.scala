@@ -21,6 +21,17 @@ final case class SessionOut(url: String, session_start: Long, session_end: Long,
 /** Open-session state for [[StreamStage.sessionizeStream]] (product-encoded). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
+/** One staleness transition from [[StreamStage.staleStream]]: kind "stale"
+  * fires at event-time `at` = last_ts + threshold when the watermark passes
+  * it with nothing newer for the url; kind "recovered" fires at the first
+  * newer point's ts. */
+final case class StaleEvent(url: String, kind: String, last_ts: Long, at: Long)
+
+/** Per-url state for [[StreamStage.staleStream]]: newest event ts seen and
+  * whether an unrecovered stale alert is outstanding — two fields, O(urls)
+  * total, independent of stream length. */
+final case class StaleState(lastTs: Long, staleEmitted: Boolean)
+
 /** Input row for the order-sensitive streaming twins ([[StreamStage.ewmaStream]],
   * [[StreamStage.deltaRateStream]]): a [[graft.pipeline.SeriesPoint]] plus the
   * explicit tie-break sequence the batch contracts
@@ -381,6 +392,74 @@ object StreamStage {
                 state.getCurrentWatermarkMs() + 1L))
             }
             closed.result().iterator
+          }
+        })
+  }
+
+  /** STREAMING staleness / absent-series alerting — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.staleness]], with ALERT semantics (Prometheus
+    * `absent()`): a url goes STALE when the event-time watermark passes its
+    * newest point + `thresholdMs` with nothing newer — evaluated at the
+    * frontier, so a historical gap that is back-filled before the watermark
+    * reaches it never alerts (exactly like a Prometheus rule that only sees
+    * the current scrape state). The first newer point after a stale alert
+    * emits a RECOVERED transition. The batch op's `stale` column is this
+    * stream's unresolved-alert set when the anchor equals the watermark
+    * (spec-pinned boundary included: batch flags age > threshold; the
+    * stream fires once the watermark is strictly past last_ts + threshold).
+    *
+    * State per url is two fields (no row buffer — only the max ts matters,
+    * and max is order-insensitive, so late arrivals within the watermark
+    * need no replay). A stale url keeps its state (the recovery transition
+    * needs it) but arms NO timeout — quiet dead urls cost two fields and
+    * zero per-batch work. */
+  def staleStream(
+      points: Dataset[SeriesPoint],
+      thresholdMs: Long,
+      lateness: String = "10 minutes"): Dataset[StaleEvent] = {
+    require(thresholdMs > 0, s"thresholdMs must be positive, got $thresholdMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("event_time"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[StaleState]) => {
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.staleEmitted && wm > st.lastTs + thresholdMs) {
+              state.update(st.copy(staleEmitted = true))
+              Iterator.single(
+                StaleEvent(url, "stale", st.lastTs, st.lastTs + thresholdMs))
+            } else {
+              // spurious wake (data arrived since arming): re-arm if the
+              // alert is still pending, stay quiet if already stale
+              if (!st.staleEmitted)
+                state.setTimeoutTimestamp(
+                  math.max(st.lastTs + thresholdMs + 1L, wm + 1L))
+              Iterator.empty
+            }
+          } else {
+            var newest = Long.MinValue
+            rows.foreach(r => if (r._2 > newest) newest = r._2)
+            val st = state.getOption.getOrElse(StaleState(Long.MinValue, false))
+            val out =
+              if (newest > st.lastTs && st.staleEmitted)
+                Iterator.single(StaleEvent(url, "recovered", newest, newest))
+              else Iterator.empty
+            val next =
+              if (newest > st.lastTs) StaleState(newest, false) else st
+            state.update(next)
+            if (!next.staleEmitted)
+              state.setTimeoutTimestamp(
+                math.max(next.lastTs + thresholdMs + 1L, wm + 1L))
+            out
           }
         })
   }

@@ -835,6 +835,89 @@ class StreamStageSpec extends SparkTestBase {
     }
   }
 
+  test("streaming staleness fires absent alerts at the watermark and matches batch") {
+    import org.apache.spark.sql.functions._
+    val H = 3600000L
+    val base = H // epoch-0 watermark gotcha: keep every ts >= 1h
+    // steady reports every 30 min; dead stops immediately; flappy stops,
+    // recovers at base+4H, then stops for good; edge's last point sits
+    // EXACTLY threshold before the anchor (boundary: batch not stale,
+    // stream not yet fired)
+    val steady = (0 to 12).map(k => SeriesPoint("steady", base + k * 1800000L, 0.0))
+    val dead = Seq(SeriesPoint("dead", base, 0.0))
+    val flappy = Seq(SeriesPoint("flappy", base, 0.0),
+      SeriesPoint("flappy", base + 1800000L, 0.0),
+      SeriesPoint("flappy", base + 4 * H, 0.0))
+    val edge = Seq(SeriesPoint("edge", base, 0.0), SeriesPoint("edge", base + 5 * H, 0.0))
+    val real = steady ++ dead ++ flappy ++ edge
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.staleStream(mem.toDS(), thresholdMs = H, "10 minutes")
+      .writeStream.format("memory").queryName("stale_stream")
+      .outputMode("append").start()
+    // event-time-ordered chunks split on hour boundaries: an alert fires
+    // only in a batch where its key is quiet, so the chunking (not just
+    // the order) pins the watermark path — flappy's 1H30m deadline must
+    // pass in a flappy-less batch BEFORE its base+4H return arrives
+    val bounds = Seq(base + 1800000L, base + 3 * 1800000L, base + 5 * 1800000L,
+      base + 7 * 1800000L, base + 4 * H, base + 5 * H, base + 6 * H)
+    val sorted = real.sortBy(p => (p.ts, p.url))
+    val chunks = bounds.zipWithIndex.map { case (hi, i) =>
+      val lo = if (i == 0) Long.MinValue else bounds(i - 1)
+      sorted.filter(p => p.ts > lo && p.ts <= hi)
+    }.filter(_.nonEmpty)
+    assert(chunks.map(_.size).sum == real.size, "chunking must cover every point")
+    for (chunk <- chunks) {
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    // park the watermark EXACTLY at the last real point (lateness = 10 min)
+    val anchorTs = real.map(_.ts).max
+    mem.addData(Seq(SeriesPoint("sent", anchorTs + 600000L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sent", anchorTs + 600001L, 0.0)))
+    q.processAllAvailable()
+
+    def events() = spark.table("stale_stream").as[StaleEvent]
+      .filter(col("url") =!= "sent").collect().toSeq
+    // with the watermark == batch anchor, the stream's unresolved-alert set
+    // IS the batch op's stale set — threshold-boundary key included
+    val unresolved = events().groupBy(_.url)
+      .filter { case (_, es) => es.maxBy(_.at).kind == "stale" }.keySet
+    val batchStale = graft.ops.AnalyticsOps.staleness(
+        real.toDF("url", "ts", "value")
+          .withColumn("ts", timestamp_millis(col("ts"))),
+        col("url"), col("ts"),
+        real.toDF("url", "ts", "value").agg(max(col("ts")).as("anchor_ms")),
+        thresholdMs = H)
+      .filter(col("stale")).select("key").collect().map(_.getString(0)).toSet
+    assert(unresolved == batchStale && batchStale == Set("dead", "flappy"),
+      s"unresolved stream alerts $unresolved must equal batch stale set $batchStale")
+    assert(!unresolved.contains("edge"), "age == threshold is not stale on either side")
+
+    // far-future flush: every key's trailing silence becomes a final alert
+    mem.addData(Seq(SeriesPoint("sent", anchorTs + 30L * 86400000L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sent", anchorTs + 30L * 86400000L + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val byUrl = events().groupBy(_.url).view
+      .mapValues(_.sortBy(_.at).map(e => (e.kind, e.last_ts, e.at))).toMap
+    assert(byUrl("dead") == Seq(("stale", base, base + H)))
+    assert(byUrl("flappy") == Seq(
+      ("stale", base + 1800000L, base + 1800000L + H),
+      ("recovered", base + 4 * H, base + 4 * H),
+      ("stale", base + 4 * H, base + 5 * H)),
+      "a back-filled gap alerts only while actually absent at the frontier")
+    assert(byUrl("steady") == Seq(("stale", base + 6 * H, base + 7 * H)),
+      "steady key alerts only once the stream's frontier leaves it behind")
+    assert(byUrl("edge") == Seq(
+      ("stale", base, base + H),                   // the base -> 5H gap alerts…
+      ("recovered", base + 5 * H, base + 5 * H),   // …and resolves on return
+      ("stale", base + 5 * H, base + 6 * H)))      // final flush past the edge
+  }
+
   test("streaming delta/rate equals batch under late arrivals") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(23)
