@@ -1508,7 +1508,15 @@ object Queries {
           col("user_id"), date_trunc("day", col("ts")), col("value"), t = 50.0)
         .select(col("key").as("user_id"), col("bucket").as("day"),
           col("satisfied"), col("tolerating"), col("frustrated"),
-          col("total"), col("apdex")))
+          col("total"), col("apdex"))),
+
+    // --- benchmark decontamination (oracle-backed): eval-set 8-gram
+    // overlap per train doc — docs with doc_id % 97 == 0 stand in for the
+    // held-out benchmark. Integer gram counts; one round(,6) ratio (the
+    // q69 dup_frac risk profile).
+    "q115_decontamination" -> ((s, dir) =>
+      TextOps.decontaminate(documents(s, dir),
+        pmod(col("doc_id"), lit(97)) === 0, k = 8))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3248,6 +3256,34 @@ FROM walk WHERE rn >= 1"""
         |SELECT user_id, day, satisfied, tolerating, frustrated, total,
         |  (CAST(satisfied AS DOUBLE) + CAST(tolerating AS DOUBLE) * 0.5)
         |    / CAST(total AS DOUBLE) AS apdex
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // decontamination mirror: string 8-grams where the engine joins on
+    // xxhash64 shingles (hash equality ≡ string equality at corpus scale —
+    // the q69 construction); per-doc DISTINCT grams on both sides
+    "q115_decontamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokExpr AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS g FROM pos),
+         |ev AS (
+         |  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         |ng AS (
+         |  SELECT doc_id, count(*) AS n_grams FROM grams
+         |  WHERE doc_id % 97 <> 0 GROUP BY 1),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_contaminated FROM grams
+         |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM ev) GROUP BY 1)
+         |SELECT tk.doc_id, coalesce(ng.n_grams, 0) AS n_grams,
+         |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+         |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+         |    / CAST(greatest(coalesce(ng.n_grams, 0), 1) AS DOUBLE), 6)
+         |    AS contamination,
+         |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
+         |FROM toks tk
+         |LEFT JOIN ng USING (doc_id) LEFT JOIN hits h USING (doc_id)
+         |WHERE tk.doc_id % 97 <> 0""".stripMargin
   )
 }

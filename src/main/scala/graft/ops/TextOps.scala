@@ -182,6 +182,48 @@ object TextOps {
         .as("rolling_fp"),
       array_min(transform(tokens(col("text")), t => xxhash64(t))).as("min_token_hash"))
 
+  /** Benchmark DECONTAMINATION — the eval-set n-gram overlap check every
+    * LLM training pipeline runs before a data release (the GPT-3 appendix-C
+    * / PaLM "contamination" methodology): a training document is flagged
+    * when it shares word-k-gram(s) with any document of the held-out eval
+    * set. Reports, per train doc, its distinct-gram count, how many of
+    * those grams occur anywhere in the eval set, and the contaminated
+    * fraction.
+    *
+    * Scale shape: grams are native single-pass 64-bit shingle hashes
+    * ([[graft.functions.functions.positional_shingles]], codegen'd) made
+    * distinct PER ROW (`array_distinct`) before the explode, so the
+    * event-sized stage carries longs, never strings. The eval side is
+    * benchmark-sized (thousands of docs against a 100-TB corpus), so its
+    * distinct grams BROADCAST and the membership test is a broadcast
+    * left-semi join — zero corpus-sized shuffles; the per-doc count agg
+    * shuffles only contaminated hits. Falls back to a shuffled semi-join
+    * automatically if the eval side outgrows the broadcast threshold. */
+  def decontaminate(
+      documents: DataFrame,
+      isEval: Column,
+      k: Int = 8): DataFrame = {
+    import graft.functions.functions.positional_shingles
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = documents.select(col("doc_id"), isEval.as("__eval"),
+      array_distinct(positional_shingles(col("text"), k)).as("__gs"))
+    val evalGrams = base.filter(col("__eval"))
+      .select(explode(col("__gs")).as("g")).distinct()
+    val train = base.filter(!col("__eval"))
+    val hits = train.select(col("doc_id"), explode(col("__gs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    train
+      .select(col("doc_id"), size(col("__gs")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / greatest(col("n_grams"), lit(1L)).cast("double"), 6)
+          .as("contamination"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Okapi BM25 relevance of every document against a small fixed query —
     * the retrieval primitive a curation pipeline uses to mine topical
     * subsets ("find the docs about X") out of a web corpus. Standard

@@ -46,4 +46,25 @@ class TextOpsSpec extends SparkTestBase {
     ), k = 3)
     assert(out(6L) == ((9L, 0L, 0L, 0.0)), s"got ${out(6L)}")
   }
+
+  test("decontaminate counts distinct eval-shared grams per train doc") {
+    val docs = Seq(
+      (0L, "a b c d e f"),        // EVAL doc: grams abc bcd cde def
+      (1L, "a b c d x y z"),      // train: shares abc, bcd -> 2 of 5
+      (2L, "q r s t u"),          // train: clean -> 0 of 3
+      (3L, "a b c a b c"),        // train: grams abc, bca, cab, abc(dup) ->
+                                  // DISTINCT grams 3, shared {abc} -> 1 of 3
+      (4L, "x y")                 // train: too short for any 3-gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(docs, col("doc_id") === 0L, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(!out.contains(0L), "eval docs are excluded from the report")
+    assert(out(1L) == ((5L, 2L, 0.4, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.0, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 1L, 0.333333, true)),
+      s"within-doc gram dups collapse before counting: got ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0.0, false)),
+      s"sub-k docs report zero grams, not NULL: got ${out(4L)}")
+  }
 }
