@@ -139,6 +139,19 @@ class PlanSpec extends SparkTestBase {
       "want Partial AND Final group limits (map-side prune)")
   }
 
+  test("q115 decontamination: eval grams broadcast, corpus grams never sort-merge") {
+    val p = plan("q115_decontamination")
+    // the membership test must be a broadcast LEFT-SEMI hash join on the
+    // gram hash — a SortMergeJoin here would shuffle the corpus-sized
+    // exploded gram stream at 100 TB
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval gram set must broadcast into a left-semi join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"scan must prune to doc_id+text: $read")
+  }
+
   test("q65 bm25: stats broadcast, corpus never shuffled, scan pruned to text+id") {
     val p = plan("q65_bm25")
     assert(p.contains("BroadcastNestedLoopJoin"), "1-row stats join must broadcast")
