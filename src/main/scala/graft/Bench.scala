@@ -38,10 +38,24 @@ object Bench {
     // local-cluster's third parameter is WORKER memory; executor heaps
     // still default to 1g and GC-thrash on the html-bytes scan — size them
     // explicitly for multi-executor runs
-    val builder0 = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM") match {
+    val builder02 = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM") match {
       case Some(m) => builder01.config("spark.executor.memory", m)
       case None => builder01
     }
+    // Executor JVMs launched by the local-cluster worker do NOT inherit
+    // build.sbt's javaOptions — without the pinned-heap ParallelGC flags
+    // the allocation-heavy signal scan hits the exact G1 region-churn
+    // pathology the driver flags exist to prevent (>90% kernel time,
+    // measured 13-30x scan-stage cpuSum inflation at 8 executors). Default
+    // the executor flags to the driver's; SPARK_GRAFT_EXECUTOR_OPTS
+    // overrides.
+    val builder0 =
+      if (master.startsWith("local-cluster"))
+        builder02.config("spark.executor.extraJavaOptions",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_OPTS",
+            s"-Xms${sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "2g")} " +
+              "-XX:+AlwaysPreTouch -XX:+UseParallelGC"))
+      else builder02
     // Shuffle/spill dirs: this VM's virtio disk collapses under concurrent
     // shuffle writers (measured at 48k urls/local[32]: scan-stage taskSum
     // 6322 s vs cpuSum 295 s, tasks 90% blocked on write; moving local
