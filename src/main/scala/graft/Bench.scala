@@ -53,8 +53,13 @@ object Bench {
       if (master.startsWith("local-cluster"))
         builder02.config("spark.executor.extraJavaOptions",
           sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_OPTS",
+            // -Xms pins the heap without AlwaysPreTouch: pretouching 8x6g
+            // executor heaps costs ~3 min of page-zeroing at LAUNCH (it
+            // dominated the first stage's wall), while lazy commit spreads
+            // the same cost thinly through the short scan. The long-lived
+            // driver keeps pretouch (build.sbt).
             s"-Xms${sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "2g")} " +
-              "-XX:+AlwaysPreTouch -XX:+UseParallelGC"))
+              "-XX:+UseParallelGC"))
       else builder02
     // Shuffle/spill dirs: this VM's virtio disk collapses under concurrent
     // shuffle writers (measured at 48k urls/local[32]: scan-stage taskSum
