@@ -1510,6 +1510,16 @@ object Queries {
           col("satisfied"), col("tolerating"), col("frustrated"),
           col("total"), col("apdex"))),
 
+    // --- PSI drift (oracle-backed): the ML-monitoring Population
+    // Stability Index next to q96's TVD — integer cells, fixed-order
+    // per-bin fold so the transcendental sum mirrors bit-for-bit
+    "q116_psi_drift" -> ((s, dir) =>
+      ops.AnalyticsOps.psiDrift(events(s, dir), col("event_type"),
+          unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+          86400000L, col("value"), binWidth = 25.0)
+        .select(col("key").as("event_type"), col("period").as("day_ms"),
+          col("n"), col("m"), col("psi"))),
+
     // --- benchmark decontamination (oracle-backed): eval-set 8-gram
     // overlap per train doc — docs with doc_id % 97 == 0 stand in for the
     // held-out benchmark. Integer gram counts; one round(,6) ratio (the
@@ -3284,6 +3294,50 @@ FROM walk WHERE rn >= 1"""
          |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
          |FROM toks tk
          |LEFT JOIN ng USING (doc_id) LEFT JOIN hits h USING (doc_id)
-         |WHERE tk.doc_id % 97 <> 0""".stripMargin
+         |WHERE tk.doc_id % 97 <> 0""".stripMargin,
+
+    // PSI mirror: identical cells/totals/shift joins as q96, then the
+    // engine's exact per-bin term (eps-substituted proportions, one
+    // division each, (p-q)*ln(p/q)) folded left-to-right over bins
+    // ascending from an explicit 0.0 — plain-double acc, so DuckDB's
+    // struct-lambda bug is not in play; ln parity is the q65 precedent
+    "q116_psi_drift" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    epoch_ms(date_trunc('day', ts)) AS period,
+        |    CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, period, sum(c) AS n FROM c GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(c.event_type, q.event_type) AS event_type,
+        |    coalesce(c.period, q.period + 86400000) AS period,
+        |    coalesce(c.bin, q.bin) AS bin,
+        |    coalesce(c.c, 0) AS c, coalesce(q.c, 0) AS q
+        |  FROM c FULL OUTER JOIN c q
+        |    ON c.event_type = q.event_type
+        |    AND c.period = q.period + 86400000 AND c.bin = q.bin),
+        |b AS (
+        |  SELECT j.event_type, j.period,
+        |    CAST(t.n AS BIGINT) AS n, CAST(pt.n AS BIGINT) AS m,
+        |    list(struct_pack(bin := j.bin, c := j.c, q := j.q)
+        |      ORDER BY j.bin) AS bins
+        |  FROM j
+        |  JOIN t ON t.event_type = j.event_type AND t.period = j.period
+        |  JOIN t pt ON pt.event_type = j.event_type
+        |    AND pt.period = j.period - 86400000
+        |  GROUP BY 1, 2, t.n, pt.n)
+        |SELECT event_type, period AS day_ms, n, m,
+        |  list_reduce(
+        |    list_prepend(0.0::DOUBLE, list_transform(bins, x ->
+        |      (CASE WHEN x.c > 0 THEN CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE)
+        |            ELSE 0.0001 END
+        |       - CASE WHEN x.q > 0 THEN CAST(x.q AS DOUBLE) / CAST(m AS DOUBLE)
+        |              ELSE 0.0001 END)
+        |      * ln(CASE WHEN x.c > 0 THEN CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE)
+        |               ELSE 0.0001 END
+        |           / CASE WHEN x.q > 0 THEN CAST(x.q AS DOUBLE) / CAST(m AS DOUBLE)
+        |                  ELSE 0.0001 END))),
+        |    (acc, t2) -> acc + t2) AS psi
+        |FROM b""".stripMargin
   )
 }

@@ -1469,6 +1469,67 @@ object AnalyticsOps {
         col("trend"), col("sen_slope"))
   }
 
+  /** Population Stability Index drift — the ML-monitoring standard next to
+    * [[histogramDrift]]'s total-variation distance: per (key, period),
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between the period's value
+    * histogram and its immediate predecessor's, with the conventional
+    * ε-substitution (an empty bin's proportion becomes `eps`, so the log
+    * is always finite). Industry rule of thumb: PSI < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 drifted.
+    *
+    * Exactness: bin counts and totals are exact integers under any
+    * partitioning; the PSI itself is transcendental, so the fold runs in
+    * a FIXED order — terms are computed per bin ascending and summed
+    * left-to-right over the collected (rollup-sized) bin list, the same
+    * mirrorable-op-order discipline as the smoother oracles (and ln
+    * parity JVM↔libm is the q65 BM25 precedent). Scale shape: identical
+    * to [[histogramDrift]] — one event-sized aggregate into persisted
+    * cells, self-joins at cell granularity, and the per-(key, period)
+    * fold touches only that pair's own bins. */
+  def psiDrift(
+      events: DataFrame,
+      keyCol: Column,
+      periodCol: Column,
+      periodStepMs: Long,
+      valueCol: Column,
+      binWidth: Double,
+      eps: Double = 1e-4): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(periodStepMs > 0, s"periodStepMs must be positive, got $periodStepMs")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val cells = events
+      .groupBy(keyCol.as("key"), periodCol.cast("long").as("period"),
+        floor(valueCol / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy("key", "period").agg(sum("c").as("n"))
+    val prevCells = cells.select(col("key"),
+      (col("period") + lit(periodStepMs)).as("period"), col("bin"),
+      col("c").as("q"))
+    val prevTotals = totals.select(col("key"),
+      (col("period") + lit(periodStepMs)).as("period"), col("n").as("m"))
+    val joined = cells.join(prevCells, Seq("key", "period", "bin"), "full_outer")
+      .select(col("key"), col("period"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"), coalesce(col("q"), lit(0L)).as("q"))
+      .join(totals, Seq("key", "period"))
+      .join(prevTotals, Seq("key", "period"))
+    joined
+      .groupBy("key", "period", "n", "m")
+      .agg(sort_array(collect_list(struct(col("bin"), col("c"), col("q"))))
+        .as("__bins"))
+      .withColumn("psi",
+        aggregate(
+          transform(col("__bins"), x => {
+            val p = when(x("c") > 0L,
+              x("c").cast("double") / col("n").cast("double")).otherwise(lit(eps))
+            val q = when(x("q") > 0L,
+              x("q").cast("double") / col("m").cast("double")).otherwise(lit(eps))
+            (p - q) * log(p / q)
+          }),
+          lit(0.0), (acc, t) => acc + t))
+      .select(col("key"), col("period"), col("n"), col("m"), col("psi"))
+  }
+
   /** Per-series staleness / heartbeat report — the batch form of
     * Prometheus `absent_over_time` and TimescaleDB's `heartbeat_agg`: for
     * every key, when did it last report, how far behind the corpus

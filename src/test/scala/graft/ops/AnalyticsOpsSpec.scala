@@ -940,6 +940,33 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "constant series: zero errors, NULL mase (naive MAE is 0)")
   }
 
+  test("psiDrift is 0 for identical histograms and eps-substitutes empty bins") {
+    val dayMs = 86400000L
+    def rows(key: String, day: Int, vs: Seq[Double]) =
+      vs.map(v => (key, new java.sql.Timestamp(day * dayMs), v))
+    // "same": identical day-1/day-2 histograms -> psi exactly 0
+    // "shift": day 1 = {bin0: 3, bin1: 1}; day 2 = {bin0: 1, bin1: 3}
+    // "gone": day 1 = {bin0: 2}; day 2 = {bin1: 2} -> both eps paths fire
+    val df = (rows("same", 1, Seq(5, 15, 5, 15)) ++ rows("same", 2, Seq(5, 15, 5, 15)) ++
+      rows("shift", 1, Seq(1, 2, 3, 11)) ++ rows("shift", 2, Seq(1, 11, 12, 13)) ++
+      rows("gone", 1, Seq(2, 3)) ++ rows("gone", 2, Seq(12, 13)))
+      .toDF("k", "ts", "v")
+    val out = AnalyticsOps.psiDrift(df, col("k"),
+        unix_millis(col("ts").cast("timestamp")), dayMs, col("v"), 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out.keySet == Set("same", "shift", "gone"),
+      "only periods with a predecessor emit")
+    assert(out("same") == 0.0, s"identical histograms: got ${out("same")}")
+    // Spark's codegen'd log() is StrictMath.log (fdlibm), 1 ulp off the
+    // Math.log intrinsic for some inputs (e.g. ln 3) — and it's what
+    // DuckDB's libm ln matches, which is why the q116 mirror hash-holds
+    def term(p: Double, q: Double) = (p - q) * StrictMath.log(p / q)
+    val shift = 0.0 + term(0.25, 0.75) + term(0.75, 0.25)
+    assert(out("shift") == shift, s"got ${out("shift")} want $shift")
+    val gone = 0.0 + term(1e-4, 1.0) + term(1.0, 1e-4)
+    assert(out("gone") == gone, s"eps-substituted: got ${out("gone")} want $gone")
+  }
+
   test("staleness flags strictly-older-than-threshold keys, NULL interval at n=1") {
     val hourMs = 3600000L
     val ev = Seq(
