@@ -52,14 +52,21 @@ object Bench {
     val builder0 =
       if (master.startsWith("local-cluster"))
         builder02.config("spark.executor.extraJavaOptions",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_OPTS",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_OPTS", {
             // -Xms pins the heap without AlwaysPreTouch: pretouching 8x6g
             // executor heaps costs ~3 min of page-zeroing at LAUNCH (it
             // dominated the first stage's wall), while lazy commit spreads
             // the same cost thinly through the short scan. The long-lived
-            // driver keeps pretouch (build.sbt).
-            s"-Xms${sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "2g")} " +
-              "-XX:+UseParallelGC"))
+            // driver keeps pretouch (build.sbt). -Xms is derived from
+            // SPARK_GRAFT_EXECUTOR_MEM (a JVM-suffixed string like "6g")
+            // and OMITTED when unset — a hardcoded floor above Spark's 1g
+            // default executor heap would kill every executor at launch
+            // with Xms > Xmx.
+            val xms = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+              .filter(_.matches("(?i)\\d+[kmg]"))
+              .map(m => s"-Xms$m ").getOrElse("")
+            s"$xms-XX:+UseParallelGC"
+          }))
       else builder02
     // Shuffle/spill dirs: this VM's virtio disk collapses under concurrent
     // shuffle writers (measured at 48k urls/local[32]: scan-stage taskSum

@@ -1283,6 +1283,27 @@ object AnalyticsOps {
       periodStepMs: Long,
       valueCol: Column,
       binWidth: Double): DataFrame = {
+    shiftJoinedCells(events, keyCol, periodCol, periodStepMs, valueCol, binWidth)
+      .groupBy("key", "period", "n", "m")
+      .agg(sum(abs(col("c") * col("m") - col("q") * col("n"))).as("__num"))
+      .withColumn("tvd",
+        col("__num").cast("double") / (lit(2.0) * col("n") * col("m")))
+      .drop("__num")
+  }
+
+  /** Shared scaffold of [[histogramDrift]] and [[psiDrift]]: per
+    * (key, period, bin), the period's count `c` and its immediate
+    * predecessor's `q` (0 where absent, both-absent bins don't exist),
+    * plus both totals `n`/`m` — periods with no predecessor drop out.
+    * The event-sized aggregate runs ONCE into the persisted cell table;
+    * everything after is cell-granularity. */
+  private def shiftJoinedCells(
+      events: DataFrame,
+      keyCol: Column,
+      periodCol: Column,
+      periodStepMs: Long,
+      valueCol: Column,
+      binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(periodStepMs > 0, s"periodStepMs must be positive, got $periodStepMs")
     // cells feed four consumers (cells/totals and their +1-period shifts);
@@ -1300,15 +1321,10 @@ object AnalyticsOps {
     val prevTotals = totals.select(col("key"),
       (col("period") + lit(periodStepMs)).as("period"), col("n").as("m"))
     cells.join(prevCells, Seq("key", "period", "bin"), "full_outer")
-      .select(col("key"), col("period"), coalesce(col("c"), lit(0L)).as("c"),
-        coalesce(col("q"), lit(0L)).as("q"))
+      .select(col("key"), col("period"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"), coalesce(col("q"), lit(0L)).as("q"))
       .join(totals, Seq("key", "period"))
       .join(prevTotals, Seq("key", "period"))
-      .groupBy("key", "period", "n", "m")
-      .agg(sum(abs(col("c") * col("m") - col("q") * col("n"))).as("__num"))
-      .withColumn("tvd",
-        col("__num").cast("double") / (lit(2.0) * col("n") * col("m")))
-      .drop("__num")
   }
 
   /** [[seasonalDecompose]] for fixed-decimal telemetry, with BIT-DETERMINISTIC
@@ -1494,26 +1510,8 @@ object AnalyticsOps {
       valueCol: Column,
       binWidth: Double,
       eps: Double = 1e-4): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    require(periodStepMs > 0, s"periodStepMs must be positive, got $periodStepMs")
     require(eps > 0, s"eps must be positive, got $eps")
-    val cells = events
-      .groupBy(keyCol.as("key"), periodCol.cast("long").as("period"),
-        floor(valueCol / lit(binWidth)).cast("long").as("bin"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = cells.groupBy("key", "period").agg(sum("c").as("n"))
-    val prevCells = cells.select(col("key"),
-      (col("period") + lit(periodStepMs)).as("period"), col("bin"),
-      col("c").as("q"))
-    val prevTotals = totals.select(col("key"),
-      (col("period") + lit(periodStepMs)).as("period"), col("n").as("m"))
-    val joined = cells.join(prevCells, Seq("key", "period", "bin"), "full_outer")
-      .select(col("key"), col("period"), col("bin"),
-        coalesce(col("c"), lit(0L)).as("c"), coalesce(col("q"), lit(0L)).as("q"))
-      .join(totals, Seq("key", "period"))
-      .join(prevTotals, Seq("key", "period"))
-    joined
+    shiftJoinedCells(events, keyCol, periodCol, periodStepMs, valueCol, binWidth)
       .groupBy("key", "period", "n", "m")
       .agg(sort_array(collect_list(struct(col("bin"), col("c"), col("q"))))
         .as("__bins"))

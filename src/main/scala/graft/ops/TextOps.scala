@@ -190,38 +190,37 @@ object TextOps {
     * those grams occur anywhere in the eval set, and the contaminated
     * fraction.
     *
-    * Scale shape: grams are native single-pass 64-bit shingle hashes
-    * ([[graft.functions.functions.positional_shingles]], codegen'd) made
-    * distinct PER ROW (`array_distinct`) before the explode, so the
-    * event-sized stage carries longs, never strings. The eval side is
-    * benchmark-sized (thousands of docs against a 100-TB corpus), so its
-    * distinct grams BROADCAST and the membership test is a broadcast
-    * left-semi join — zero corpus-sized shuffles; the per-doc count agg
-    * shuffles only contaminated hits. Falls back to a shuffled semi-join
-    * automatically if the eval side outgrows the broadcast threshold. */
+    * Scale shape: grams are native single-pass DISTINCT 64-bit shingle
+    * hashes ([[graft.functions.functions.hashed_shingles]], codegen'd), so
+    * the event-sized stage carries longs, never strings, and the train
+    * corpus is scanned+shingled exactly ONCE: `explode_outer` keeps
+    * gram-less docs, a broadcast LEFT join marks eval-gram hits in-stream,
+    * and the per-doc aggregate combines map-side (a doc's grams never
+    * leave their partition), so the one shuffle is doc-count-sized. The
+    * eval side is benchmark-sized BY DEFINITION (thousands of docs against
+    * a 100-TB corpus) and is deliberately broadcast-hinted — an eval set
+    * too large to broadcast should be pre-aggregated before this op. */
   def decontaminate(
       documents: DataFrame,
       isEval: Column,
       k: Int = 8): DataFrame = {
-    import graft.functions.functions.positional_shingles
+    import graft.functions.functions.hashed_shingles
     require(k >= 1, s"k must be >= 1, got $k")
-    val base = documents.select(col("doc_id"), isEval.as("__eval"),
-      array_distinct(positional_shingles(col("text"), k)).as("__gs"))
-    val evalGrams = base.filter(col("__eval"))
-      .select(explode(col("__gs")).as("g")).distinct()
-    val train = base.filter(!col("__eval"))
-    val hits = train.select(col("doc_id"), explode(col("__gs")).as("g"))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    train
-      .select(col("doc_id"), size(col("__gs")).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+    val evalGrams = documents.filter(isEval)
+      .select(explode(hashed_shingles(col("text"), k)).as("g")).distinct()
+      .withColumn("__hit", lit(1))
+    documents.filter(!isEval)
+      .select(col("doc_id"),
+        explode_outer(hashed_shingles(col("text"), k)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("g")).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double")
           / greatest(col("n_grams"), lit(1L)).cast("double"), 6)
           .as("contamination"),
-        (coalesce(col("n_contaminated"), lit(0L)) > 0L).as("contaminated"))
+        (col("n_contaminated") > 0L).as("contaminated"))
   }
 
   /** Okapi BM25 relevance of every document against a small fixed query —

@@ -433,25 +433,28 @@ object StreamStage {
           val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
             val st = state.get
+            // the arming invariant (rows above the watermark ⇒ timeout is
+            // always lastTs + threshold + 1) makes this guard succeed on
+            // every real wake; it stays as a cheap defense, not a branch
             if (!st.staleEmitted && wm > st.lastTs + thresholdMs) {
               state.update(st.copy(staleEmitted = true))
               Iterator.single(
                 StaleEvent(url, "stale", st.lastTs, st.lastTs + thresholdMs))
-            } else {
-              // spurious wake (data arrived since arming): re-arm if the
-              // alert is still pending, stay quiet if already stale
-              if (!st.staleEmitted)
-                state.setTimeoutTimestamp(
-                  math.max(st.lastTs + thresholdMs + 1L, wm + 1L))
-              Iterator.empty
-            }
+            } else Iterator.empty
           } else {
-            var newest = Long.MinValue
-            rows.foreach(r => if (r._2 > newest) newest = r._2)
             val st = state.getOption.getOrElse(StaleState(Long.MinValue, false))
+            // newest drives the state; firstNewer pins the recovery event to
+            // the FIRST point past the stale alert so the emitted row is
+            // identical under any micro-batch chunking of the same stream
+            var newest = Long.MinValue
+            var firstNewer = Long.MaxValue
+            rows.foreach { r =>
+              if (r._2 > newest) newest = r._2
+              if (r._2 > st.lastTs && r._2 < firstNewer) firstNewer = r._2
+            }
             val out =
               if (newest > st.lastTs && st.staleEmitted)
-                Iterator.single(StaleEvent(url, "recovered", newest, newest))
+                Iterator.single(StaleEvent(url, "recovered", firstNewer, firstNewer))
               else Iterator.empty
             val next =
               if (newest > st.lastTs) StaleState(newest, false) else st

@@ -139,14 +139,22 @@ class PlanSpec extends SparkTestBase {
       "want Partial AND Final group limits (map-side prune)")
   }
 
-  test("q115 decontamination: eval grams broadcast, corpus grams never sort-merge") {
+  test("q115 decontamination: eval grams broadcast, one train scan, doc-sized shuffle") {
     val p = plan("q115_decontamination")
-    // the membership test must be a broadcast LEFT-SEMI hash join on the
-    // gram hash — a SortMergeJoin here would shuffle the corpus-sized
-    // exploded gram stream at 100 TB
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"eval gram set must broadcast into a left-semi join:\n$p")
+    // the membership test must be a broadcast hash join on the gram hash —
+    // a SortMergeJoin here would shuffle the corpus-sized exploded gram
+    // stream at 100 TB
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast into the train gram stream:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // partial+final HashAggregate on doc_id: a doc's grams stay in their
+    // partition, so the one exchange carries ~1 row per doc, not per gram
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "per-doc counts must combine map-side")
+    // the train corpus is scanned+shingled exactly once
+    assert(p.split("\n").count(l => l.contains("FileScan") &&
+      l.contains("documents")) == 2,
+      s"one train scan + one eval scan only:\n$p")
     val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
     assert(!read.contains("lang") && !read.contains("source"),
       s"scan must prune to doc_id+text: $read")

@@ -845,9 +845,13 @@ class StreamStageSpec extends SparkTestBase {
     // stream not yet fired)
     val steady = (0 to 12).map(k => SeriesPoint("steady", base + k * 1800000L, 0.0))
     val dead = Seq(SeriesPoint("dead", base, 0.0))
+    // flappy returns with TWO points in the same chunk — the recovery
+    // event must carry the FIRST newer ts (4H), not the batch max (4.5H),
+    // so emitted rows are chunking-invariant
     val flappy = Seq(SeriesPoint("flappy", base, 0.0),
       SeriesPoint("flappy", base + 1800000L, 0.0),
-      SeriesPoint("flappy", base + 4 * H, 0.0))
+      SeriesPoint("flappy", base + 4 * H, 0.0),
+      SeriesPoint("flappy", base + 4 * H + 1800000L, 0.0))
     val edge = Seq(SeriesPoint("edge", base, 0.0), SeriesPoint("edge", base + 5 * H, 0.0))
     val real = steady ++ dead ++ flappy ++ edge
 
@@ -861,7 +865,7 @@ class StreamStageSpec extends SparkTestBase {
     // the order) pins the watermark path — flappy's 1H30m deadline must
     // pass in a flappy-less batch BEFORE its base+4H return arrives
     val bounds = Seq(base + 1800000L, base + 3 * 1800000L, base + 5 * 1800000L,
-      base + 7 * 1800000L, base + 4 * H, base + 5 * H, base + 6 * H)
+      base + 7 * 1800000L, base + 9 * 1800000L, base + 5 * H, base + 6 * H)
     val sorted = real.sortBy(p => (p.ts, p.url))
     val chunks = bounds.zipWithIndex.map { case (hi, i) =>
       val lo = if (i == 0) Long.MinValue else bounds(i - 1)
@@ -907,8 +911,10 @@ class StreamStageSpec extends SparkTestBase {
     assert(byUrl("dead") == Seq(("stale", base, base + H)))
     assert(byUrl("flappy") == Seq(
       ("stale", base + 1800000L, base + 1800000L + H),
+      // recovery pins to the FIRST newer point even though 4H and 4.5H
+      // arrive in one batch; state still advances to the batch max
       ("recovered", base + 4 * H, base + 4 * H),
-      ("stale", base + 4 * H, base + 5 * H)),
+      ("stale", base + 4 * H + 1800000L, base + 4 * H + 1800000L + H)),
       "a back-filled gap alerts only while actually absent at the frontier")
     assert(byUrl("steady") == Seq(("stale", base + 6 * H, base + 7 * H)),
       "steady key alerts only once the stream's frontier leaves it behind")
