@@ -21,6 +21,10 @@ final case class SessionOut(url: String, session_start: Long, session_end: Long,
 /** Open-session state for [[StreamStage.sessionizeStream]] (product-encoded). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
+/** Input row for [[StreamStage.activesStream]]: one activity event with the
+  * two identity columns the q45 cardinality rollup sketches. */
+final case class ActivityPoint(user: String, etype: String, ts: Long)
+
 /** One staleness transition from [[StreamStage.staleStream]]: kind "stale"
   * fires at event-time `at` = last_ts + threshold when the watermark passes
   * it with nothing newer for the url; kind "recovered" fires at the first
@@ -340,6 +344,35 @@ object StreamStage {
       .select(col("url"), unix_millis(col("window.start")).as("bucket_start"),
         col("open"), col("high"), col("low"), col("close"), col("cnt"),
         col("vsum"))
+  }
+
+  /** STREAMING daily distinct-actives sketches — the unbounded twin of the
+    * q45 cardinality rollup, as a NATIVE watermarked window aggregate over
+    * Spark's HLL++ (`approx_count_distinct`): one sketch per open day,
+    * O(days-in-flight × 2^p) state, appended exactly once when the
+    * watermark closes the day — zero custom state code (the
+    * [[histogramStream]] pattern). Closed days equal the batch q45 rows
+    * EXACTLY, not approximately-approximate: HLL register merge is a
+    * commutative monoid (per-register max), so any arrival order and any
+    * partial-merge tree produce bit-identical registers and therefore the
+    * identical estimate — spec-pinned under shuffled late arrivals. The
+    * trailing-7-day WAU (q106's sketch path) is then a downstream merge of
+    * these stored per-day sketches. */
+  def activesStream(
+      events: Dataset[ActivityPoint],
+      rsd: Double = 0.02,
+      lateness: String = "10 minutes"): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    require(rsd > 0, s"rsd must be positive, got $rsd")
+    events.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(count(lit(1)).as("cnt"),
+        approx_count_distinct(col("user"), rsd).as("users_approx"),
+        approx_count_distinct(col("etype"), rsd).as("types_approx"))
+      .select(col("window.start").as("day"), col("cnt"),
+        col("users_approx"), col("types_approx"))
   }
 
   /** STREAMING gap-based sessionization — the unbounded twin of

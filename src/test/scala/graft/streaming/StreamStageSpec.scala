@@ -835,6 +835,50 @@ class StreamStageSpec extends SparkTestBase {
     }
   }
 
+  test("streaming actives sketches equal batch HLL rows exactly on closed days") {
+    import org.apache.spark.sql.functions._
+    val dayMs = 86400000L
+    val rng = new scala.util.Random(83)
+    // 3 days; users overlap across days; duplicates within a day exercise
+    // the distinct; shuffled arrival exercises merge-order insensitivity
+    val all = for (d <- 1 to 3; i <- 0 until 120) yield ActivityPoint(
+      s"u${rng.nextInt(40)}", s"t${rng.nextInt(5)}",
+      d * dayMs + rng.nextInt(86400) * 1000L)
+    val batch = all.toDF()
+      .groupBy(date_trunc("day", timestamp_millis(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        approx_count_distinct(col("user"), 0.02).as("users_approx"),
+        approx_count_distinct(col("etype"), 0.02).as("types_approx"))
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityPoint]
+    val q = StreamStage.activesStream(mem.toDS(), 0.02, "10 minutes")
+      .writeStream.format("memory").queryName("actives_stream")
+      .outputMode("append").start()
+    // arrival order perturbed within the lateness window (±5 min vs 10),
+    // so rows land out of order but never below the watermark
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(11) - 5) * 60000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(50)) {
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * dayMs
+    mem.addData(Seq(ActivityPoint("s", "s", far))); q.processAllAvailable()
+    mem.addData(Seq(ActivityPoint("s", "s", far + 1))); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("actives_stream")
+      .filter(col("day") < timestamp_millis(lit(far - dayMs)))
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed.keySet == batch.keySet, s"all 3 days closed: $streamed")
+    for ((d, b) <- batch)
+      assert(streamed(d) == b,
+        s"day $d: HLL register merge is order-insensitive, so stream " +
+          s"${streamed(d)} must equal batch $b EXACTLY")
+  }
+
   test("streaming staleness fires absent alerts at the watermark and matches batch") {
     import org.apache.spark.sql.functions._
     val H = 3600000L
