@@ -1510,6 +1510,14 @@ object Queries {
           col("satisfied"), col("tolerating"), col("frustrated"),
           col("total"), col("apdex"))),
 
+    // --- trailing-7-day actives from MERGEABLE per-day HLL sketches
+    // (rows-only; AnalyticsOpsSpec bounds it against exact q106): the
+    // at-scale WAU path — the day-count-sized sketch tier is what a store
+    // persists; the window is a blob merge, never an event re-read
+    "q117_wau_sketch" -> ((s, dir) =>
+      ops.AnalyticsOps.rollingActivesSketch(events(s, dir),
+        col("user_id"), col("ts"), windowDays = 7)),
+
     // --- PSI drift (oracle-backed): the ML-monitoring Population
     // Stability Index next to q96's TVD — integer cells, fixed-order
     // per-bin fold so the transcendental sum mirrors bit-for-bit

@@ -1485,6 +1485,48 @@ object AnalyticsOps {
         col("trend"), col("sen_slope"))
   }
 
+  /** Trailing-`windowDays` distinct actives from MERGEABLE per-day HLL
+    * sketches (Apache DataSketches via Spark's `hll_sketch_agg`) — the
+    * at-scale twin of [[rollingActives]]'s exact sliding DISTINCT, and the
+    * materialized form of the q45 cardinality tier: one event-sized
+    * aggregate builds a day-count-sized sketch table (this is what a store
+    * would PERSIST next to its rollups), then the trailing window is a
+    * bounded ×windowDays fan-out of sketch blobs merged with
+    * `hll_union_agg` — raw events are never re-read, and yesterday's
+    * sketches never recompute. Same emit semantics as the exact op: one
+    * row per OBSERVED day, covering [day−w+1, day].
+    *
+    * Determinism: DataSketches HLL register state is a commutative monoid
+    * (per-register max), so the estimate is identical under any
+    * partitioning or merge order; accuracy is the sketch's published
+    * ~1.04/√2^lgK relative error, spec-bounded against the exact twin. */
+  def rollingActivesSketch(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDays: Int,
+      lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val dayMs = 86400000L
+    // the stored tier: one sketch blob per day (persist-worthy at scale)
+    val daily = events
+      .select(keyCol.cast("string").as("key"),
+        unix_millis(date_trunc("day", tsCol).cast("timestamp")).as("day"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("key"), lgK).as("__sk"))
+    val observed = daily.select(col("day"))
+    daily
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
+        col("day"), col("__sk"))
+      .select((col("day") + col("__i") * lit(dayMs)).as("day"), col("__sk"))
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), true))
+        .as("actives_approx"))
+      .select(timestamp_millis(col("day")).as("day"), col("actives_approx"))
+  }
+
   /** Population Stability Index drift — the ML-monitoring standard next to
     * [[histogramDrift]]'s total-variation distance: per (key, period),
     * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between the period's value

@@ -940,6 +940,31 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "constant series: zero errors, NULL mase (naive MAE is 0)")
   }
 
+  test("rollingActivesSketch tracks exact WAU within the HLL error bound") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists(), s"$dir not present")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val exact = AnalyticsOps.rollingActives(ev, col("user_id"), col("ts"), 7)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val approx = AnalyticsOps.rollingActivesSketch(ev,
+        col("user_id"), col("ts"), 7)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet,
+      "sketch path emits exactly the observed days the exact op emits")
+    // lgK=12 => published relative standard error 1.04/sqrt(4096) ~ 1.63%;
+    // allow 3 sigma
+    for ((d, n) <- exact) {
+      val rel = math.abs(approx(d) - n).toDouble / n.toDouble
+      assert(rel <= 0.05, s"day $d: sketch ${approx(d)} vs exact $n (rel $rel)")
+    }
+    // determinism: HLL register merge is order-insensitive, so a
+    // repartitioned recompute lands on the identical estimate
+    val again = AnalyticsOps.rollingActivesSketch(ev.repartition(7),
+        col("user_id"), col("ts"), 7)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(again == approx, "estimate must be bit-stable under repartitioning")
+  }
+
   test("psiDrift is 0 for identical histograms and eps-substitutes empty bins") {
     val dayMs = 86400000L
     def rows(key: String, day: Int, vs: Seq[Double]) =
