@@ -1534,7 +1534,32 @@ object Queries {
     // q69 dup_frac risk profile).
     "q115_decontamination" -> ((s, dir) =>
       TextOps.decontaminate(documents(s, dir),
-        pmod(col("doc_id"), lit(97)) === 0, k = 8))
+        pmod(col("doc_id"), lit(97)) === 0, k = 8)),
+
+    // --- n-gram LM perplexity scoring (oracle-backed): the CCNet quality
+    // filter — a self-trained add-α bigram model scores every doc's
+    // cross-entropy/perplexity; exact integer counts, fixed-order ln fold
+    // (the q116 discipline)
+    "q118_lm_perplexity" -> ((s, dir) =>
+      TextOps.lmScore(documents(s, dir))),
+
+    // --- day-over-day audience overlap (oracle-backed, exact): distinct
+    // users retained / new / churned per event_type with Jaccard — the
+    // growth-dashboard set algebra, one DISTINCT pass + member-keyed join
+    "q119_audience_overlap" -> ((s, dir) =>
+      ops.AnalyticsOps.distinctOverlap(events(s, dir), col("event_type"),
+          col("ts"), col("user_id"), 86400000L)
+        .select(col("key").as("event_type"), col("period").as("day_ms"),
+          col("curr_n"), col("prev_n"), col("retained"), col("union_n"),
+          col("new_n"), col("churned_n"), col("jaccard"))),
+
+    // --- sketch-tier audience overlap (rows-only; AnalyticsOpsSpec bounds
+    // it against exact q119): consecutive-day retained/Jaccard estimates
+    // from mergeable HLL blobs by inclusion–exclusion — no member-keyed
+    // join anywhere, the at-scale path
+    "q120_overlap_sketch" -> ((s, dir) =>
+      ops.AnalyticsOps.distinctOverlapSketch(events(s, dir),
+        col("event_type"), col("ts"), col("user_id"), 86400000L))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3346,6 +3371,65 @@ FROM walk WHERE rn >= 1"""
         |           / CASE WHEN x.q > 0 THEN CAST(x.q AS DOUBLE) / CAST(m AS DOUBLE)
         |                  ELSE 0.0001 END))),
         |    (acc, t2) -> acc + t2) AS psi
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // Bigram-LM cross-entropy: exact integer counts; per-gram ln terms
+    // from bit-identical operands; the per-doc sum folds left-to-right
+    // in position order from an explicit 0.0 (the q116 discipline). The
+    // 1-based oracle pos vs the engine's 0-based only orders the fold —
+    // the orderings are identical.
+    "q118_lm_perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter($tokExpr, tk -> len(tk) > 0) AS t
+         |  FROM documents),
+         |uni AS (
+         |  SELECT tok, count(*) AS c1
+         |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+         |vc AS (SELECT count(*) AS v FROM uni),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> struct_pack(pos := i, t1 := t[i],
+         |      g := concat_ws(' ', t[i], t[i+1])))) AS s
+         |  FROM toks),
+         |g2 AS (SELECT doc_id, s.pos AS pos, s.t1 AS t1, s.g AS g FROM g),
+         |bi AS (SELECT g, count(*) AS c2 FROM g2 GROUP BY 1),
+         |terms AS (
+         |  SELECT g2.doc_id, g2.pos,
+         |    ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * vc.v)) AS term
+         |  FROM g2 JOIN bi USING (g) JOIN uni ON uni.tok = g2.t1 CROSS JOIN vc),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY pos)),
+         |      (acc, x) -> acc + x) AS s
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN a.n_bigrams > 0 THEN round(-(a.s) / a.n_bigrams, 6) END AS xent,
+         |  CASE WHEN a.n_bigrams > 0 THEN round(exp(-(a.s) / a.n_bigrams), 6) END AS ppl
+         |FROM toks d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q119_audience_overlap" ->
+      """WITH p AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_ms(date_trunc('day', ts)) AS period,
+        |    CAST(user_id AS VARCHAR) AS member
+        |  FROM events),
+        |c AS (SELECT event_type, period, count(*) AS c FROM p GROUP BY 1, 2),
+        |i AS (
+        |  SELECT a.event_type, a.period, count(*) AS retained
+        |  FROM p a JOIN p b ON a.event_type = b.event_type
+        |    AND a.member = b.member AND a.period = b.period + 86400000
+        |  GROUP BY 1, 2)
+        |SELECT c.event_type, c.period AS day_ms,
+        |  c.c AS curr_n, pc.c AS prev_n,
+        |  coalesce(i.retained, 0) AS retained,
+        |  c.c + pc.c - coalesce(i.retained, 0) AS union_n,
+        |  c.c - coalesce(i.retained, 0) AS new_n,
+        |  pc.c - coalesce(i.retained, 0) AS churned_n,
+        |  round(CAST(coalesce(i.retained, 0) AS DOUBLE)
+        |    / CAST(c.c + pc.c - coalesce(i.retained, 0) AS DOUBLE), 6) AS jaccard
+        |FROM c JOIN c pc ON c.event_type = pc.event_type
+        |  AND c.period = pc.period + 86400000
+        |LEFT JOIN i ON i.event_type = c.event_type AND i.period = c.period""".stripMargin
   )
 }

@@ -1658,4 +1658,109 @@ object AnalyticsOps {
         (col("satisfied").cast("double") + col("tolerating").cast("double") * 0.5)
           / col("total").cast("double"))
   }
+
+  /** Period-over-period audience overlap — EXACT: per (key, period), the
+    * distinct-member set algebra against the immediately preceding period:
+    * |curr|, |prev|, |curr ∩ prev|, |curr ∪ prev| (inclusion–exclusion),
+    * Jaccard, plus the retention bookkeeping every growth dashboard wants
+    * (retained = ∩, new = curr − ∩, churned = prev − ∩). Periods whose
+    * predecessor has no data emit nothing — the q116 drift-join semantics.
+    *
+    * Scale shape: ONE event-sized DISTINCT aggregate to (key, period,
+    * member) pairs, then the intersection is a member-co-keyed self-join
+    * at pair granularity (no set materialization per group), and the
+    * per-period counts re-aggregate pair-sized streams. All counts are
+    * exact integers — deterministic at any parallelism. At 100 TB the
+    * pair table is what a store would persist; the sketch twin
+    * [[distinctOverlapSketch]] replaces the member-keyed join with a
+    * day-count-sized blob merge. */
+  def distinctOverlap(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      memberCol: Column,
+      periodMs: Long): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    val pairs = events
+      .select(keyCol.as("key"),
+        (unix_millis(tsCol.cast("timestamp"))
+          - pmod(unix_millis(tsCol.cast("timestamp")), lit(periodMs)))
+          .as("period"),
+        memberCol.cast("string").as("member"))
+      .distinct()
+    val counts = pairs.groupBy("key", "period")
+      .agg(count(lit(1)).as("c"))
+    val inter = pairs.as("a")
+      .join(pairs.as("b"),
+        col("a.key") === col("b.key")
+          && col("a.member") === col("b.member")
+          && col("a.period") === col("b.period") + lit(periodMs))
+      .groupBy(col("a.key").as("key"), col("a.period").as("period"))
+      .agg(count(lit(1)).as("retained"))
+    counts.as("c")
+      .join(counts.as("p"),
+        col("c.key") === col("p.key")
+          && col("c.period") === col("p.period") + lit(periodMs))
+      .join(inter,
+        col("c.key") === inter("key") && col("c.period") === inter("period"),
+        "left")
+      .select(col("c.key").as("key"), col("c.period").as("period"),
+        col("c.c").as("curr_n"), col("p.c").as("prev_n"),
+        coalesce(col("retained"), lit(0L)).as("retained"))
+      .withColumn("union_n", col("curr_n") + col("prev_n") - col("retained"))
+      .withColumn("new_n", col("curr_n") - col("retained"))
+      .withColumn("churned_n", col("prev_n") - col("retained"))
+      .withColumn("jaccard",
+        round(col("retained").cast("double")
+          / col("union_n").cast("double"), 6))
+  }
+
+  /** Period-over-period audience overlap from MERGEABLE HLL sketches — the
+    * at-scale twin of [[distinctOverlap]]: one event-sized aggregate builds
+    * a period-count-sized sketch table (persist-worthy, the q117 tier),
+    * then consecutive periods are compared with sketch set algebra:
+    * |∪| from `hll_union_agg`, |∩| by inclusion–exclusion
+    * (|A| + |B| − |A∪B|, floored at 0). Raw events are never re-read and
+    * no member-keyed join exists at all — the window is a blob merge.
+    *
+    * Accuracy: each estimate carries the sketch's ~1.04/√2^lgK relative
+    * error ON THE SET IT MEASURES, so the intersection's ABSOLUTE error is
+    * proportional to |A∪B| — inclusion–exclusion is the published-accurate
+    * choice when the overlap is a nontrivial fraction of the union (the
+    * retention case), and is spec-bounded against the exact twin.
+    * Determinism: HLL register state is a commutative monoid — identical
+    * under any partitioning or merge order. */
+  def distinctOverlapSketch(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      memberCol: Column,
+      periodMs: Long,
+      lgK: Int = 12): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val daily = events
+      .select(keyCol.as("key"),
+        (unix_millis(tsCol.cast("timestamp"))
+          - pmod(unix_millis(tsCol.cast("timestamp")), lit(periodMs)))
+          .as("period"),
+        memberCol.cast("string").as("member"))
+      .groupBy("key", "period")
+      .agg(hll_sketch_agg(col("member"), lgK).as("__sk"))
+    daily.as("c")
+      .join(daily.as("p"),
+        col("c.key") === col("p.key")
+          && col("c.period") === col("p.period") + lit(periodMs))
+      .select(col("c.key").as("key"), col("c.period").as("period"),
+        hll_sketch_estimate(col("c.__sk")).as("curr_est"),
+        hll_sketch_estimate(col("p.__sk")).as("prev_est"),
+        hll_sketch_estimate(
+          hll_union(col("c.__sk"), col("p.__sk"), true)).as("union_est"))
+      .withColumn("retained_est",
+        greatest(col("curr_est") + col("prev_est") - col("union_est"),
+          lit(0L)))
+      .withColumn("jaccard_est",
+        round(col("retained_est").cast("double")
+          / col("union_est").cast("double"), 6))
+  }
 }

@@ -301,4 +301,74 @@ object TextOps {
       regexp_count(col("text"), lit(termRe)).as("n_term"),
       length(clean).as("n_chars_clean"))
   }
+
+  /** N-gram language-model perplexity scoring — the CCNet-style quality
+    * filter (Wenzek et al. 2020: docs are ranked by LM perplexity and the
+    * worst tail dropped): a bigram model with add-α smoothing is trained on
+    * the corpus ITSELF in one pass, then every document is scored with its
+    * per-token cross-entropy `xent = −(1/n)·Σ ln P(tᵢ | tᵢ₋₁)` and
+    * perplexity `exp(xent)`, where
+    * `P(t₂|t₁) = (c(t₁t₂) + α) / (c(t₁) + α·V)`.
+    *
+    * Exactness: all counts (bigram c₂, unigram c₁, vocab V) are exact
+    * integers under any partitioning; each gram's `ln` term is computed
+    * from bit-identical operands (integer + α is exact in binary64, one
+    * correctly-rounded divide) and the per-doc sum folds in FIXED position
+    * order over the collected (doc-sized) gram list — the q116 PSI
+    * discipline, ln parity per the q65 precedent — so the raw doubles are
+    * deterministic at any parallelism and mirror the DuckDB oracle; the
+    * final round(6) is belt-and-braces only.
+    *
+    * Scale shape: the model is two token-keyed hash aggregates over the
+    * gram stream (event-sized shuffles, map-side combined); V is ONE
+    * broadcast single-row aggregate (the BM25 stats license); scoring joins
+    * the gram stream to the two count tables on their own keys (standard
+    * co-keyed hash joins) and the per-doc fold touches only that doc's own
+    * grams. The corpus text column is scanned three times (unigram counts,
+    * bigram counts, scoring) — at 100 TB persist the tokenized projection
+    * or accept the pruned rescans, the q59 trade. Docs with <2 tokens
+    * surface with n_bigrams=0 and NULL scores — never dropped. */
+  def lmScore(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val docToks = documents.select(col("doc_id"), toks.as("t"))
+    // gram stream: (doc_id, pos, context token, gram string). Tokens are
+    // whitespace-split, so the ' ' joint is injective — no collisions.
+    // sequence(0, n-2) DESCENDS when n < 2 (Spark defaults step to -1),
+    // so short docs take the explicit empty branch.
+    val idx = when(size(col("t")) >= 2, sequence(lit(0), size(col("t")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val grams = docToks.select(col("doc_id"),
+      explode_outer(transform(idx,
+        i => struct(i.as("pos"), element_at(col("t"), i + 1).as("t1"),
+          concat_ws(" ", element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)).as("g")))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.t1").as("t1"),
+        col("s.g").as("g"))
+    val uni = docToks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val terms = grams
+      .join(grams.filter(col("g").isNotNull)
+        .groupBy("g").agg(count(lit(1)).as("c2")), Seq("g"), "left")
+      .join(uni.withColumnRenamed("tok", "t1"), Seq("t1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        when(col("g").isNotNull,
+          log((col("c2") + lit(alpha))
+            / (col("c1") + lit(alpha) * col("v")))).as("term"))
+    terms
+      .groupBy("doc_id")
+      .agg(count(col("term")).as("n_bigrams"),
+        // collect_list skips the NULL produced for gram-less docs, so the
+        // fold only ever sees real terms
+        aggregate(sort_array(collect_list(when(col("term").isNotNull,
+            struct(col("pos"), col("term"))))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(-col("__s") / col("n_bigrams"), 6)).as("xent"),
+        when(col("n_bigrams") > 0,
+          round(exp(-col("__s") / col("n_bigrams")), 6)).as("ppl"))
+  }
 }

@@ -230,6 +230,13 @@ final case class SaxOut(url: String, frame: Long, word: String, n_slots: Long)
 /** SAX frame state: per-slot decimal-cents sums and counts. */
 final case class SaxBuf(slots: Array[Long], cents: Array[Long], ns: Array[Long])
 
+/** One closed-bucket row from [[StreamStage.counterIncreaseStream]] — same
+  * fields as the batch [[graft.ops.AnalyticsOps.counterIncrease]]. */
+final case class IncOut(url: String, bucket: Long, increase: Option[Double],
+    resets: Long, n: Long)
+/** Counter-increase bucket state: the buffered (ts, tie, value) rows. */
+final case class IncBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double])
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -1489,6 +1496,74 @@ object StreamStage {
               MadBuf(Array.emptyLongArray, Array.emptyDoubleArray))
             val inc = rows.map(r => (r._3, r._4)).toArray
             state.update(MadBuf(prev.tie ++ inc.map(_._1), prev.vs ++ inc.map(_._2)))
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING counter increase — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.counterIncrease]], per closed (url, bucket):
+    * the PromQL-`increase` reset walk needs its bucket's rows in (ts, tie)
+    * order (a late row splices into the middle and changes BOTH its
+    * neighbours' deltas), so it buffers ONE bucket per key and emits
+    * exactly once when the watermark closes it — the [[zscoreStream]]
+    * discipline, state bounded by bucket span + lateness. Values are
+    * decimal cents (HALF_UP, the batch op's DECIMAL(12,2)), diffs and
+    * sums are integer arithmetic, and the final cents→double conversion
+    * is the same correctly-rounded value as the batch DECIMAL→DOUBLE
+    * cast — emitted rows equal batch q80's rows for closed buckets
+    * EXACTLY. Single-row buckets emit a NULL increase, like the batch
+    * sum over an all-NULL lag column. */
+  def counterIncreaseStream(
+      points: Dataset[TiedPoint],
+      bucketMs: Long,
+      lateness: String = "10 minutes"): Dataset[IncOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue.longValueExact
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("ts"), col("tie"), col("value"), col("event_time"))
+      .as[(String, Long, Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long),
+         rows: Iterator[(String, Long, Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[IncBuf]) => {
+          val (url, bucket) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val order = s.ts.indices.sortBy(i => (s.ts(i), s.tie(i)))
+            var inc = 0L
+            var resets = 0L
+            var prev = Long.MinValue
+            var first = true
+            order.foreach { i =>
+              val v = cents(s.vs(i))
+              if (!first) {
+                if (v >= prev) inc += v - prev
+                else { inc += v; resets += 1L }
+              }
+              prev = v
+              first = false
+            }
+            val increase =
+              if (order.length > 1) Some(inc.toDouble / 100.0) else None
+            Iterator.single(IncOut(url, bucket, increase, resets, order.length.toLong))
+          } else {
+            val prev = state.getOption.getOrElse(
+              IncBuf(Array.emptyLongArray, Array.emptyLongArray, Array.emptyDoubleArray))
+            val inc = rows.map(r => (r._3, r._4, r._5)).toArray
+            state.update(IncBuf(prev.ts ++ inc.map(_._1),
+              prev.tie ++ inc.map(_._2), prev.vs ++ inc.map(_._3)))
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty

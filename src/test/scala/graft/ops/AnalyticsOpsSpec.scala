@@ -1043,4 +1043,59 @@ class AnalyticsOpsSpec extends SparkTestBase {
       ((2L, 2L, 2L, 6L)))
     assert(r.getDouble(4) == (2.0 + 2.0 * 0.5) / 6.0)
   }
+
+  test("distinctOverlap computes retained/new/churned set algebra exactly") {
+    val dayMs = 86400000L
+    def rows(k: String, day: Int, users: Seq[String]) =
+      users.map(u => (k, new java.sql.Timestamp(day * dayMs), u))
+    val ev = (rows("t", 1, Seq("u1", "u2", "u3")) ++
+      rows("t", 2, Seq("u2", "u3", "u4", "u5")) ++
+      rows("t", 2, Seq("u2")) ++                  // dup pair: no double count
+      rows("gap", 1, Seq("a")) ++ rows("gap", 3, Seq("a")) ++ // no day-2 data
+      rows("fresh", 2, Seq("x", "y"))             // no predecessor ever
+    ).toDF("k", "ts", "u")
+    val out = AnalyticsOps.distinctOverlap(ev, col("k"), col("ts"), col("u"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    assert(out.keySet == Set(("t", 2 * dayMs)),
+      s"only periods whose predecessor has data emit: ${out.keySet}")
+    assert(out(("t", 2 * dayMs)) == ((4L, 3L, 2L, 5L, 2L, 1L, 0.4)),
+      s"got ${out(("t", 2 * dayMs))}")
+  }
+
+  test("distinctOverlapSketch tracks the exact overlap within HLL bounds") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists(), s"$dir not present")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val dayMs = 86400000L
+    val exact = AnalyticsOps.distinctOverlap(ev, col("event_type"), col("ts"),
+        col("user_id"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val approx = AnalyticsOps.distinctOverlapSketch(ev, col("event_type"),
+        col("ts"), col("user_id"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(approx.keySet == exact.keySet,
+      "sketch path emits exactly the (key, period) pairs the exact op emits")
+    for ((k, (cn, pn, ret, un)) <- exact) {
+      val (ce, pe, ue, re) = approx(k)
+      // lgK=12: ~1.63% rel std err per estimate; 3σ per measured set
+      assert(math.abs(ce - cn).toDouble / cn <= 0.05, s"$k curr: $ce vs $cn")
+      assert(math.abs(pe - pn).toDouble / pn <= 0.05, s"$k prev: $pe vs $pn")
+      assert(math.abs(ue - un).toDouble / un <= 0.05, s"$k union: $ue vs $un")
+      // inclusion–exclusion compounds three estimates: its ABSOLUTE error
+      // scales with the union, not the intersection
+      assert(math.abs(re - ret).toDouble <= 0.08 * un,
+        s"$k retained: $re vs $ret (union $un)")
+    }
+    // HLL register merge is a commutative monoid: repartitioned recompute
+    // lands on identical estimates
+    val again = AnalyticsOps.distinctOverlapSketch(ev.repartition(7),
+        col("event_type"), col("ts"), col("user_id"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(again == approx, "estimates must be bit-stable under repartitioning")
+  }
 }

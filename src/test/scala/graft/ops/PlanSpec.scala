@@ -293,4 +293,26 @@ class PlanSpec extends SparkTestBase {
       s"all four cell consumers must hit the cache, saw $cached:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q118 lm score: 1-row vocab broadcast only, count joins are hash joins") {
+    val p = plan("q118_lm_perplexity")
+    // exactly ONE broadcast NLJ — the 1-row vocab anchor (the q65 stats
+    // license); the bigram/unigram count joins must be keyed hash joins
+    assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"only the vocab anchor may NLJ:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortAggregate"))
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"scan must prune unused columns: $read")
+  }
+
+  test("q119 audience overlap: one DISTINCT pass feeds member-keyed equi-joins") {
+    val p = plan("q119_audience_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "set algebra must stay equi-joined")
+    assert(!p.contains("SortAggregate"), "distinct + counts stay hash-aggregated")
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("props") && !read.contains("value"),
+      s"scan must prune unused columns: $read")
+  }
 }

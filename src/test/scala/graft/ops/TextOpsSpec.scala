@@ -67,4 +67,36 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(4L) == ((0L, 0L, 0.0, false)),
       s"sub-k docs report zero grams, not NULL: got ${out(4L)}")
   }
+
+  test("lmScore matches the hand-computed add-α bigram cross-entropy") {
+    val docs = Seq(
+      (1L, "a b a"),   // bigrams: (a b), (b a)
+      (2L, "a b"),     // bigram: (a b)
+      (3L, "c"),       // 1 token: no bigrams
+      (4L, " ")        // no tokens at all
+    ).toDF("doc_id", "text")
+    // corpus model: uni a=3 b=2 c=1, V=3; bi "a b"=2, "b a"=1; α=0.5
+    val pAB = (2 + 0.5) / (3 + 0.5 * 3)
+    val pBA = (1 + 0.5) / (2 + 0.5 * 3)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Spark's log() codegen is StrictMath.log (the psiDrift precedent);
+    // exp() is Math.exp
+    val x1 = -(0.0 + StrictMath.log(pAB) + StrictMath.log(pBA)) / 2
+    val x2 = -(0.0 + StrictMath.log(pAB)) / 1
+    val out = TextOps.lmScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every doc surfaces")
+    assert(out(1L) == ((2L, Some(r6(x1)), Some(r6(math.exp(x1))))),
+      s"got ${out(1L)}")
+    assert(out(2L) == ((1L, Some(r6(x2)), Some(r6(math.exp(x2))))),
+      s"got ${out(2L)}")
+    assert(out(3L) == ((0L, None, None)), s"got ${out(3L)}")
+    assert(out(4L) == ((0L, None, None)), s"got ${out(4L)}")
+    // the repeated bigram is CHEAPER than the rare one: the filter ranks
+    // boilerplate as more probable, the CCNet premise
+    assert(x2 < x1, "doc of only the frequent bigram scores lower xent")
+  }
 }

@@ -1358,4 +1358,62 @@ class StreamStageSpec extends SparkTestBase {
       s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
+
+  test("streaming counter increase equals batch exactly under late arrivals") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(79)
+    val bucketMs = 3600000L
+    // counters that mostly grow with occasional restarts-to-near-zero, so
+    // both the monotone branch and the reset branch fire; plus a
+    // single-row bucket (NULL increase) and a dup-ts pair (tie order)
+    var level = Map("a" -> 0.0, "b" -> 0.0)
+    val all = (for (u <- Seq("a", "b"); b <- 0 until 3; i <- 0 until 17) yield {
+      val v = if (rng.nextInt(10) == 0) rng.nextInt(300) / 100.0
+        else level(u) + rng.nextInt(2000) / 100.0
+      level += u -> v
+      TiedPoint(u, 3600000L + b * bucketMs + rng.nextInt(bucketMs.toInt),
+        (b * 100 + i).toLong, v)
+    }) ++
+      Seq(TiedPoint("lone", 3600000L + 42L, 0L, 5.0),
+        TiedPoint("dup", 3600000L, 0L, 10.0), TiedPoint("dup", 3600000L, 1L, 3.0),
+        TiedPoint("dup", 3600000L + 9L, 2L, 4.0))
+    val batch = graft.ops.AnalyticsOps.counterIncrease(
+        all.toDF(), col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))),
+        col("ts"), col("tie"), col("value"))
+      .select(col("key"), col("bucket"), col("increase").cast("double"),
+        col("resets"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.counterIncreaseStream(mem.toDS(), bucketMs, "4 hours")
+      .writeStream.format("memory").queryName("inc_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(25)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("inc_stream").as[IncOut]
+      .filter(col("url") =!= "sentinel")
+      .collect()
+      .map(e => (e.url, e.bucket) -> ((e.increase, e.resets, e.n)))
+      .toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(streamed(("lone", 3600000L)) == ((None, 0L, 1L)),
+      "single-row bucket: NULL increase")
+    assert(streamed.values.map(_._2).sum > 0, "fixture must contain resets")
+    assert(streamed(("dup", 3600000L)) == ((Some(1.0 + 3.0), 1L, 3L)),
+      "dup-ts rows order by tie: 10 -> 3 (reset, +3) -> 4 (+1)")
+  }
 }
