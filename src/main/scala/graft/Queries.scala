@@ -1559,7 +1559,13 @@ object Queries {
     // join anywhere, the at-scale path
     "q120_overlap_sketch" -> ((s, dir) =>
       ops.AnalyticsOps.distinctOverlapSketch(events(s, dir),
-        col("event_type"), col("ts"), col("user_id"), 86400000L))
+        col("event_type"), col("ts"), col("user_id"), 86400000L)),
+
+    // --- weighted stratified sample (oracle-backed): Efraimidis–Spirakis
+    // keys from the portable hash, weight = n_chars (longer docs sample
+    // more often) — q64's unweighted cousin, same WindowGroupLimit shape
+    "q121_weighted_sample" -> ((s, dir) =>
+      ops.CorpusOps.weightedSample(documents(s, dir), col("n_chars"), n = 10))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3430,6 +3436,20 @@ FROM walk WHERE rn >= 1"""
         |    / CAST(c.c + pc.c - coalesce(i.retained, 0) AS DOUBLE), 6) AS jaccard
         |FROM c JOIN c pc ON c.event_type = pc.event_type
         |  AND c.period = pc.period + 86400000
-        |LEFT JOIN i ON i.event_type = c.event_type AND i.period = c.period""".stripMargin
+        |LEFT JOIN i ON i.event_type = c.event_type AND i.period = c.period""".stripMargin,
+
+    // Efraimidis–Spirakis keys: exact integer hash, exact power-of-two u,
+    // one ln (parity precedent) + one division over bit-identical
+    // operands — raw-double compare, no rounding needed
+    "q121_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars AS DOUBLE) AS w,
+        |    ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE)
+        |        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+        |SELECT doc_id, lang, source, w, k,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY lang, source ORDER BY k DESC, doc_id) AS INT) AS rn
+        |FROM s QUALIFY rn <= 10""".stripMargin
   )
 }

@@ -194,4 +194,39 @@ object CorpusOps {
       .filter(col("rn") <= n)
       .select("doc_id", "lang", "source", "rn")
   }
+
+  /** Deterministic WEIGHTED stratified sample — Efraimidis–Spirakis
+    * (2006) reservoir keys without a reservoir: each doc draws the
+    * pseudo-uniform u = ([[idHash]](doc_id)+1)/2³² ∈ (0,1] (pure function
+    * of doc_id — same input → same sample on any cluster size or run) and
+    * is ranked by k = ln(u)/w descending, which selects each doc with
+    * probability proportional to its weight w (the standard one-pass
+    * weighted-sampling order statistic, u^(1/w) in log space). Heavier
+    * docs sample more often; non-positive weights are excluded up front.
+    *
+    * Exactness: the hash is exact integer arithmetic; u is an exact
+    * power-of-two scaling; ln is the q65/q116 parity precedent and the
+    * one division is correctly rounded over bit-identical operands — so
+    * the ranking doubles mirror DuckDB bit-for-bit and the selected set
+    * is deterministic. Ties (astronomically unlikely) break on doc_id.
+    *
+    * Scale shape: identical to [[stratifiedSample]] — a per-row key
+    * projection, one strata-keyed exchange, and WindowGroupLimit pushes
+    * the top-n cut below the shuffle, so the exchange carries
+    * O(strata·n·partitions), never the corpus. */
+  def weightedSample(documents: DataFrame, weightCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("k").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        weightCol.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("k",
+        log((idHash(col("doc_id")) + lit(1L)).cast("double")
+          / lit(4294967296.0)) / col("w"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("doc_id", "lang", "source", "w", "k", "rn")
+  }
 }

@@ -145,4 +145,30 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(got == batch, s"stream $got vs batch $batch")
     } finally q.stop()
   }
+
+  test("weightedSample ranks by the Efraimidis–Spirakis key and drops w<=0") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 30L).map(d =>
+      (d, "en", "web", if (d == 7L) 0L else d * 100L)) :+
+      ((31L, "en", "web", -5L)) :+ ((40L, "de", "web", 1000L))
+    val df = docs.toDF("doc_id", "lang", "source", "n_chars")
+    // reproduce the key exactly: u = (knuth-hash(id)+1)/2^32, k = ln(u)/w
+    def key(d: Long, w: Long): Double =
+      StrictMath.log(((d * 2654435761L) % 4294967296L + 1).toDouble
+        / 4294967296.0) / w.toDouble
+    val wantEn = docs.filter(r => r._2 == "en" && r._4 > 0)
+      .map(r => (key(r._1, r._4), r._1))
+      .sortBy { case (k, d) => (-k, d) }.take(5).map(_._2).toSet
+    val out = CorpusOps.weightedSample(df, col("n_chars"), n = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(5))).toSeq
+    val en = out.filter(_._1 == "en").map(_._2).toSet
+    assert(en == wantEn, s"engine $en vs hand-ranked $wantEn")
+    assert(out.count(_._1 == "de") == 1 && out.size == 6,
+      "singleton stratum samples itself; zero/negative weights never sample")
+    assert(!en.contains(7L) && !en.contains(31L))
+    // weighting is real: under the uniform-u hash, the top-5 of 29 docs
+    // whose weights grow 100x..3000x must skew heavy
+    val meanW = docs.filter(r => en.contains(r._1)).map(_._4).sum / 5.0
+    assert(meanW > 1500.0, s"weighted sample must skew heavy, mean w $meanW")
+  }
 }
