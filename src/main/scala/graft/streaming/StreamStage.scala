@@ -237,6 +237,17 @@ final case class IncOut(url: String, bucket: Long, increase: Option[Double],
 /** Counter-increase bucket state: the buffered (ts, tie, value) rows. */
 final case class IncBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double])
 
+/** One closed-period row from [[StreamStage.overlapSketchStream]] — same
+  * fields as the batch [[graft.ops.AnalyticsOps.distinctOverlapSketch]]. */
+final case class OvlOut(key: String, period: Long, curr_est: Long,
+    prev_est: Long, union_est: Long, retained_est: Long, jaccard_est: Double)
+/** Overlap-sketch state: buffered above-watermark (ts, member) rows, open
+  * periods' updatable HLL blobs, and the LAST closed period's compact blob
+  * for the next period's set algebra. */
+final case class OvlBuf(ts: Array[Long], member: Array[String],
+    openP: Array[Long], openSk: Array[Array[Byte]],
+    prevPeriod: Long, prevSk: Array[Byte])
+
 /** Spark Structured Streaming wrapper for the streaming ClaSP state machine
   * (SURVEY.md §2.9). The reference ingests strictly in order with no late
   * data (ring buffers bound memory, not watermarks); the wrapper therefore
@@ -1016,6 +1027,96 @@ object StreamStage {
             val wake = Seq(
               hold.iterator.map(_._1).minOption,
               open.keys.map(_._1).minOption.map(_ + periodMs),
+              if (prevPeriod == Long.MinValue) None
+              else Some(prevPeriod + 2 * periodMs)
+            ).flatten.min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          out.result().iterator
+        })
+  }
+
+  /** STREAMING audience-overlap sketches — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.distinctOverlapSketch]] (q120): per key, each
+    * open period accumulates ONE DataSketches HLL blob (the same library,
+    * lgK, and UTF-8 member hashing Spark's `hll_sketch_agg` uses, so the
+    * estimates equal the batch op's EXACTLY); when the watermark closes a
+    * period whose immediate predecessor also closed, the curr/prev/union
+    * estimates and the inclusion–exclusion retained/Jaccard emit — gap
+    * periods emit nothing, like the batch join. The [[driftStream]]
+    * discipline: rows above the watermark buffer, closed periods resolve
+    * in ascending order, and a key's state is removed once the watermark
+    * passes the last period a successor could still pair with. State per
+    * key: the lateness row buffer + O(open periods + 1) fixed-size blobs
+    * (~2^lgK bytes each) — never a member set. */
+  def overlapSketchStream(
+      points: Dataset[ActivityPoint],
+      periodMs: Long,
+      lgK: Int = 12,
+      lateness: String = "10 minutes"): Dataset[OvlOut] = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def est(sk: HllSketch): Long = Math.round(sk.getEstimate)
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("etype"), col("ts"), col("user"), col("event_time"))
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+         state: GroupState[OvlBuf]) => {
+          val st = state.getOption.getOrElse(OvlBuf(
+            Array.emptyLongArray, Array.empty[String],
+            Array.emptyLongArray, Array.empty[Array[Byte]],
+            Long.MinValue, Array.emptyByteArray))
+          val all = st.ts.zip(st.member) ++ rows.map(r => (r._2, r._3))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          val open = scala.collection.mutable.TreeMap.empty[Long, HllSketch]
+          for (i <- st.openP.indices)
+            open(st.openP(i)) = HllSketch.heapify(st.openSk(i))
+          ready.foreach { case (t, m) =>
+            val p = t - math.floorMod(t, periodMs)
+            open.getOrElseUpdate(p, new HllSketch(lgK)).update(m)
+          }
+          var prevPeriod = st.prevPeriod
+          var prevSk: Option[HllSketch] =
+            if (st.prevSk.isEmpty) None else Some(HllSketch.heapify(st.prevSk))
+          val out = Vector.newBuilder[OvlOut]
+          val closing = open.keys.filter(p => p + periodMs <= wm + 1).toSeq.sorted
+          closing.foreach { p =>
+            val curr = open.remove(p).get
+            prevSk.filter(_ => prevPeriod == p - periodMs).foreach { prev =>
+              val u = new Union(lgK)
+              u.update(curr)
+              u.update(prev)
+              val (c, pr, un) = (est(curr), est(prev), est(u.getResult))
+              val retained = math.max(c + pr - un, 0L)
+              // BigDecimal.valueOf (canonical-string), matching Spark round()
+              val jac = java.math.BigDecimal.valueOf(retained.toDouble / un.toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+              out += OvlOut(key, p, c, pr, un, retained, jac)
+            }
+            prevPeriod = p
+            prevSk = Some(curr)
+          }
+          val prevDead = prevPeriod == Long.MinValue ||
+            wm >= prevPeriod + 2 * periodMs
+          if (hold.isEmpty && open.isEmpty && prevDead) state.remove()
+          else {
+            val op = open.toArray
+            state.update(OvlBuf(hold.map(_._1), hold.map(_._2),
+              op.map(_._1), op.map(_._2.toUpdatableByteArray),
+              prevPeriod, prevSk.map(_.toCompactByteArray)
+                .getOrElse(Array.emptyByteArray)))
+            val wake = Seq(
+              hold.iterator.map(_._1).minOption,
+              open.keys.minOption.map(_ + periodMs),
               if (prevPeriod == Long.MinValue) None
               else Some(prevPeriod + 2 * periodMs)
             ).flatten.min

@@ -1416,4 +1416,55 @@ class StreamStageSpec extends SparkTestBase {
     assert(streamed(("dup", 3600000L)) == ((Some(1.0 + 3.0), 1L, 3L)),
       "dup-ts rows order by tie: 10 -> 3 (reset, +3) -> 4 (+1)")
   }
+
+  test("streaming overlap sketches equal the batch estimates exactly") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(83)
+    val dayMs = 86400000L
+    // two keys x 5 days, ~60% day-over-day user retention, a gap day on
+    // key b (day 3 silent -> day 4 must NOT emit), dup (user, day) rows
+    val all = (for {
+      k <- Seq("a", "b"); d <- 1 to 5
+      if !(k == "b" && d == 3)
+      u <- 0 until 150
+      if (u + d * 37) % 5 < 3 || u % 7 == 0
+    } yield ActivityPoint(s"u$u", k, d * dayMs + rng.nextInt(dayMs.toInt))) ++
+      Seq(ActivityPoint("u0", "a", dayMs + 42L)) // dup pair
+    val batchIn = all.toDF()
+      .select(col("etype"), timestamp_millis(col("ts")).as("t"), col("user"))
+    val batch = graft.ops.AnalyticsOps.distinctOverlapSketch(
+        batchIn, col("etype"), col("t"), col("user"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(batch.nonEmpty && !batch.contains(("b", 4 * dayMs)),
+      "fixture: gap day must suppress the day-4 pair on key b")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityPoint]
+    // lateness exceeds the full fixture span: fully shuffled arrival must
+    // never watermark-drop a row
+    val q = StreamStage.overlapSketchStream(mem.toDS(), dayMs, 12, "10 days")
+      .writeStream.format("memory").queryName("ovl_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(200)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * dayMs
+    mem.addData(Seq(ActivityPoint("s", "sentinel", far)))
+    q.processAllAvailable()
+    mem.addData(Seq(ActivityPoint("s", "sentinel", far + 1)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ovl_stream").as[OvlOut]
+      .filter(col("key") =!= "sentinel")
+      .collect()
+      .map(e => (e.key, e.period) ->
+        ((e.curr_est, e.prev_est, e.union_est, e.retained_est, e.jaccard_est)))
+      .toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
 }
