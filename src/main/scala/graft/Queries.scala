@@ -1565,7 +1565,21 @@ object Queries {
     // keys from the portable hash, weight = n_chars (longer docs sample
     // more often) — q64's unweighted cousin, same WindowGroupLimit shape
     "q121_weighted_sample" -> ((s, dir) =>
-      ops.CorpusOps.weightedSample(documents(s, dir), col("n_chars"), n = 10))
+      ops.CorpusOps.weightedSample(documents(s, dir), col("n_chars"), n = 10)),
+
+    // --- theta-sketch audience overlap (ORACLE-BACKED against the exact
+    // set algebra): retained/new/churned from real sketch set operators
+    // (∩, ∖) via the custom theta_sketch_agg — the algebra HLL
+    // inclusion–exclusion can't give. The oracle is exact SQL, valid
+    // because every (event_type, day) audience in the testdata sits far
+    // below 2^lgK=4096, where a theta sketch retains EVERY hash and its
+    // estimates are exact counts (the q55 LSH-vs-exact-closure license;
+    // max observed set: 67 at sf0.01, 587 at sf0.1 — re-check if the
+    // generator changes). AnalyticsOpsSpec additionally pins theta ≡
+    // exact row-for-row and repartition determinism.
+    "q122_theta_overlap" -> ((s, dir) =>
+      ops.AnalyticsOps.distinctOverlapTheta(events(s, dir),
+        col("event_type"), col("ts"), col("user_id"), 86400000L))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3434,6 +3448,35 @@ FROM walk WHERE rn >= 1"""
         |  pc.c - coalesce(i.retained, 0) AS churned_n,
         |  round(CAST(coalesce(i.retained, 0) AS DOUBLE)
         |    / CAST(c.c + pc.c - coalesce(i.retained, 0) AS DOUBLE), 6) AS jaccard
+        |FROM c JOIN c pc ON c.event_type = pc.event_type
+        |  AND c.period = pc.period + 86400000
+        |LEFT JOIN i ON i.event_type = c.event_type AND i.period = c.period""".stripMargin,
+
+    // Theta sketches in exact mode (audiences < 2^lgK): every estimate is
+    // the exact distinct count, so the oracle is the true set algebra —
+    // q119's CTEs with the difference columns renamed to the sketch
+    // output's *_est names
+    "q122_theta_overlap" ->
+      """WITH p AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_ms(date_trunc('day', ts)) AS period,
+        |    CAST(user_id AS VARCHAR) AS member
+        |  FROM events),
+        |c AS (SELECT event_type, period, count(*) AS c FROM p GROUP BY 1, 2),
+        |i AS (
+        |  SELECT a.event_type, a.period, count(*) AS retained
+        |  FROM p a JOIN p b ON a.event_type = b.event_type
+        |    AND a.member = b.member AND a.period = b.period + 86400000
+        |  GROUP BY 1, 2)
+        |SELECT c.event_type AS key, c.period,
+        |  c.c AS curr_est, pc.c AS prev_est,
+        |  c.c + pc.c - coalesce(i.retained, 0) AS union_est,
+        |  coalesce(i.retained, 0) AS retained_est,
+        |  c.c - coalesce(i.retained, 0) AS new_est,
+        |  pc.c - coalesce(i.retained, 0) AS churned_est,
+        |  round(CAST(coalesce(i.retained, 0) AS DOUBLE)
+        |    / CAST(c.c + pc.c - coalesce(i.retained, 0) AS DOUBLE), 6)
+        |    AS jaccard_est
         |FROM c JOIN c pc ON c.event_type = pc.event_type
         |  AND c.period = pc.period + 86400000
         |LEFT JOIN i ON i.event_type = c.event_type AND i.period = c.period""".stripMargin,

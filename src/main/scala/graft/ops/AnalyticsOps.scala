@@ -1763,4 +1763,56 @@ object AnalyticsOps {
         round(col("retained_est").cast("double")
           / col("union_est").cast("double"), 6))
   }
+
+  /** Period-over-period audience overlap from THETA sketches — the full
+    * retention algebra [[distinctOverlapSketch]]'s HLL blobs cannot give:
+    * theta sketches close under intersection and difference with
+    * PER-RESULT error bounds, so retained (∩), new (curr∖prev), and
+    * churned (prev∖curr) come from real set operators instead of
+    * inclusion–exclusion error stacking. Below 2^lgK distinct members per
+    * (key, period) the sketch is in exact mode and every estimate is the
+    * exact count (spec-asserted against [[distinctOverlap]]).
+    *
+    * Scale shape: identical to the HLL variant — ONE event-sized
+    * aggregate into a period-count-sized blob table (the custom
+    * [[graft.functions.ThetaSketchAgg]] hash-aggregates partial+final like
+    * any native aggregate), then consecutive periods join at blob
+    * granularity and the set ops run one evaluation per pair. */
+  def distinctOverlapTheta(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      memberCol: Column,
+      periodMs: Long,
+      lgK: Int = 12): DataFrame = {
+    import graft.functions.ThetaSketches._
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    require(lgK >= 4 && lgK <= 26, s"lgK must be in [4, 26], got $lgK")
+    val daily = events
+      .select(keyCol.as("key"),
+        (unix_millis(tsCol.cast("timestamp"))
+          - pmod(unix_millis(tsCol.cast("timestamp")), lit(periodMs)))
+          .as("period"),
+        memberCol.cast("string").as("member"))
+      .groupBy("key", "period")
+      .agg(theta_sketch_agg(col("member"), lgK).as("__sk"))
+    daily.as("c")
+      .join(daily.as("p"),
+        col("c.key") === col("p.key")
+          && col("c.period") === col("p.period") + lit(periodMs))
+      .select(col("c.key").as("key"), col("c.period").as("period"),
+        theta_estimate(col("c.__sk")).as("curr_est"),
+        theta_estimate(col("p.__sk")).as("prev_est"),
+        theta_estimate(theta_union(col("c.__sk"), col("p.__sk"), lgK))
+          .as("union_est"),
+        theta_estimate(theta_intersect(col("c.__sk"), col("p.__sk")))
+          .as("retained_est"),
+        theta_estimate(theta_anotb(col("c.__sk"), col("p.__sk")))
+          .as("new_est"),
+        theta_estimate(theta_anotb(col("p.__sk"), col("c.__sk")))
+          .as("churned_est"))
+      .withColumn("jaccard_est",
+        round(col("retained_est").cast("double")
+          / col("union_est").cast("double"), 6))
+  }
 }

@@ -1098,4 +1098,33 @@ class AnalyticsOpsSpec extends SparkTestBase {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(again == approx, "estimates must be bit-stable under repartitioning")
   }
+
+  test("distinctOverlapTheta equals the exact set algebra below 2^lgK") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/events.parquet").exists(), s"$dir not present")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val dayMs = 86400000L
+    // exact twin, reshaped to the theta output's column order
+    val exact = AnalyticsOps.distinctOverlap(ev, col("event_type"), col("ts"),
+        col("user_id"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(4),
+          r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    val theta = AnalyticsOps.distinctOverlapTheta(ev, col("event_type"),
+        col("ts"), col("user_id"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    // every testdata audience is < 4096 members, so the sketches never
+    // leave exact mode: estimates ARE the true counts, row for row
+    assert(theta == exact,
+      s"theta-only: ${(theta.toSet -- exact.toSet).take(3)}; " +
+        s"exact-only: ${(exact.toSet -- theta.toSet).take(3)}")
+    val again = AnalyticsOps.distinctOverlapTheta(ev.repartition(7),
+        col("event_type"), col("ts"), col("user_id"), dayMs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    assert(again == theta, "theta estimates stable under repartitioning")
+  }
 }
