@@ -36,6 +36,11 @@ object Queries {
     * (0=small, 1=mid, 2=big), else the `sf<value>` token parsed from the
     * data dir name, else the small tier — so an arbitrarily named dir runs
     * correctly (just at smoke scale) instead of silently mis-sizing. */
+  /** Fixed epoch anchor (2024-01-01T00:00:00Z) for integer time coordinates
+    * in q123/q124 — keeps hour indices small enough that every OLS/CCF
+    * sufficient statistic is an exact integer sum. */
+  private val AnchorMs = 1704067200000L
+
   private val sfToken = "sf([0-9]*\\.?[0-9]+)".r
   private def synthScale(dir: String, small: Int, mid: Int, big: Int): Int = {
     val tier = sys.env.get("SPARK_GRAFT_SYNTH_SCALE").map(_.trim.toInt).getOrElse {
@@ -1579,7 +1584,49 @@ object Queries {
     // exact row-for-row and repartition determinism.
     "q122_theta_overlap" -> ((s, dir) =>
       ops.AnalyticsOps.distinctOverlapTheta(events(s, dir),
-        col("event_type"), col("ts"), col("user_id"), 86400000L))
+        col("event_type"), col("ts"), col("user_id"), 86400000L)),
+
+    // --- OLS linear trend per series (oracle-backed, EXACT): slope /
+    // intercept / r² of value against hours-since-anchor — the parametric
+    // companion to q107's rank-based Mann-Kendall. All sufficient
+    // statistics are exact integer sums (x = hour index, y = cents), so
+    // raw doubles mirror bit-for-bit; one hash agg, no window, no join.
+    "q123_linear_trend" -> ((s, dir) =>
+      ops.AnalyticsOps.linearTrend(events(s, dir), col("user_id"),
+          floor((unix_millis(col("ts").cast("timestamp"))
+            - lit(AnchorMs)) / lit(3600000.0)),
+          col("value"), decimals = 2)
+        .select(col("key").as("user_id"), col("n"), col("slope"),
+          col("intercept"), col("r2"))),
+
+    // --- lead-lag cross-correlation (oracle-backed): CCF between
+    // event-type series over hourly buckets at lags -3..+3 — q74's lag-0
+    // answer extended to "which signal LEADS which". Event-sized work is
+    // one alignment agg (exact integer-cents means); the lag fan-out and
+    // corr run on bucket-count rows.
+    "q124_cross_corr" -> ((s, dir) => {
+      val hourIdx = floor((unix_millis(col("ts").cast("timestamp"))
+        - lit(AnchorMs)) / lit(3600000.0)).cast("long")
+      val cents = events(s, dir)
+        .groupBy(col("event_type"), hourIdx.as("hb"))
+        .agg((sum(round(col("value") * lit(100.0)).cast("long"))
+          .cast("double")
+          / (lit(100.0) * count(lit(1)).cast("double"))).as("value"))
+      ops.AnalyticsOps.crossCorrelation(cents, col("event_type"),
+          col("hb"), col("value"), maxLag = 3)
+        .select(col("series_a"), col("series_b"), col("lag"),
+          round(col("r"), 6).as("r"), col("n_buckets"))
+    }),
+
+    // --- inter-arrival burstiness (oracle-backed, EXACT): per-series gap
+    // stats + CV + Goh-Barabasi burstiness index — the crawl-politeness /
+    // traffic-shape rollup next to q112's staleness. Integer-exact
+    // dispersion sums; one keyed window pass + one hash agg.
+    "q125_interarrival" -> ((s, dir) =>
+      ops.AnalyticsOps.interArrival(events(s, dir), col("user_id"),
+          col("ts"), col("event_id"))
+        .select(col("key").as("user_id"), col("n_gaps"), col("mean_gap_ms"),
+          col("min_gap_ms"), col("max_gap_ms"), col("cv"), col("burstiness")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3493,6 +3540,121 @@ FROM walk WHERE rn >= 1"""
         |SELECT doc_id, lang, source, w, k,
         |  CAST(row_number() OVER (
         |    PARTITION BY lang, source ORDER BY k DESC, doc_id) AS INT) AS rn
-        |FROM s QUALIFY rn <= 10""".stripMargin
+        |FROM s QUALIFY rn <= 10""".stripMargin,
+
+    // OLS mirror: integer sufficient statistics (hour index x, cents y)
+    // are order-free exact; slope/intercept/r² reproduce the engine's
+    // double op order verbatim, so raw doubles match bit-for-bit
+    "q123_linear_trend" ->
+      """WITH xy AS (
+        |  SELECT user_id,
+        |    CAST(floor((epoch_ms(ts) - 1704067200000) / 3600000.0)
+        |      AS BIGINT) AS x,
+        |    CAST(round(value * 100.0) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY 1)
+        |SELECT user_id, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0
+        |  END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+        |  END AS intercept,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |         * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS r2
+        |FROM s""".stripMargin,
+
+    // CCF mirror: alignment means are exact integer-cents rationals; corr
+    // rounds at 6dp like q74 (co-moment accumulation order differs
+    // cross-engine at ulp scale)
+    "q124_cross_corr" ->
+      """WITH al AS (
+        |  SELECT event_type AS series,
+        |    CAST(floor((epoch_ms(ts) - 1704067200000) / 3600000.0)
+        |      AS BIGINT) AS bucket,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE)
+        |      / (100.0 * CAST(count(*) AS DOUBLE)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-3, 4))
+        |SELECT a.series AS series_a, b.series AS series_b,
+        |  CAST(l.lag AS INT) AS lag, round(corr(a.v, b.v), 6) AS r,
+        |  count(*) AS n_buckets
+        |FROM al a CROSS JOIN lags l
+        |JOIN al b ON b.series > a.series AND b.bucket = a.bucket + l.lag
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // inter-arrival mirror: identical lag window (ts, event_id order),
+    // integer-exact gap sums, second-resolution dispersion with the
+    // engine's exact double op order (greatest-clamped sqrt included)
+    "q125_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    min(gap) AS min_gap_ms, max(gap) AS max_gap_ms,
+        |    CAST(sum(CAST(floor(gap / 1000.0) AS BIGINT)) AS BIGINT) AS sgs,
+        |    CAST(sum(CAST(floor(gap / 1000.0) AS BIGINT)
+        |           * CAST(floor(gap / 1000.0) AS BIGINT)) AS BIGINT) AS sgs2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_ms,
+        |  min_gap_ms, max_gap_ms,
+        |  CASE WHEN n_gaps >= 2
+        |        AND CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+        |    THEN sqrt(greatest(
+        |           (CAST(sgs2 AS DOUBLE) - CAST(sgs AS DOUBLE)
+        |              * CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |             / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+        |         / (CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |  END AS cv,
+        |  CASE WHEN n_gaps >= 2
+        |        AND sqrt(greatest(
+        |             (CAST(sgs2 AS DOUBLE) - CAST(sgs AS DOUBLE)
+        |                * CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |               / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+        |           + CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+        |    THEN (sqrt(greatest(
+        |            (CAST(sgs2 AS DOUBLE) - CAST(sgs AS DOUBLE)
+        |               * CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |              / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+        |          - CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |         / (sqrt(greatest(
+        |            (CAST(sgs2 AS DOUBLE) - CAST(sgs AS DOUBLE)
+        |               * CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |              / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
+        |          + CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |  END AS burstiness
+        |FROM s""".stripMargin
   )
 }

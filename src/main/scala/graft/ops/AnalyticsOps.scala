@@ -1815,4 +1815,153 @@ object AnalyticsOps {
         round(col("retained_est").cast("double")
           / col("union_est").cast("double"), 6))
   }
+
+  /** Per-key ordinary-least-squares linear trend of a fixed-decimal value
+    * against an INTEGER time coordinate (e.g. hours since a fixed anchor):
+    * slope (value units per x unit), intercept (value at x = 0), r², and n
+    * — the parametric companion to [[mannKendall]]'s rank-based test, and
+    * the capacity-planning primitive ("at this slope, the disk fills in
+    * N days").
+    *
+    * Scale shape: ONE partial+final hash aggregate per key over five O(1)
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — map-side
+    * combinable, never buffers a series, no window, no join.
+    *
+    * EXACT cross-engine: x is an integer and y is scaled to integer
+    * "cents" (`decimals`), so every sufficient statistic is an exact
+    * integer sum (order-free under any partitioning); the closed-form
+    * slope/intercept/r² are then fixed-order double arithmetic over
+    * bit-identical operands, mirrored verbatim by the oracle. Magnitude
+    * guard is the caller's: |x| ≤ ~1e6 and |y_cents| ≤ ~1e7 keep every
+    * statistic below 2^53 at 1e6 rows/key. Keys with < 2 points or zero x
+    * variance get NULL slope/intercept; zero y variance gets NULL r². */
+  def linearTrend(
+      events: DataFrame,
+      keyCol: Column,
+      xCol: Column,
+      valueCol: Column,
+      decimals: Int = 2): DataFrame = {
+    require(decimals >= 0 && decimals <= 6,
+      s"decimals must be in [0, 6], got $decimals")
+    val scale = math.pow(10.0, decimals)
+    val x = xCol.cast("long")
+    val y = round(valueCol * lit(scale)).cast("long")
+    val stats = events
+      .groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    // fixed-order doubles over exact-integer operands: identical in DuckDB
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = nd * d("sxy") - d("sx") * d("sy")
+    val varX = nd * d("sxx") - d("sx") * d("sx")
+    val varY = nd * d("syy") - d("sy") * d("sy")
+    val slopeC = cov / varX
+    stats
+      .withColumn("slope",
+        when(varX > 0, slopeC / lit(scale)))
+      .withColumn("intercept",
+        when(varX > 0,
+          (d("sy") / nd - slopeC * (d("sx") / nd)) / lit(scale)))
+      .withColumn("r2",
+        when(varX > 0 && varY > 0, (cov / varX) * (cov / varY)))
+      .drop("sx", "sy", "sxy", "sxx", "syy")
+  }
+
+  /** Lead–lag cross-correlation function between aligned series: for every
+    * unordered series pair (a < b) and every lag ℓ ∈ [−maxLag, +maxLag],
+    * Pearson r between a's bucket series and b's shifted by ℓ buckets
+    * (r at lag ℓ pairs a[t] with b[t+ℓ]; positive ℓ ⇒ b LEADS a). The
+    * root-cause primitive one step past [[pairCorrelation]]'s lag-0 answer:
+    * "errors rise 2 hours after deploys" is a CCF peak at ℓ = −2.
+    *
+    * Scale shape: the only event-sized work is the alignment aggregate
+    * (one partial+final hash agg to (series, bucketIdx) means). The lag
+    * fan-out (×(2·maxLag+1)), self-join, and corr all run on that
+    * bucket-count-sized table — S·(S−1)/2 · (2L+1) output rows for S
+    * series names, never row-count-sized. corr is an O(1)-state co-moment
+    * aggregate, so nothing buffers a series. Buckets where either side is
+    * absent drop from that (pair, lag)'s sample (inner join). */
+  def crossCorrelation(
+      events: DataFrame,
+      seriesCol: Column,
+      bucketIdxCol: Column,
+      valueCol: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val aligned = events
+      .groupBy(seriesCol.as("series"), bucketIdxCol.cast("long").as("bucket"))
+      .agg(avg(valueCol).as("v"))
+    val lags = array((-maxLag to maxLag).map(l => lit(l)): _*)
+    val a = aligned.select(col("series").as("series_a"), col("bucket"),
+      col("v").as("__va"))
+    // b shifted: row (series_b, t+lag, vb) joins a's bucket t under key
+    // t = (t+lag) - lag
+    val b = aligned
+      .withColumn("lag", explode(lags))
+      .select(col("series").as("series_b"),
+        (col("bucket") - col("lag")).as("bucket"), col("lag"),
+        col("v").as("__vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("series_a") < col("series_b"))
+      .groupBy("series_a", "series_b", "lag")
+      .agg(corr(col("__va"), col("__vb")).as("r"),
+        count(lit(1)).as("n_buckets"))
+  }
+
+  /** Per-key inter-arrival (gap) statistics: how bursty is each series?
+    * Emits gap count, exact mean/min/max gap in ms, plus coefficient of
+    * variation and the Goh–Barabási burstiness index B = (σ−μ)/(σ+μ)
+    * (B → −1 periodic, 0 Poisson, → 1 bursty) over SECOND-resolution gaps
+    * — the traffic-shape rollup behind crawl politeness and scrape-budget
+    * decisions.
+    *
+    * Scale shape: one keyed window pass for the lag (single hash exchange,
+    * the [[deltaRate]] shape) and one partial+final hash aggregate; O(1)
+    * state per row everywhere.
+    *
+    * EXACT cross-engine: gaps are integer ms; the dispersion moments use
+    * floor(gap/1000) so Σg and Σg² stay exact integer sums at any
+    * partitioning (a 30-day gap in ms would push Σ(g²) past 2^53 — seconds
+    * keep g² ≤ ~7e12 for year-scale gaps), and σ²/CV/B are fixed-order
+    * doubles over those exact sums, mirrored verbatim by the oracle.
+    * Keys with < 2 gaps get NULL cv/burstiness (sample variance needs
+    * n ≥ 2); a zero mean gap (all duplicates) gets NULL cv. */
+  def interArrival(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val tsMs = unix_millis(tsCol.cast("timestamp"))
+    val gapMs = tsMs - lag(tsMs, 1).over(w)
+    val withGap = events
+      .withColumn("__key", keyCol)
+      .withColumn("__gap", gapMs)
+      .filter(col("__gap").isNotNull)
+    val gSec = floor(col("__gap") / lit(1000L)).cast("long")
+    val stats = withGap
+      .groupBy(col("__key").as("key"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("__sg"),
+        min(col("__gap")).as("min_gap_ms"),
+        max(col("__gap")).as("max_gap_ms"),
+        sum(gSec).as("__sgs"), sum(gSec * gSec).as("__sgs2"))
+    val nd = col("n_gaps").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val meanS = d("__sgs") / nd
+    val varS = (d("__sgs2") - d("__sgs") * d("__sgs") / nd) / (nd - lit(1.0))
+    // clamp FP-cancellation negatives (exact-zero variance lands at 0.0,
+    // but guard the general case so sqrt never emits NaN)
+    val sd = sqrt(greatest(varS, lit(0.0)))
+    stats
+      .withColumn("mean_gap_ms", d("__sg") / nd)
+      .withColumn("cv",
+        when(col("n_gaps") >= 2 && meanS > 0, sd / meanS))
+      .withColumn("burstiness",
+        when(col("n_gaps") >= 2 && (sd + meanS) > 0,
+          (sd - meanS) / (sd + meanS)))
+      .drop("__sg", "__sgs", "__sgs2")
+  }
 }

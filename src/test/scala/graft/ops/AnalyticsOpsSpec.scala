@@ -1127,4 +1127,78 @@ class AnalyticsOpsSpec extends SparkTestBase {
           r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
     assert(again == theta, "theta estimates stable under repartitioning")
   }
+
+  test("linearTrend fits exact lines and NULLs degenerate series") {
+    // y = 2.5 + 0.25 x: cents are 250 + 25x, every statistic exact
+    val line = (0 to 9).map(i => ("line", i.toLong, 2.5 + 0.25 * i))
+    val one = Seq(("one", 3L, 7.0))               // n=1: no x variance
+    val flat = (0 to 4).map(i => ("flat", i.toLong, 3.0)) // zero y variance
+    val ev = (line ++ one ++ flat).toDF("k", "x", "value")
+    val out = AnalyticsOps.linearTrend(ev, col("k"), col("x"), col("value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("line")._1 == 10L)
+    assert(out("line")._2.contains(0.25), s"slope: ${out("line")._2}")
+    assert(out("line")._3.contains(2.5), s"intercept: ${out("line")._3}")
+    assert(out("line")._4.contains(1.0), s"r2: ${out("line")._4}")
+    assert(out("one") == ((1L, None, None, None)), "n=1: all NULL")
+    assert(out("flat")._2.contains(0.0))
+    assert(out("flat")._3.contains(3.0))
+    assert(out("flat")._4.isEmpty, "zero y variance: r2 NULL")
+    // partitioning invariance: exact integer statistics
+    val again = AnalyticsOps.linearTrend(ev.repartition(7), col("k"),
+        col("x"), col("value"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(again("line") == out("line")._2)
+  }
+
+  test("crossCorrelation peaks at the true lead lag") {
+    // b[t] = a[t+2] (b leads a): r(lag) = corr(a[t], b[t+lag]) must be
+    // exactly 1 at lag = -2 and below 1 elsewhere
+    def f(t: Int): Double = (t * 37 % 11) + 0.5 * (t * 13 % 7)
+    val a = (0 to 19).map(t => ("a", t.toLong, f(t)))
+    val b = (0 to 19).map(t => ("b", t.toLong, f(t + 2)))
+    val ev = (a ++ b).toDF("s", "t", "value")
+    val out = AnalyticsOps.crossCorrelation(ev, col("s"), col("t"),
+        col("value"), maxLag = 3)
+      .collect().map(r => r.getInt(2) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(out.keySet == (-3 to 3).toSet)
+    assert(math.abs(out(-2)._1 - 1.0) < 1e-12, s"peak at -2: ${out(-2)}")
+    assert(out(-2)._2 == 18L, "overlap shrinks by |lag|")
+    ((-3 to 3).toSet - -2).foreach { l =>
+      assert(out(l)._1 < 0.999, s"off-peak lag $l too correlated: ${out(l)}")
+    }
+  }
+
+  test("interArrival: periodic series scores B = -1, bursty series positive") {
+    val per = Seq(0L, 10000L, 20000L, 30000L).zipWithIndex
+      .map { case (ms, i) => ("per", new java.sql.Timestamp(ms), i.toLong, 1.0) }
+    // gaps 1 s, 1 s, 58 s
+    val bur = Seq(0L, 1000L, 2000L, 60000L).zipWithIndex
+      .map { case (ms, i) => ("bur", new java.sql.Timestamp(ms), i.toLong, 1.0) }
+    val solo = Seq(("solo", new java.sql.Timestamp(5L), 9L, 1.0))
+    val ev = (per ++ bur ++ solo).toDF("k", "ts", "event_id", "value")
+    val rows = AnalyticsOps.interArrival(ev, col("k"), col("ts"),
+        col("event_id"))
+      .select("key", "n_gaps", "mean_gap_ms", "min_gap_ms", "max_gap_ms",
+        "cv", "burstiness")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!rows.contains("solo"), "single-point series has no gaps")
+    val p = rows("per")
+    assert(p.getLong(1) == 3 && p.getDouble(2) == 10000.0)
+    assert(p.getDouble(5) == 0.0, "periodic: cv 0")
+    assert(p.getDouble(6) == -1.0, "periodic: burstiness -1")
+    val b = rows("bur")
+    assert(b.getLong(3) == 1000L && b.getLong(4) == 58000L)
+    // hand-computed over second-resolution gaps (1, 1, 58)
+    val mean = 20.0
+    val sd = math.sqrt(((1 - mean) * (1 - mean) * 2
+      + (58 - mean) * (58 - mean)) / 2.0)
+    assert(math.abs(b.getDouble(5) - sd / mean) < 1e-12)
+    assert(math.abs(b.getDouble(6) - (sd - mean) / (sd + mean)) < 1e-12)
+    assert(b.getDouble(6) > 0, "bursty series: positive index")
+  }
 }
