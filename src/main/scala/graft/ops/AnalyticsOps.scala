@@ -1851,7 +1851,17 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-    // fixed-order doubles over exact-integer operands: identical in DuckDB
+    olsFinalize(stats, scale)
+  }
+
+  /** Closed-form OLS finalize over the exact-integer sufficient statistics
+    * (`n, sx, sy, sxy, sxx, syy` columns): fixed-order doubles over
+    * order-free operands, so the result is bit-identical at any
+    * partitioning (and any ARRIVAL order — the sums are a commutative
+    * monoid, which is what makes [[graft.streaming.StreamStage.trendStream]]
+    * ≡ batch exactly). Shared by the batch op and the streaming twin;
+    * mirrored verbatim by the q123 oracle. */
+  private[graft] def olsFinalize(stats: DataFrame, scale: Double): DataFrame = {
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val cov = nd * d("sxy") - d("sx") * d("sy")

@@ -393,6 +393,46 @@ object StreamStage {
         col("users_approx"), col("types_approx"))
   }
 
+  /** STREAMING per-bucket OLS trend — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.linearTrend]] scoped to tumbling buckets:
+    * per closed (url, bucket), the least-squares slope/intercept/r² of
+    * value against seconds-into-the-bucket. A NATIVE watermarked window
+    * aggregate (the [[histogramStream]] pattern — zero custom state code):
+    * state per open candle is the six exact-integer sufficient statistics,
+    * O(1) per (url, bucket), appended exactly once on watermark close.
+    *
+    * Closed buckets equal the batch op BIT-FOR-BIT, not approximately:
+    * integer sums are a commutative monoid, so any arrival order, any
+    * micro-batch chunking, and any partial-merge tree produce identical
+    * statistics, and the shared [[graft.ops.AnalyticsOps.olsFinalize]]
+    * formula turns identical integers into identical doubles
+    * (spec-pinned under shuffled late arrivals). */
+  def trendStream(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long,
+      lateness: String = "10 minutes",
+      decimals: Int = 2): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(decimals >= 0 && decimals <= 6,
+      s"decimals must be in [0, 6], got $decimals")
+    val scale = math.pow(10.0, decimals)
+    // tumbling windows are epoch-aligned, so seconds-into-bucket is a pure
+    // row expression (no reference to the window struct needed)
+    val x = floor(pmod(col("ts"), lit(bucketMs)) / lit(1000.0)).cast("long")
+    val y = round(col("value") * lit(scale)).cast("long")
+    val stats = points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("url"), window(col("event_time"), s"$bucketMs milliseconds"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    graft.ops.AnalyticsOps.olsFinalize(stats, scale)
+      .select(col("url"), unix_millis(col("window.start")).as("bucket_start"),
+        col("n"), col("slope"), col("intercept"), col("r2"))
+  }
+
   /** STREAMING gap-based sessionization — the unbounded twin of
     * [[graft.ops.SessionOps.sessionize]]. A session closes when event time
     * advances past its end by more than `gapMs` within the stream, or when

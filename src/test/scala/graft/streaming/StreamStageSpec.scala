@@ -1467,4 +1467,57 @@ class StreamStageSpec extends SparkTestBase {
       s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
+
+  test("streaming per-bucket trend equals batch linearTrend bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(71)
+    val h = 3600000L
+    // 2 urls x 3 hourly buckets of drifting 2-decimal values, plus one
+    // single-point bucket (degenerate: NULL slope) and one constant-value
+    // bucket (r2 NULL)
+    val all = (for (u <- 0 until 2; b <- 0 until 3; i <- 0 until 40) yield
+      SeriesPoint(s"u$u", h + b * h + rng.nextInt(h.toInt),
+        math.floor(rng.nextDouble() * 5000 + i * 25 * (u + 1)) / 100.0)) ++
+      Seq(SeriesPoint("solo", h + 17000L, 42.42)) ++
+      (0 until 5).map(i => SeriesPoint("flat", h + i * 60000L, 7.0))
+    def bits(v: Any): Long = v match {
+      case null => Long.MinValue
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+    }
+    val xExpr = floor(pmod(col("ts"), lit(h)) / lit(1000.0))
+    val batch = graft.ops.AnalyticsOps.linearTrend(
+        all.toDF().withColumn("k",
+          concat_ws("|", col("url"), col("ts") - pmod(col("ts"), lit(h)))),
+        col("k"), xExpr, col("value"))
+      .collect().map { r =>
+        val Array(u, b) = r.getString(0).split('|')
+        (u, b.toLong) -> ((r.getLong(1), bits(r.get(2)), bits(r.get(3)),
+          bits(r.get(4))))
+      }.toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.trendStream(mem.toDS(), h, "4 hours")
+      .writeStream.format("memory").queryName("trend_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(50)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    mem.addData(Seq(SeriesPoint("sentinel", far, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(SeriesPoint("sentinel", far + 1, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trend_stream")
+      .filter(col("url") =!= "sentinel")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), bits(r.get(3)), bits(r.get(4)), bits(r.get(5))))).toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(streamed(("solo", h))._2 == Long.MinValue, "n=1 bucket: NULL slope")
+    assert(streamed(("flat", h))._4 == Long.MinValue, "flat bucket: NULL r2")
+  }
 }
