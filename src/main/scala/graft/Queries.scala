@@ -1626,7 +1626,37 @@ object Queries {
       ops.AnalyticsOps.interArrival(events(s, dir), col("user_id"),
           col("ts"), col("event_id"))
         .select(col("key").as("user_id"), col("n_gaps"), col("mean_gap_ms"),
-          col("min_gap_ms"), col("max_gap_ms"), col("cv"), col("burstiness")))
+          col("min_gap_ms"), col("max_gap_ms"), col("cv"), col("burstiness"))),
+
+    // --- autocorrelation rollup (oracle-backed): per-event-type ACF at
+    // lags 1..6 over hourly buckets — the seasonality fingerprint, q124's
+    // CCF turned inward. Same exact integer-cents alignment means; the lag
+    // fan-out + corr run at bucket granularity.
+    "q126_acf" -> ((s, dir) => {
+      val hourIdx = floor((unix_millis(col("ts").cast("timestamp"))
+        - lit(AnchorMs)) / lit(3600000.0)).cast("long")
+      val cents = events(s, dir)
+        .groupBy(col("event_type"), hourIdx.as("hb"))
+        .agg((sum(round(col("value") * lit(100.0)).cast("long"))
+          .cast("double")
+          / (lit(100.0) * count(lit(1)).cast("double"))).as("value"))
+      ops.AnalyticsOps.autoCorrelation(cents, col("event_type"),
+          col("hb"), col("value"), maxLag = 6)
+        .select(col("series").as("event_type"), col("lag"),
+          round(col("r"), 6).as("r"), col("n_buckets"))
+    }),
+
+    // --- event-type mix diversity (oracle-backed): per (user, day) Shannon
+    // entropy / normalized entropy / Gini-Simpson of the event_type
+    // distribution — exact integer counts, fixed type-ascending ln fold
+    // (the q116 discipline), raw doubles mirrored bit-for-bit.
+    "q127_type_entropy" -> ((s, dir) =>
+      ops.AnalyticsOps.typeEntropy(events(s, dir), col("user_id"),
+          unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+          col("event_type"))
+        .select(col("key").as("user_id"), col("period").as("day_ms"),
+          col("n_events"), col("n_types"), col("entropy"),
+          col("norm_entropy"), col("simpson")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3655,6 +3685,57 @@ FROM walk WHERE rn >= 1"""
         |              / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0))
         |          + CAST(sgs AS DOUBLE) / CAST(n_gaps AS DOUBLE))
         |  END AS burstiness
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // ACF mirror: the q124 alignment means turned inward (self-join on the
+    // series); corr rounds at 6dp like q124/q74
+    "q126_acf" ->
+      """WITH al AS (
+        |  SELECT event_type AS series,
+        |    CAST(floor((epoch_ms(ts) - 1704067200000) / 3600000.0)
+        |      AS BIGINT) AS bucket,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE)
+        |      / (100.0 * CAST(count(*) AS DOUBLE)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 7))
+        |SELECT a.series AS event_type, CAST(l.lag AS INT) AS lag,
+        |  round(corr(a.v, b.v), 6) AS r, count(*) AS n_buckets
+        |FROM al a CROSS JOIN lags l
+        |JOIN al b ON b.series = a.series AND b.bucket = a.bucket + l.lag
+        |GROUP BY 1, 2""".stripMargin,
+
+    // entropy mirror: exact integer cells; the entropy fold runs in the
+    // engine's exact type-ascending order from an explicit 0.0 (q116
+    // discipline) and the final negation/divisions are single fixed ops —
+    // raw doubles, no rounding
+    "q127_type_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |    event_type AS type, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT user_id, day_ms,
+        |    CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_types,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    list(c ORDER BY type) AS cs
+        |  FROM c GROUP BY 1, 2)
+        |SELECT user_id, day_ms, n_events, n_types,
+        |  0.0 - list_reduce(
+        |    list_prepend(0.0::DOUBLE, list_transform(cs, x ->
+        |      (CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))
+        |        * ln(CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE)))),
+        |    (acc, t) -> acc + t) AS entropy,
+        |  CASE WHEN n_types >= 2
+        |    THEN (0.0 - list_reduce(
+        |      list_prepend(0.0::DOUBLE, list_transform(cs, x ->
+        |        (CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE))
+        |          * ln(CAST(x AS DOUBLE) / CAST(n_events AS DOUBLE)))),
+        |      (acc, t) -> acc + t))
+        |      / ln(CAST(n_types AS DOUBLE))
+        |  END AS norm_entropy,
+        |  1.0 - CAST(s2 AS DOUBLE)
+        |    / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS simpson
+        |FROM g""".stripMargin
   )
 }

@@ -1974,4 +1974,85 @@ object AnalyticsOps {
           (sd - meanS) / (sd + meanS)))
       .drop("__sg", "__sgs", "__sgs2")
   }
+
+  /** Per-series autocorrelation function: Pearson r between each series'
+    * bucket values and the same series shifted by ℓ ∈ [1, maxLag] buckets
+    * (r at lag ℓ pairs v[t] with v[t+ℓ]). The seasonality fingerprint
+    * [[crossCorrelation]] computes across series, turned inward — an ACF
+    * spike at ℓ = 24 on hourly buckets is a daily cycle, and a slow decay
+    * is trend ([[graft.kernel.WindowSize]] uses the same statistic to pick
+    * kernel windows; this is its SQL-facing rollup form).
+    *
+    * Scale shape: identical to [[crossCorrelation]] — one event-sized
+    * alignment aggregate to (series, bucket) means, then the lag fan-out,
+    * self-join, and O(1)-state corr all run at bucket granularity
+    * (S · maxLag output rows). Buckets without a ℓ-ahead partner drop
+    * from that lag's sample (inner join). */
+  def autoCorrelation(
+      events: DataFrame,
+      seriesCol: Column,
+      bucketIdxCol: Column,
+      valueCol: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val aligned = events
+      .groupBy(seriesCol.as("series"), bucketIdxCol.cast("long").as("bucket"))
+      .agg(avg(valueCol).as("v"))
+    val a = aligned.select(col("series"), col("bucket"), col("v").as("__va"))
+    // the row at bucket t+lag re-keyed to t, so the join pairs v[t], v[t+lag]
+    val b = aligned
+      .withColumn("lag", explode(array((1 to maxLag).map(l => lit(l)): _*)))
+      .select(col("series"), (col("bucket") - col("lag")).as("bucket"),
+        col("lag"), col("v").as("__vb"))
+    a.join(b, Seq("series", "bucket"))
+      .groupBy("series", "lag")
+      .agg(corr(col("__va"), col("__vb")).as("r"),
+        count(lit(1)).as("n_buckets"))
+  }
+
+  /** Per-(key, period) categorical-mix diversity: Shannon entropy (nats),
+    * its [0, 1] normalization H/ln(k), and the Gini–Simpson index
+    * 1 − Σp² over the `typeCol` distribution — the crawl-diversity /
+    * traffic-mix rollup ("did this url collapse to one event type?")
+    * beside [[psiDrift]]'s period-over-period drift.
+    *
+    * Exactness: per-type counts, totals, and Σc² are exact integers under
+    * any partitioning; entropy is transcendental, so its terms fold in a
+    * FIXED type-ascending order from an explicit 0.0 over the collected
+    * (key, period)-sized cell list — the [[psiDrift]] discipline, ln parity
+    * JVM StrictMath ↔ libm per the q65/q116 precedent. A single-type group
+    * gets entropy exactly 0.0 (1·ln 1), NULL norm_entropy (ln 1 = 0
+    * denominator needs k ≥ 2), and simpson exactly 0.0. Scale shape: one
+    * event-sized hash aggregate to cells, then everything runs at cell
+    * granularity; no window, no sort of event-sized data. */
+  def typeEntropy(
+      events: DataFrame,
+      keyCol: Column,
+      periodCol: Column,
+      typeCol: Column): DataFrame = {
+    val cells = events
+      .groupBy(keyCol.as("key"), periodCol.as("period"), typeCol.as("type"))
+      .agg(count(lit(1)).as("c"))
+    val nd = col("n_events").cast("double")
+    cells
+      .groupBy("key", "period")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("__s2"),
+        sort_array(collect_list(struct(col("type"), col("c"))))
+          .as("__cells"))
+      .withColumn("entropy",
+        lit(0.0) - aggregate(
+          transform(col("__cells"), x => {
+            val p = x("c").cast("double") / nd
+            p * log(p)
+          }),
+          lit(0.0), (acc, t) => acc + t))
+      .withColumn("norm_entropy",
+        when(col("n_types") >= 2,
+          col("entropy") / log(col("n_types").cast("double"))))
+      .withColumn("simpson",
+        lit(1.0) - col("__s2").cast("double") / (nd * nd))
+      .select(col("key"), col("period"), col("n_events"), col("n_types"),
+        col("entropy"), col("norm_entropy"), col("simpson"))
+  }
 }

@@ -1201,4 +1201,51 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(math.abs(b.getDouble(6) - (sd - mean) / (sd + mean)) < 1e-12)
     assert(b.getDouble(6) > 0, "bursty series: positive index")
   }
+
+  test("autoCorrelation peaks at the true period") {
+    // v[t] has exact period 4: ACF must be exactly 1 at lag 4, lower at
+    // lags 1..3; the overlap shrinks by lag
+    def f(t: Int): Double = Array(1.0, 5.0, 2.0, 8.0)(t % 4)
+    val ev = (0 to 19).map(t => ("s", t.toLong, f(t))).toDF("s", "t", "value")
+    val out = AnalyticsOps.autoCorrelation(ev, col("s"), col("t"),
+        col("value"), maxLag = 4)
+      .collect().map(r => r.getInt(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.keySet == (1 to 4).toSet)
+    assert(math.abs(out(4)._1 - 1.0) < 1e-12, s"period 4: ${out(4)}")
+    assert(out(4)._2 == 16L, "overlap shrinks by lag")
+    (1 to 3).foreach { l =>
+      assert(out(l)._1 < 0.999, s"off-period lag $l too correlated: ${out(l)}")
+    }
+  }
+
+  test("typeEntropy: uniform, skewed, and single-type distributions") {
+    val ev = (Seq.fill(2)("a") ++ Seq.fill(2)("b")).map(("uni", 0L, _)) ++
+      (Seq.fill(3)("a") ++ Seq.fill(1)("b")).map(("skew", 0L, _)) ++
+      Seq.fill(4)("a").map(("mono", 0L, _))
+    val out = AnalyticsOps.typeEntropy(ev.toDF("k", "p", "t"),
+        col("k"), col("p"), col("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]), r.getDouble(6)))).toMap
+    // expected folds replicate the engine's exact type-ascending op order
+    def fold(cs: Seq[Long]): Double = {
+      val n = cs.sum.toDouble
+      0.0 - cs.foldLeft(0.0)((acc, c) =>
+        acc + (c / n) * StrictMath.log(c / n))
+    }
+    val uni = out("uni")
+    assert(uni._1 == 4L && uni._2 == 2L)
+    assert(uni._3 == fold(Seq(2L, 2L)))
+    assert(uni._4 == Some(fold(Seq(2L, 2L)) / StrictMath.log(2.0)))
+    assert(uni._5 == 0.5, "uniform 2-type Simpson: 1 - 8/16")
+    val skew = out("skew")
+    assert(skew._3 == fold(Seq(3L, 1L)))
+    assert(skew._3 < uni._3, "skew is less diverse than uniform")
+    assert(skew._5 == 1.0 - 10.0 / 16.0)
+    val mono = out("mono")
+    assert(mono._3 == 0.0 && !(mono._3.equals(-0.0)),
+      "single type: entropy exactly +0.0")
+    assert(mono._4.isEmpty, "k = 1: NULL normalized entropy")
+    assert(mono._5 == 0.0, "single type: Simpson 0")
+  }
 }
