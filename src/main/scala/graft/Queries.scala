@@ -1656,7 +1656,22 @@ object Queries {
           col("event_type"))
         .select(col("key").as("user_id"), col("period").as("day_ms"),
           col("n_events"), col("n_types"), col("entropy"),
-          col("norm_entropy"), col("simpson")))
+          col("norm_entropy"), col("simpson"))),
+
+    // --- rolling quantiles from the stored sketch tier (oracle-backed in
+    // the exact regime): trailing-7-day p50/p95/p99 per user from
+    // mergeable per-day MRL blobs — q117's trailing-WAU move applied to
+    // percentiles; raw events are never re-read. Every trailing window in
+    // this testdata holds far below k=512 values (max ~23 at sf0.1), so no
+    // compaction fires and the quantiles are exactly quantile_cont (q54's
+    // license — re-check if the generator changes); the compacted regime
+    // is QuantileSketchSpec's rank bound.
+    "q128_rolling_quantiles" -> ((s, dir) =>
+      ops.AnalyticsOps.rollingQuantileSketch(events(s, dir), col("user_id"),
+          col("ts"), col("value"), windowDays = 7)
+        .select(col("key").as("user_id"), col("day_ms"), col("window_n"),
+          round(col("p50"), 8).as("p50"), round(col("p95"), 8).as("p95"),
+          round(col("p99"), 8).as("p99")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3736,6 +3751,23 @@ FROM walk WHERE rn >= 1"""
         |  END AS norm_entropy,
         |  1.0 - CAST(s2 AS DOUBLE)
         |    / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS simpson
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // exact-regime mirror: below sketch capacity the engine's interpolated
+    // quantile IS quantile_cont (q54 precedent); the trailing window is an
+    // observed-day join over [day-6d, day]
+    "q128_rolling_quantiles" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |    epoch_ms(date_trunc('day', ts)) AS day, value AS v
+        |  FROM events),
+        |obs AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT o.user_id, o.day AS day_ms, count(*) AS window_n,
+        |  round(quantile_cont(e.v, 0.5), 8) AS p50,
+        |  round(quantile_cont(e.v, 0.95), 8) AS p95,
+        |  round(quantile_cont(e.v, 0.99), 8) AS p99
+        |FROM obs o JOIN e ON e.user_id = o.user_id
+        |  AND e.day BETWEEN o.day - 6 * 86400000 AND o.day
+        |GROUP BY 1, 2""".stripMargin
   )
 }

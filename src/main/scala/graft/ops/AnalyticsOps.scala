@@ -1527,6 +1527,66 @@ object AnalyticsOps {
       .select(timestamp_millis(col("day")).as("day"), col("actives_approx"))
   }
 
+  /** Trailing-`windowDays` quantiles from MERGEABLE per-day MRL sketches —
+    * [[rollingActivesSketch]]'s move applied to percentiles: one
+    * event-sized aggregate builds the per-(key, day) sketch tier (the
+    * persist-worthy column [[QuantileSketch]] already cascades in q54),
+    * then each trailing window is a bounded ×windowDays fan-out of stored
+    * blobs merged per target day — a rolling p99 latency dashboard that
+    * never re-reads raw events and never recomputes yesterday's sketches.
+    * Emits one row per OBSERVED (key, day), covering [day−w+1, day].
+    *
+    * Determinism & exactness: the per-target merge folds blobs in source-
+    * day order (sorted inside the bounded group), and below `k` total
+    * window values no compaction ever fires, so quantiles are EXACTLY
+    * quantile_cont under any partitioning — the regime the q128 oracle
+    * pins (q54's license). Past capacity the output is rank-error-bounded
+    * per `QuantileSketchSpec`. Scale shape: everything after the first
+    * aggregate is (key·day)-sized; the merge group holds ≤ windowDays
+    * sketches of O(k·log(n/k)) doubles each. */
+  def rollingQuantileSketch(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      windowDays: Int,
+      k: Int = 512): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    val skAgg = new QuantileSketch.SketchAgg(k).toColumn
+    // the stored tier: one sketch blob per (key, day)
+    val daily = events
+      .select(keyCol.cast("string").as("key"),
+        unix_millis(date_trunc("day", tsCol).cast("timestamp")).as("day"),
+        valueCol.cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(r => (r._1, r._2)).mapValues(_._3).agg(skAgg.name("sk"))
+    // each stored blob serves the windowDays target days it trails into
+    val fanned = daily.flatMap { case ((key, day), sk) =>
+      (0 until windowDays).iterator.map(i => (key, day + i * dayMs, day, sk))
+    }
+    fanned
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (kd: (String, Long), it: Iterator[(String, Long, Long, Kll)]) =>
+        val blobs = it.toArray.sortBy(_._3)
+        var sk = QuantileSketch.empty(k)
+        var observed = false
+        blobs.foreach { b =>
+          if (b._3 == kd._2) observed = true
+          sk = QuantileSketch.merge(sk, b._4)
+        }
+        (kd._1, kd._2, observed, sk.n,
+          QuantileSketch.quantile(sk, 0.5),
+          QuantileSketch.quantile(sk, 0.95),
+          QuantileSketch.quantile(sk, 0.99))
+      }
+      .filter(_._3)
+      .map(r => (r._1, r._2, r._4, r._5, r._6, r._7))
+      .toDF("key", "day_ms", "window_n", "p50", "p95", "p99")
+  }
+
   /** Population Stability Index drift — the ML-monitoring standard next to
     * [[histogramDrift]]'s total-variation distance: per (key, period),
     * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between the period's value

@@ -1248,4 +1248,43 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(mono._4.isEmpty, "k = 1: NULL normalized entropy")
     assert(mono._5 == 0.0, "single type: Simpson 0")
   }
+
+  test("rollingQuantileSketch: exact trailing quantiles, observed-day emit") {
+    val dayMs = 86400000L
+    val ev = Seq(
+      ("a", 0L, 1.0), ("a", 0L, 9.0),
+      ("a", 1 * dayMs, 5.0),
+      ("a", 3 * dayMs, 7.0),      // day 2 has no data: no row emitted
+      ("b", 0L, 2.0))
+      .map { case (k, ms, v) => (k, new java.sql.Timestamp(ms), v) }
+      .toDF("k", "ts", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      AnalyticsOps.rollingQuantileSketch(df, col("k"), col("ts"), col("v"),
+          windowDays = 3, k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+    val out = run(ev)
+    assert(out.keySet ==
+      Set(("a", 0L), ("a", dayMs), ("a", 3 * dayMs), ("b", 0L)),
+      "one row per OBSERVED (key, day) only")
+    // exact-regime expectation = quantile_cont, in the engine's op order
+    def qc(vals: Seq[Double], q: Double): Double = {
+      val s = vals.sorted
+      val pos = q * (s.length - 1)
+      val lo = math.floor(pos).toInt
+      val frac = pos - lo
+      if (frac == 0) s(lo) else s(lo) + frac * (s(lo + 1) - s(lo))
+    }
+    def exp(vals: Double*) =
+      ((vals.length.toLong, qc(vals, 0.5), qc(vals, 0.95), qc(vals, 0.99)))
+    assert(out(("a", 0L)) == exp(1.0, 9.0))
+    // a@1d covers days -1..1 -> {1, 5, 9}
+    assert(out(("a", dayMs)) == exp(1.0, 9.0, 5.0))
+    // a@3d covers days 1..3 -> {5, 7}: day 0 aged out of the window
+    assert(out(("a", 3 * dayMs)) == exp(5.0, 7.0))
+    assert(out(("b", 0L)) == ((1L, 2.0, 2.0, 2.0)), "n = 1: all quantiles")
+    assert(run(ev.repartition(7)) == out,
+      "exact regime is partition-order invariant")
+  }
 }
