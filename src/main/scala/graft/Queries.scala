@@ -1671,7 +1671,31 @@ object Queries {
           col("ts"), col("value"), windowDays = 7)
         .select(col("key").as("user_id"), col("day_ms"), col("window_n"),
           round(col("p50"), 8).as("p50"), round(col("p95"), 8).as("p95"),
-          round(col("p99"), 8).as("p99")))
+          round(col("p99"), 8).as("p99"))),
+
+    // --- crawl revisit scheduling (oracle-backed): Cho-Garcia-Molina
+    // bias-corrected change-rate estimator -> freshness-targeted recrawl
+    // interval per series. Integer change counts under a (ts, event_id)
+    // total order; fixed-order ln/divisions mirrored raw (q116
+    // discipline). One keyed window pass + one hash agg.
+    "q129_revisit_schedule" -> ((s, dir) =>
+      ops.AnalyticsOps.revisitSchedule(events(s, dir), col("user_id"),
+          col("ts"), col("event_id"), col("value"))
+        .select(col("key").as("user_id"), col("n_obs"), col("n_changes"),
+          col("mean_interval_ms"), col("lambda_per_day"),
+          col("revisit_hours"))),
+
+    // --- robust trimmed/winsorized mean (oracle-backed, EXACT): per
+    // (user, day) 10%-trimmed and winsorized means over integer cents —
+    // the outlier-resistant rollup a wild scrape can't poison. Rank+count
+    // share one exchange+sort; each mean is one fixed-order division.
+    "q130_trimmed_mean" -> ((s, dir) =>
+      ops.AnalyticsOps.trimmedMean(events(s, dir), col("user_id"),
+          unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+          col("value"), col("event_id"))
+        .select(col("key").as("user_id"), col("period").as("day_ms"),
+          col("n"), col("trimmed_each"), col("trimmed_mean"),
+          col("winsor_mean")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3768,6 +3792,68 @@ FROM walk WHERE rn >= 1"""
         |  round(quantile_cont(e.v, 0.99), 8) AS p99
         |FROM obs o JOIN e ON e.user_id = o.user_id
         |  AND e.day BETWEEN o.day - 6 * 86400000 AND o.day
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // revisit mirror: identical lag window, integer change counts, and the
+    // engine's exact double op order for mean interval, lambda, and the
+    // clamped tau (X = 0 answered by CASE on both sides, no inf-clamp
+    // parity needed)
+    "q129_revisit_schedule" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts,
+        |    CAST(round(value * 100.0) AS BIGINT) AS c,
+        |    lag(CAST(round(value * 100.0) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS pc
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_obs,
+        |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc <> c
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |    min(ts) AS f, max(ts) AS l
+        |  FROM c GROUP BY 1 HAVING count(*) >= 2),
+        |m AS (
+        |  SELECT user_id, n_obs, n_changes,
+        |    CAST(l - f AS DOUBLE) / (CAST(n_obs AS DOUBLE) - 1.0) AS mi,
+        |    (0.0 - ln((CAST(n_obs AS DOUBLE) - CAST(n_changes AS DOUBLE)
+        |               + 0.5)
+        |              / (CAST(n_obs AS DOUBLE) + 0.5)))
+        |      / (CAST(l - f AS DOUBLE) / (CAST(n_obs AS DOUBLE) - 1.0))
+        |      AS lam_ms
+        |  FROM s)
+        |SELECT user_id, n_obs, n_changes, mi AS mean_interval_ms,
+        |  lam_ms * 86400000.0 AS lambda_per_day,
+        |  CASE WHEN n_changes = 0 THEN 720.0
+        |       ELSE least(720.0, greatest(1.0,
+        |         (0.0 - ln(0.95)) / lam_ms / 3600000.0))
+        |  END AS revisit_hours
+        |FROM m""".stripMargin,
+
+    // trimmed-mean mirror: exact integer-cents ranks and sums; ::DOUBLE on
+    // the alpha literal (a bare 0.1 is DECIMAL in DuckDB and floors
+    // differently)
+    "q130_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |    CAST(round(value * 100.0) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY CAST(round(value * 100.0) AS BIGINT), event_id) AS rn,
+        |    count(*) OVER (
+        |      PARTITION BY user_id, date_trunc('day', ts)) AS n
+        |  FROM events),
+        |k AS (
+        |  SELECT user_id, day_ms, CAST(n AS BIGINT) AS n,
+        |    CAST(floor(0.1::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT) AS t,
+        |    CAST(sum(c) AS BIGINT) AS s, min(c) AS mn, max(c) AS mx,
+        |    count(*) AS kept
+        |  FROM r
+        |  WHERE rn > floor(0.1::DOUBLE * CAST(n AS DOUBLE))
+        |    AND rn <= CAST(n AS DOUBLE)
+        |      - floor(0.1::DOUBLE * CAST(n AS DOUBLE))
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, day_ms, n, t AS trimmed_each,
+        |  CAST(s AS DOUBLE) / (100.0 * CAST(kept AS DOUBLE)) AS trimmed_mean,
+        |  CAST(s + t * (mn + mx) AS DOUBLE)
+        |    / (100.0 * CAST(n AS DOUBLE)) AS winsor_mean
+        |FROM k""".stripMargin
   )
 }

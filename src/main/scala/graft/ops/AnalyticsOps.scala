@@ -2070,6 +2070,108 @@ object AnalyticsOps {
         count(lit(1)).as("n_buckets"))
   }
 
+  /** Crawl revisit scheduling — the Cho–Garcia-Molina (TOIT 2003)
+    * frequency-of-change estimator turned into a per-url recrawl policy:
+    * from n observations of which X showed a changed value, the
+    * bias-corrected Poisson rate is λ̂·Δ̄ = −ln((n−X+0.5)/(n+0.5)) (finite
+    * even at X = n, exactly 0 at X = 0), and the revisit interval that
+    * keeps expected freshness ≥ `freshness` is τ = −ln(freshness)/λ̂,
+    * clamped to [minHours, maxHours] (a never-changing page degrades to
+    * the max cadence via τ = +∞ → clamp, not a special case).
+    *
+    * Exactness: change detection compares integer cents to the previous
+    * observation under a (ts, tie) total order, so n/X/first/last are
+    * exact integers at any parallelism; Δ̄, λ̂ and τ are fixed-order
+    * doubles over those integers (ln parity JVM ↔ libm per the q65/q116
+    * precedent), mirrored verbatim by the oracle. Scale shape: one keyed
+    * window pass ([[deltaRate]]'s single hash exchange) + one hash
+    * aggregate; only keys with ≥ 2 observations emit. */
+  def revisitSchedule(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      valueCol: Column,
+      freshness: Double = 0.95,
+      minHours: Double = 1.0,
+      maxHours: Double = 720.0): DataFrame = {
+    require(freshness > 0 && freshness < 1,
+      s"freshness must be in (0, 1), got $freshness")
+    require(minHours > 0 && minHours <= maxHours,
+      s"need 0 < minHours <= maxHours, got [$minHours, $maxHours]")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val tsMs = unix_millis(tsCol.cast("timestamp"))
+    val cents = round(valueCol * lit(100.0)).cast("long")
+    val changed = when(lag(cents, 1).over(w).isNotNull &&
+      lag(cents, 1).over(w) =!= cents, 1L).otherwise(0L)
+    val stats = events
+      .select(keyCol.as("key"), tsMs.as("__ts"), changed.as("__chg"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_obs"), sum("__chg").as("n_changes"),
+        min("__ts").as("__first"), max("__ts").as("__last"))
+      .filter(col("n_obs") >= 2)
+    val nd = col("n_obs").cast("double")
+    val meanMs = (col("__last") - col("__first")).cast("double") / (nd - lit(1.0))
+    val lamMs = (lit(0.0) - log((nd - col("n_changes").cast("double")
+      + lit(0.5)) / (nd + lit(0.5)))) / meanMs
+    val tauHours = (lit(0.0) - log(lit(freshness))) / lamMs / lit(3600000.0)
+    stats
+      .withColumn("mean_interval_ms", meanMs)
+      .withColumn("lambda_per_day", lamMs * lit(86400000.0))
+      // X = 0 pins λ̂ to exactly 0.0 (−ln 1); τ would be a ÷0 — answer the
+      // policy question directly instead of relying on ∞-clamp parity
+      .withColumn("revisit_hours",
+        when(col("n_changes") === 0, lit(maxHours))
+          .otherwise(least(lit(maxHours), greatest(lit(minHours), tauHours))))
+      .drop("__first", "__last")
+  }
+
+  /** Robust central tendency per (key, period): the α-trimmed mean (drop
+    * the floor(α·n) smallest and largest values) and the matching
+    * winsorized mean (clamp them to the kept range instead) — the
+    * outlier-resistant rollup between [[zscoreOutliers]]'s flagging and a
+    * plain average that one wild scrape can poison.
+    *
+    * EXACT cross-engine: values rank as integer cents under a
+    * (cents, tie) total order, the kept-range sums/mins/maxes are exact
+    * integers at any parallelism, and each mean is ONE fixed-order double
+    * division — winsorization needs no second pass because the clamped
+    * tails contribute exactly t·(min_kept + max_kept) cents. Groups with
+    * n ≤ 2·floor(α·n) (nothing survives the trim) emit nothing. Scale
+    * shape: one keyed window pass (rank + count share a single sort) and
+    * one hash aggregate; no group is ever buffered. */
+  def trimmedMean(
+      events: DataFrame,
+      keyCol: Column,
+      periodCol: Column,
+      valueCol: Column,
+      tieCol: Column,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, s"alpha must be in [0, 0.5), got $alpha")
+    val cents = round(valueCol * lit(100.0)).cast("long")
+    // rank and count share one (key, period) exchange + sort
+    val ranked = events
+      .select(keyCol.as("key"), periodCol.as("period"), cents.as("__c"),
+        tieCol.as("__tie"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("key", "period").orderBy(col("__c"), col("__tie"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("key", "period")))
+    val t = floor(lit(alpha) * col("__n")).cast("long")
+    ranked
+      .filter(col("__rn") > t && col("__rn") <= col("__n") - t)
+      .groupBy(col("key"), col("period"), col("__n").as("n"),
+        floor(lit(alpha) * col("__n")).cast("long").as("trimmed_each"))
+      .agg(sum("__c").as("__sum"), min("__c").as("__min"),
+        max("__c").as("__max"), count(lit(1)).as("__kept"))
+      .select(col("key"), col("period"), col("n"), col("trimmed_each"),
+        (col("__sum").cast("double")
+          / (lit(100.0) * col("__kept").cast("double"))).as("trimmed_mean"),
+        ((col("__sum") + col("trimmed_each") * (col("__min") + col("__max")))
+          .cast("double")
+          / (lit(100.0) * col("n").cast("double"))).as("winsor_mean"))
+  }
+
   /** Per-(key, period) categorical-mix diversity: Shannon entropy (nats),
     * its [0, 1] normalization H/ln(k), and the Gini–Simpson index
     * 1 − Σp² over the `typeCol` distribution — the crawl-diversity /

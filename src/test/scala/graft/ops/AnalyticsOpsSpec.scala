@@ -1287,4 +1287,52 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(run(ev.repartition(7)) == out,
       "exact regime is partition-order invariant")
   }
+
+  test("revisitSchedule: Cho-GM estimator, static and clamp edges") {
+    val h = 3600000L
+    val d = 24 * h
+    val ev = (
+      // "chg": 4 obs a day apart, 1 change -> tau lands inside the clamps
+      Seq(10.0, 10.0, 20.0, 20.0).zipWithIndex.map { case (v, i) =>
+        ("chg", i * d, i.toLong, v) } ++
+      // "static": value never changes -> lambda exactly 0, max cadence
+      (0 until 4).map(i => ("static", i * h, i.toLong, 7.0)) ++
+      // "fast": every second a change -> tau below the min clamp
+      Seq(1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        ("fast", i * 1000L, i.toLong, v) } ++
+      Seq(("solo", 0L, 9L, 1.0))
+    ).map { case (u, ms, id, v) => (u, new java.sql.Timestamp(ms), id, v) }
+      .toDF("u", "ts", "event_id", "value")
+    val out = AnalyticsOps.revisitSchedule(ev, col("u"), col("ts"),
+        col("event_id"), col("value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(!out.contains("solo"), "n = 1 cannot estimate a rate")
+    val chg = out("chg")
+    assert(chg._1 == 4L && chg._2 == 1L && chg._3 == d.toDouble)
+    // lambda*interval = -ln((4-1+0.5)/4.5), in the engine's op order
+    val lamMs = (0.0 - StrictMath.log(3.5 / 4.5)) / d.toDouble
+    assert(chg._4 == lamMs * 86400000.0)
+    assert(chg._5 == (0.0 - StrictMath.log(0.95)) / lamMs / 3600000.0,
+      "in-range tau is unclamped")
+    val st = out("static")
+    assert(st._2 == 0L && st._4 == 0.0 && st._5 == 720.0,
+      "never-changing page: lambda exactly 0, max cadence")
+    assert(out("fast")._5 == 1.0, "sub-minimum tau clamps to minHours")
+  }
+
+  test("trimmedMean drops exact tail ranks; winsorized clamps them") {
+    val vals = Seq(0.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 20.0, 100.0)
+    val ev = (vals.zipWithIndex.map { case (v, i) => ("k", 1L, i.toLong, v) } ++
+      Seq(("one", 1L, 99L, 5.0)))
+      .toDF("u", "p", "event_id", "value")
+    val out = AnalyticsOps.trimmedMean(ev, col("u"), col("p"), col("value"),
+        col("event_id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // n=10, t=1: kept = {2..8, 20}: sum 5500 cents over 8
+    assert(out("k") == ((10L, 1L, 5500.0 / 800.0, (5500.0 + 2200.0) / 1000.0)))
+    assert(out("one") == ((1L, 0L, 5.0, 5.0)), "t = 0: both are the mean")
+  }
 }
