@@ -433,6 +433,60 @@ object StreamStage {
         col("n"), col("slope"), col("intercept"), col("r2"))
   }
 
+  /** STREAMING categorical-mix diversity — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.typeEntropy]]: per closed (user, bucket),
+    * Shannon entropy / normalized entropy / Gini–Simpson of the etype
+    * distribution. TWO CHAINED native watermarked aggregations (Spark's
+    * multiple-stateful-operator support): the first maintains the
+    * (user, bucket, type) cell counts — O(open buckets × occupied types)
+    * state, the same tier a store would persist — and appends each cell
+    * exactly once on watermark close; the second re-windows those cells
+    * via `window_time` and folds the diversity row per closed bucket.
+    * No custom state code anywhere.
+    *
+    * Closed buckets equal the batch op BIT-FOR-BIT: the cell counts are
+    * exact integers under any arrival order, the entropy fold runs in the
+    * same fixed type-ascending order over the sorted cell list, and the
+    * finalize divisions are single fixed ops (spec-pinned under shuffled
+    * late arrivals, including the single-type NULL-norm edge). */
+  def entropyStream(
+      events: Dataset[ActivityPoint],
+      bucketMs: Long = 86400000L,
+      lateness: String = "10 minutes"): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val cells = events.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("user").as("key"),
+        window(col("event_time"), s"$bucketMs milliseconds"),
+        col("etype").as("type"))
+      .agg(count(lit(1)).as("c"))
+    val nd = col("n_events").cast("double")
+    cells
+      .groupBy(col("key"),
+        window(window_time(col("window")), s"$bucketMs milliseconds").as("w2"))
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("__s2"),
+        sort_array(collect_list(struct(col("type"), col("c"))))
+          .as("__cells"))
+      .withColumn("entropy",
+        lit(0.0) - aggregate(
+          transform(col("__cells"), x => {
+            val p = x("c").cast("double") / nd
+            p * log(p)
+          }),
+          lit(0.0), (acc, t) => acc + t))
+      .withColumn("norm_entropy",
+        when(col("n_types") >= 2,
+          col("entropy") / log(col("n_types").cast("double"))))
+      .withColumn("simpson",
+        lit(1.0) - col("__s2").cast("double") / (nd * nd))
+      .select(col("key"), unix_millis(col("w2.start")).as("bucket_start"),
+        col("n_events"), col("n_types"), col("entropy"), col("norm_entropy"),
+        col("simpson"))
+  }
+
   /** STREAMING gap-based sessionization — the unbounded twin of
     * [[graft.ops.SessionOps.sessionize]]. A session closes when event time
     * advances past its end by more than `gapMs` within the stream, or when

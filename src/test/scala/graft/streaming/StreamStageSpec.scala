@@ -1520,4 +1520,54 @@ class StreamStageSpec extends SparkTestBase {
     assert(streamed(("solo", h))._2 == Long.MinValue, "n=1 bucket: NULL slope")
     assert(streamed(("flat", h))._4 == Long.MinValue, "flat bucket: NULL r2")
   }
+
+  test("streaming entropy (chained window aggs) equals batch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(83)
+    val dayMs = 86400000L
+    val types = Array("view", "click", "buy", "share")
+    // 2 users x 2 days of skewed type mixes + a single-type day
+    val all = (for (u <- 0 until 2; d <- 0 until 2; i <- 0 until 30) yield
+      ActivityPoint(s"u$u", types(rng.nextInt(1 + (i % types.length))),
+        dayMs + d * dayMs + rng.nextInt(dayMs.toInt))) ++
+      (0 until 5).map(i => ActivityPoint("mono", "view", dayMs + i * 1000L))
+    def bits(v: Any): Long = v match {
+      case null => Long.MinValue
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+    }
+    val batch = graft.ops.AnalyticsOps.typeEntropy(
+        all.toDF(), col("user"), col("ts") - pmod(col("ts"), lit(dayMs)),
+        col("etype"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), bits(r.get(4)), bits(r.get(5)),
+          bits(r.get(6))))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ActivityPoint]
+    val q = StreamStage.entropyStream(mem.toDS(), dayMs, "2 days")
+      .writeStream.format("memory").queryName("entropy_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(40)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * dayMs
+    // two sentinel advances: the watermark has to propagate through BOTH
+    // stateful aggregations before the finalize rows append
+    for (i <- 0 until 3) {
+      mem.addData(Seq(ActivityPoint("sentinel", "view", far + i)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("entropy_stream")
+      .filter(col("key") =!= "sentinel")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), bits(r.get(4)), bits(r.get(5)),
+          bits(r.get(6))))).toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(streamed(("mono", dayMs))._4 == Long.MinValue,
+      "single-type bucket: NULL normalized entropy")
+  }
 }
