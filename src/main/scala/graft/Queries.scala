@@ -1695,7 +1695,14 @@ object Queries {
           col("value"), col("event_id"))
         .select(col("key").as("user_id"), col("period").as("day_ms"),
           col("n"), col("trimmed_each"), col("trimmed_mean"),
-          col("winsor_mean")))
+          col("winsor_mean"))),
+
+    // --- per-doc TF-IDF keywords (oracle-backed): top-5 terms by
+    // tf*(ln((N+1)/(df+1))+1) with a deterministic (score DESC, term)
+    // rank — exact integer tf/df/N, two fixed-order double ops, raw
+    // scores mirrored. WindowGroupLimit keeps the sort k-bounded.
+    "q131_keywords" -> ((s, dir) =>
+      TextOps.keywordTfidf(documents(s, dir), k = 5))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3854,6 +3861,30 @@ FROM walk WHERE rn >= 1"""
         |  CAST(s AS DOUBLE) / (100.0 * CAST(kept AS DOUBLE)) AS trimmed_mean,
         |  CAST(s + t * (mn + mx) AS DOUBLE)
         |    / (100.0 * CAST(n AS DOUBLE)) AS winsor_mean
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    // TF-IDF keyword mirror: identical tokenization, exact integer tf/df/N,
+    // the engine's score op order, and the same (score DESC, term) rank
+    "q131_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter($tokExpr, tk -> len(tk) > 0) AS t
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         |    CAST(df.df AS BIGINT) AS df,
+         |    CAST(tf.tf AS DOUBLE)
+         |      * (ln((CAST(nd.n AS DOUBLE) + 1.0)
+         |             / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+         |SELECT doc_id, rank, term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin
   )
 }

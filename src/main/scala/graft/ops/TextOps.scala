@@ -49,6 +49,41 @@ object TextOps {
       row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
   }
 
+  /** Top-k TF-IDF keywords per document — the per-doc companion to
+    * [[vocabulary]]'s corpus view and [[bm25]]'s query-side scoring:
+    * score = tf · (ln((N+1)/(df+1)) + 1) (the smoothed-idf convention that
+    * never zeroes a corpus-wide term), top `k` terms per doc under a
+    * deterministic (score DESC, term ASC) order.
+    *
+    * EXACT cross-engine: tf/df/N are exact integers at any partitioning
+    * and the score is two fixed-order double ops over them (ln parity per
+    * the q65 precedent), so ranks agree bit-for-bit and raw scores mirror.
+    * Scale shape: explode + two hash aggregates; the df join shuffles at
+    * (doc, term) granularity on the term key (no vocabulary broadcast
+    * needed); N arrives as a broadcast 1-row aggregate; the rank window's
+    * `rank <= k` filter pushes down as WindowGroupLimit, so no doc's full
+    * term list survives the sort. */
+  def keywordTfidf(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") *
+        (log((col("n").cast("double") + lit(1.0))
+          / (col("df").cast("double") + lit(1.0))) + lit(1.0)))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length; `keep` mirrors common crawl-cleaning heuristics. */
   def qualityScore(documents: DataFrame): DataFrame = {

@@ -8,16 +8,16 @@ import org.apache.spark.sql.SparkSession
 object SortScan {
   // q09/q19 broadcast a tiny query side into an NLJ by design (plan-pinned);
   // q29 is a bounded ≤60-doc oracle pin with an explicit theta join;
-  // q37/q65/q112/q118 crossJoin a broadcast 1-ROW anchor/stats aggregate
+  // q37/q65/q112/q118/q131 crossJoin a broadcast 1-ROW anchor/stats aggregate
   // (the SinglePartition exchange under it is the global agg producing that
   // one row — aggregate-sized, plan-pinned in PlanSpec)
   private val allowedNlj =
     Set("q09_topk_cosine", "q19_ivf_topk", "q29_jaccard_exact",
       "q37_retention_expiry", "q65_bm25", "q112_staleness",
-      "q118_lm_perplexity")
+      "q118_lm_perplexity", "q131_keywords")
   private val allowedSinglePartition =
     Set("q37_retention_expiry", "q65_bm25", "q112_staleness",
-      "q118_lm_perplexity")
+      "q118_lm_perplexity", "q131_keywords")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

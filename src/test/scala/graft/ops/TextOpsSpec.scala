@@ -99,4 +99,27 @@ class TextOpsSpec extends SparkTestBase {
     // boilerplate as more probable, the CCNet premise
     assert(x2 < x1, "doc of only the frequent bigram scores lower xent")
   }
+
+  test("keywordTfidf ranks rare repeated terms first, deterministic ties") {
+    val docs = Seq(
+      1L -> "apple apple banana common common common",
+      2L -> "banana cherry common",
+      3L -> "common date date").toDF("doc_id", "text")
+    val out = TextOps.keywordTfidf(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // score replicated in the engine's exact op order (StrictMath.log)
+    def sc(tf: Long, df: Long): Double =
+      tf.toDouble * (StrictMath.log((3.0 + 1.0) / (df.toDouble + 1.0)) + 1.0)
+    assert(out.size == 6, "k=2 rows per doc")
+    // doc 1: apple tf=2 df=1 beats common tf=3 df=3
+    assert(out((1L, 1)) == (("apple", 2L, 1L, sc(2, 1))))
+    assert(sc(2, 1) > sc(3, 3), "rare repeated term outranks boilerplate")
+    assert(out((1L, 2)) == (("common", 3L, 3L, sc(3, 3))))
+    // doc 2: banana and cherry tie at tf=1 — banana df=2 scores lower than
+    // cherry df=1; rank is by score first
+    assert(out((2L, 1)) == (("cherry", 1L, 1L, sc(1, 1))))
+    assert(out((2L, 2)) == (("banana", 1L, 2L, sc(1, 2))))
+    assert(out((3L, 1)) == (("date", 2L, 1L, sc(2, 1))))
+  }
 }
