@@ -1702,7 +1702,18 @@ object Queries {
     // rank — exact integer tf/df/N, two fixed-order double ops, raw
     // scores mirrored. WindowGroupLimit keeps the sort k-bounded.
     "q131_keywords" -> ((s, dir) =>
-      TextOps.keywordTfidf(documents(s, dir), k = 5))
+      TextOps.keywordTfidf(documents(s, dir), k = 5)),
+
+    // --- daily traffic concentration (oracle-backed, EXACT): Gini / HHI /
+    // top-share over per-user event counts — the crawl-equity rollup.
+    // Integer rank-weighted sums; three fixed-order divisions; the window
+    // rank runs at unit granularity, never event-sized.
+    "q132_concentration" -> ((s, dir) =>
+      ops.AnalyticsOps.concentration(events(s, dir),
+          unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+          col("user_id"))
+        .select(col("period").as("day_ms"), col("n_units"), col("total"),
+          col("gini"), col("hhi"), col("top_share")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3885,6 +3896,34 @@ FROM walk WHERE rn >= 1"""
          |SELECT doc_id, rank, term, tf, df, score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, term) AS rank FROM s)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+
+    // concentration mirror: exact integer rank-weighted Gini numerator and
+    // HHI squares under the identical (count, unit) rank order; three
+    // fixed-order divisions
+    "q132_concentration" ->
+      """WITH c AS (
+        |  SELECT epoch_ms(date_trunc('day', ts)) AS period, user_id AS unit,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT period, c,
+        |    CAST(row_number() OVER (PARTITION BY period
+        |      ORDER BY c, unit) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY period) AS BIGINT) AS n
+        |  FROM c),
+        |g AS (
+        |  SELECT period, n AS n_units,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum((2 * i - n - 1) * c) AS BIGINT) AS gnum,
+        |    CAST(sum(c * c) AS BIGINT) AS c2, max(c) AS cmax
+        |  FROM r GROUP BY 1, 2)
+        |SELECT period AS day_ms, n_units, total,
+        |  CAST(gnum AS DOUBLE)
+        |    / (CAST(n_units AS DOUBLE) * CAST(total AS DOUBLE)) AS gini,
+        |  CAST(c2 AS DOUBLE)
+        |    / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi,
+        |  CAST(cmax AS DOUBLE) / CAST(total AS DOUBLE) AS top_share
+        |FROM g""".stripMargin
   )
 }

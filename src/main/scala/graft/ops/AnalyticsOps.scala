@@ -2172,6 +2172,46 @@ object AnalyticsOps {
           / (lit(100.0) * col("n").cast("double"))).as("winsor_mean"))
   }
 
+  /** Per-period traffic concentration over units (urls, hosts, shards):
+    * the Gini coefficient (rank-weighted form
+    * G = Σᵢ(2i−n−1)·cᵢ / (n·Σc) over counts sorted ascending), the
+    * Herfindahl–Hirschman index Σ(cᵢ/Σc)², and the top unit's share —
+    * the crawl-equity / hot-shard rollup: "is today's traffic one host?"
+    * answered next to [[typeEntropy]]'s within-series mix.
+    *
+    * EXACT cross-engine: unit counts are exact integers; the Gini
+    * numerator Σ(2i−n−1)·cᵢ and the HHI numerator Σcᵢ² are exact integer
+    * sums (ranks are deterministic under the (count, unit) order), and
+    * each index is ONE fixed-order double division. Scale shape: one
+    * event-sized hash aggregate to (period, unit) counts, then a
+    * unit-count-sized window rank + hash aggregate per period — no
+    * event-sized sort anywhere. */
+  def concentration(
+      events: DataFrame,
+      periodCol: Column,
+      unitCol: Column): DataFrame = {
+    val counts = events
+      .groupBy(periodCol.as("period"), unitCol.as("unit"))
+      .agg(count(lit(1)).as("c"))
+    val i = row_number().over(
+      Window.partitionBy("period").orderBy(col("c"), col("unit"))).cast("long")
+    val ranked = counts
+      .withColumn("__w", (lit(2L) * i - count(lit(1)).over(
+        Window.partitionBy("period")) - lit(1L)) * col("c"))
+    val agg = ranked
+      .groupBy("period")
+      .agg(count(lit(1)).as("n_units"), sum("c").as("total"),
+        sum("__w").as("__gnum"), sum(col("c") * col("c")).as("__c2"),
+        max("c").as("__cmax"))
+    val sd = col("total").cast("double")
+    agg
+      .withColumn("gini",
+        col("__gnum").cast("double") / (col("n_units").cast("double") * sd))
+      .withColumn("hhi", col("__c2").cast("double") / (sd * sd))
+      .withColumn("top_share", col("__cmax").cast("double") / sd)
+      .drop("__gnum", "__c2", "__cmax")
+  }
+
   /** Per-(key, period) categorical-mix diversity: Shannon entropy (nats),
     * its [0, 1] normalization H/ln(k), and the Gini–Simpson index
     * 1 − Σp² over the `typeCol` distribution — the crawl-diversity /

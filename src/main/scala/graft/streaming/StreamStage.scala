@@ -78,6 +78,13 @@ final case class ChangeBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     runTs: Long, runTie: Long, runVal: Double, runLen: Long, primed: Boolean)
 
 /** One flagged point from [[StreamStage.madStream]] (bucket = epoch ms). */
+/** Output row of [[StreamStage.trimmedStream]]. */
+final case class TrimOut(url: String, bucket: Long, n: Long,
+    trimmed_each: Long, trimmed_mean: Double, winsor_mean: Double)
+
+/** One buffered open bucket of [[StreamStage.trimmedStream]]. */
+final case class TrimBuf(vs: Array[Double])
+
 final case class MadOut(url: String, bucket: Long, tie: Long, value: Double,
     median: Double, mad: Double, is_outlier: Boolean)
 
@@ -1691,6 +1698,66 @@ object StreamStage {
               MadBuf(Array.emptyLongArray, Array.emptyDoubleArray))
             val inc = rows.map(r => (r._3, r._4)).toArray
             state.update(MadBuf(prev.tie ++ inc.map(_._1), prev.vs ++ inc.map(_._2)))
+            state.setTimeoutTimestamp(math.max(bucket + bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** STREAMING robust trimmed/winsorized mean — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.trimmedMean]], per closed (url, bucket):
+    * rank trimming is inherently whole-group (a late row can shift every
+    * rank), so it buffers ONE bucket per key and emits exactly once when
+    * the watermark closes it — the [[zscoreStream]]/[[madStream]]
+    * discipline, state bounded by bucket span + lateness. Cents replicate
+    * the batch op's `round(value·100)` (BigDecimal HALF_UP on the double
+    * product), the trim count is the same `floor(α·n)` double op, and both
+    * means are the same single fixed-order divisions — emitted rows equal
+    * batch q130's rows for closed buckets EXACTLY. Ranks sort by cents
+    * alone: the kept MULTISET is tie-order invariant, so no tie column is
+    * needed for aggregate outputs. */
+  def trimmedStream(
+      points: Dataset[SeriesPoint],
+      bucketMs: Long,
+      alpha: Double = 0.1,
+      lateness: String = "10 minutes"): Dataset[TrimOut] = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    require(alpha >= 0 && alpha < 0.5, s"alpha must be in [0, 0.5), got $alpha")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the batch op's cents: Spark Round(value * 100.0) = BigDecimal
+    // HALF_UP on the DOUBLE product (not a decimal cast of the raw value)
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v * 100.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs))).as("bucket"),
+        col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long),
+         rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[TrimBuf]) => {
+          val (url, bucket) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val sorted = s.vs.map(cents).sorted
+            val n = sorted.length
+            val t = math.floor(alpha * n.toDouble).toLong
+            val kept = sorted.slice(t.toInt, n - t.toInt)
+            val sum = kept.foldLeft(0L)(_ + _)
+            val trimmed = sum.toDouble / (100.0 * kept.length.toDouble)
+            val winsor = (sum + t * (kept.head + kept.last)).toDouble /
+              (100.0 * n.toDouble)
+            Iterator.single(TrimOut(url, bucket, n.toLong, t, trimmed, winsor))
+          } else {
+            val prev = state.getOption.getOrElse(TrimBuf(Array.emptyDoubleArray))
+            state.update(TrimBuf(prev.vs ++ rows.map(_._3)))
             state.setTimeoutTimestamp(math.max(bucket + bucketMs,
               state.getCurrentWatermarkMs() + 1L))
             Iterator.empty

@@ -1335,4 +1335,22 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out("k") == ((10L, 1L, 5500.0 / 800.0, (5500.0 + 2200.0) / 1000.0)))
     assert(out("one") == ((1L, 0L, 5.0, 5.0)), "t = 0: both are the mean")
   }
+
+  test("concentration: Gini/HHI/top-share on hand distributions") {
+    val ev = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c"))
+      .map(("skew", _)) ++
+      (Seq.fill(2)("a") ++ Seq.fill(2)("b")).map(("equal", _)) ++
+      Seq.fill(3)("a").map(("mono", _))
+    val out = AnalyticsOps.concentration(ev.toDF("p", "u"),
+        col("p"), col("u"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // skew {1,1,2}: gnum = -2 + 0 + 4 = 2 -> G = 2/12; HHI = 6/16
+    assert(out("skew") == ((3L, 4L, 2.0 / 12.0, 6.0 / 16.0, 0.5)))
+    assert(out("equal")._3 == 0.0, "perfect equality: Gini exactly 0")
+    assert(out("equal")._4 == 0.5 && out("equal")._5 == 0.5)
+    assert(out("mono") == ((1L, 3L, 0.0, 1.0, 1.0)),
+      "single unit: Gini 0, HHI 1, full share")
+  }
 }

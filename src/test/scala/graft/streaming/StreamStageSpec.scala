@@ -1570,4 +1570,49 @@ class StreamStageSpec extends SparkTestBase {
     assert(streamed(("mono", dayMs))._4 == Long.MinValue,
       "single-type bucket: NULL normalized entropy")
   }
+
+  test("streaming trimmed mean equals batch trimmedMean bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(97)
+    val dayMs = 86400000L
+    val all = (for (u <- 0 until 2; b <- 0 until 2; i <- 0 until 25) yield
+      SeriesPoint(s"u$u", dayMs + b * dayMs + rng.nextInt(dayMs.toInt),
+        math.floor(rng.nextDouble() * 10000) / 100.0)) ++
+      Seq(SeriesPoint("solo", dayMs + 5000L, 3.21))
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    // aggregate outputs are tie-order invariant, so a constant tie is fine
+    val batch = graft.ops.AnalyticsOps.trimmedMean(all.toDF(),
+        col("url"), col("ts") - pmod(col("ts"), lit(dayMs)), col("value"),
+        lit(0L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), bits(r.getDouble(4)),
+          bits(r.getDouble(5))))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.trimmedStream(mem.toDS(), dayMs, 0.1, "4 days")
+      .writeStream.format("memory").queryName("trim_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(30)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * dayMs
+    for (i <- 0 until 2) {
+      mem.addData(Seq(SeriesPoint("sentinel", far + i, 0.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("trim_stream")
+      .filter(col("url") =!= "sentinel")
+      .as[TrimOut].collect()
+      .map(o => (o.url, o.bucket) ->
+        ((o.n, o.trimmed_each, bits(o.trimmed_mean), bits(o.winsor_mean))))
+      .toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(streamed(("solo", dayMs)) == ((1L, 0L, bits(3.21), bits(3.21))),
+      "n = 1: untrimmed")
+  }
 }
