@@ -1713,7 +1713,20 @@ object Queries {
           unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
           col("user_id"))
         .select(col("period").as("day_ms"), col("n_units"), col("total"),
-          col("gini"), col("hhi"), col("top_share")))
+          col("gini"), col("hhi"), col("top_share"))),
+
+    // --- token-bucket rate-limit audit (oracle-backed, EXACT): replay
+    // each series against a 0.001 token/s, burst-2 bucket via the
+    // time-anchored tropical segmented scan (the q102 machinery — one
+    // event shuffle, integer nano-tokens, bit-identical to the
+    // sequential recurrence at any chunking). The crawl-politeness
+    // compliance report.
+    "q133_rate_limit" -> ((s, dir) =>
+      ops.AnalyticsOps.rateLimitAudit(events(s, dir), col("user_id"),
+          col("ts"), col("event_id"), ratePerSec = 0.001, burst = 2.0,
+          bucketMs = 86400000L, anchorMs = AnchorMs)
+        .select(col("tie").as("event_id"), col("key").as("user_id"),
+          col("ts"), col("burst_used"), col("violation")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3924,6 +3937,33 @@ FROM walk WHERE rn >= 1"""
         |  CAST(c2 AS DOUBLE)
         |    / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi,
         |  CAST(cmax AS DOUBLE) / CAST(total AS DOUBLE) AS top_share
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // rate-limit mirror: the SEQUENTIAL token-bucket recurrence in integer
+    // nano-tokens (refill-then-consume, debt clamped at full) — the
+    // engine's tropical scan is exactly this walk (the q102 license: the
+    // (max, +) semiring over integers has no FP to mirror). r = 0.001
+    // token/s = 1000 nano/ms; c = 1e9; burst = 2e9.
+    "q133_rate_limit" ->
+      """WITH RECURSIVE rord AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events
+        |), walk AS (
+        |  SELECT user_id, 0::BIGINT AS rn, NULL::BIGINT AS event_id,
+        |    NULL::BIGINT AS tms, 0::BIGINT AS s
+        |  FROM (SELECT DISTINCT user_id FROM rord)
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.event_id, o.tms,
+        |    greatest(0, w.s - 1000 * (o.tms - coalesce(w.tms, o.tms)))
+        |      + 1000000000 AS s
+        |  FROM rord o JOIN walk w
+        |    ON o.user_id = w.user_id AND o.rn = w.rn + 1
+        |)
+        |SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts,
+        |  CAST(s AS DOUBLE) / 1000000000.0 AS burst_used,
+        |  s > 2000000000 AS violation
+        |FROM walk WHERE rn > 0""".stripMargin
   )
 }

@@ -34,6 +34,16 @@ private[ops] final case class CusumChunk(key: String, bucket: Long,
     m: Long, t: Long)
 private[ops] final case class CusumInit(key: String, bucket: Long, sIn: Long)
 
+/** Phase-1 row of [[AnalyticsOps.rateLimitAudit]]: the row's chunk-prefix
+  * tropical affine (mPre, tPre) on the time-anchored debt u = s + r·t′ —
+  * the row's u is max(mPre, u_in + tPre) once the chunk's incoming u_in is
+  * known. All arithmetic is integer nano-tokens, so the scan is EXACT. */
+final case class RlRow(key: String, bucket: Long, ts: Long, tie: Long,
+    mPre: Long, tPre: Long)
+private[ops] final case class RlChunk(key: String, bucket: Long,
+    m: Long, t: Long)
+private[ops] final case class RlInit(key: String, bucket: Long, uIn: Long)
+
 /** Output row of [[AnalyticsOps.holtWinters]]. */
 final case class HwOut(key: String, ts: Long, tie: Long, value: Double,
     level: Double, trend: Double, seasonal: Double, forecast: Double)
@@ -583,6 +593,108 @@ object AnalyticsOps {
         col("value"),
         (col("__s").cast("double") / lit(100.0)).as("cusum"),
         (col("__s") > lit(hC)).as("alarm"))
+  }
+
+  /** Token-bucket / GCRA rate-limit audit, distributed — replay every
+    * key's event stream against a token bucket (capacity `burst` tokens,
+    * refill `ratePerSec`, one token per event) and flag the events that
+    * exceed it: the crawl-politeness compliance report ("which fetches
+    * broke the per-host budget, and by how much") next to
+    * [[revisitSchedule]]'s planning side.
+    *
+    * The meter recurrence (refill-then-consume, debt clamped at full)
+    *   s_i = max(0, s_{i−1} − r·Δt_i) + c
+    * looks like it needs the inter-arrival gap, but the time-anchored
+    * substitution u = s + r·t′ (t′ = ts − anchor) removes Δt entirely:
+    *   u_i = max(c + r·t′_i, u_{i−1} + c)
+    * — a (max, +) tropical affine u ↦ max(M, u + T) per row, the SAME
+    * closed composition as [[cusum]], so the three-phase segmented scan
+    * applies verbatim: one event-sized shuffle, chunk-count-sized phase 2,
+    * no group walk ever holds a series. All arithmetic is integer
+    * NANO-tokens (the rate quantizes to nano-token/ms granularity —
+    * 0.001 tokens/sec steps), so the distributed result is BIT-IDENTICAL
+    * to the sequential recurrence and to the DuckDB oracle at any
+    * parallelism and chunking; `burst_used` is one fixed-order division.
+    * Overflow headroom: r·t′ ≤ 9.2e18 needs ratePerSec ≤ 100 and spans
+    * within ~3 years of `anchorMs` (required below); per-chunk T = n·10⁹
+    * bounds chunks at ~10⁹ rows.
+    *
+    * A violation marks an event whose arrival pushed usage past the burst
+    * capacity (the event a real limiter would have throttled — though this
+    * meter, like PromQL counters, keeps charging: virtual scheduling, not
+    * drop simulation). */
+  def rateLimitAudit(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      tieCol: Column,
+      ratePerSec: Double,
+      burst: Double,
+      bucketMs: Long,
+      anchorMs: Long = 0L): DataFrame = {
+    require(ratePerSec >= 0.001 && ratePerSec <= 100.0,
+      s"ratePerSec must be in [0.001, 100], got $ratePerSec")
+    require(burst >= 1.0, s"burst must be >= 1 token, got $burst")
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val c = 1000000000L                       // one event = 1e9 nano-tokens
+    val rNanoPerMs = Math.round(ratePerSec * 1e6)
+    val burstNano = Math.round(burst * 1e9)
+    val NEG = Long.MinValue / 4               // "bucket full since forever"
+
+    val base = events.select(
+        keyCol.cast("string").as("key"),
+        unix_millis(tsCol.cast("timestamp")).as("ts"),
+        tieCol.cast("long").as("tie"))
+      .withColumn("bucket", floor(col("ts") / lit(bucketMs)).cast("long"))
+      .select("key", "bucket", "ts", "tie")
+
+    // phase 1: chunk-local tropical prefixes on u (composition
+    // (M2,T2)∘(M1,T1) = (max(M2, M1+T2), T1+T2), applied row-ascending)
+    val rowsPrefix = base
+      .as(Encoders.product[(String, Long, Long, Long)])
+      .groupByKey { case (key, b, _, _) => (key, b) }(
+        Encoders.product[(String, Long)])
+      .flatMapGroups { (kb: (String, Long),
+          it: Iterator[(String, Long, Long, Long)]) =>
+        val (key, b) = kb
+        val rows = it.toArray.sortBy { case (_, _, ts, tie) => (ts, tie) }
+        var m = NEG
+        var t = 0L
+        rows.iterator.map { case (_, _, ts, tie) =>
+          m = math.max(c + rNanoPerMs * (ts - anchorMs), m + c)
+          t += c
+          RlRow(key, b, ts, tie, m, t)
+        }
+      }(Encoders.product[RlRow])
+      .toDF()
+
+    import graft.functions.OrderedAggregates.lastByOrd
+    val chunks = rowsPrefix.groupBy("key", "bucket")
+      .agg(lastByOrd(col("mPre"), col("ts"), col("tie")).as("m"),
+        lastByOrd(col("tPre"), col("ts"), col("tie")).as("t"))
+
+    // phase 2: per-key tropical scan over chunk summaries, seeded u = −∞
+    val inits = chunks.as(Encoders.product[RlChunk])
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroups { (key: String, it: Iterator[RlChunk]) =>
+        val cs = it.toArray.sortBy(_.bucket)
+        var u = NEG
+        cs.iterator.map { ch =>
+          val out = RlInit(key, ch.bucket, u)
+          u = math.max(ch.m, u + ch.t)
+          out
+        }
+      }(Encoders.product[RlInit])
+      .toDF()
+
+    // phase 3: finalize — u_i = max(mPre, uIn + tPre); s = u − r·t′
+    val u = greatest(col("mPre"), col("uIn") + col("tPre"))
+    rowsPrefix.join(inits, Seq("key", "bucket"))
+      .withColumn("__s",
+        u - lit(rNanoPerMs) * (col("ts") - lit(anchorMs)))
+      .select(col("key"), timestamp_millis(col("ts")).as("ts"), col("tie"),
+        (col("__s").cast("double") / lit(1.0e9)).as("burst_used"),
+        (col("__s") > lit(burstNano)).as("violation"))
   }
 
   /** Robust per-group outliers via median/MAD — the outlier rule of choice

@@ -1353,4 +1353,34 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out("mono") == ((1L, 3L, 0.0, 1.0, 1.0)),
       "single unit: Gini 0, HHI 1, full share")
   }
+
+  test("rateLimitAudit replays the token bucket exactly, chunking-invariant") {
+    // rate 1 token/s, burst 2: hand-walked nano states
+    val ev = Seq(
+      ("a", 0L, 1L),      // s = 1.0 (full bucket, consume 1)
+      ("a", 500L, 2L),    // refill .5 -> s = 1.5
+      ("a", 1000L, 3L),   // refill .5 -> s = 2.0 (== burst: NOT a violation)
+      ("a", 1200L, 4L),   // refill .2 -> s = 2.8 > 2: VIOLATION
+      ("a", 10000L, 5L),  // long idle clamps to full -> s = 1.0
+      ("b", 600L, 6L)     // keys are independent
+    ).map { case (u, ms, id) => (u, new java.sql.Timestamp(ms), id) }
+      .toDF("u", "ts", "event_id")
+    def run(bucketMs: Long, anchor: Long) =
+      AnalyticsOps.rateLimitAudit(ev, col("u"), col("ts"), col("event_id"),
+          ratePerSec = 1.0, burst = 2.0, bucketMs = bucketMs,
+          anchorMs = anchor)
+        .collect().map(r => r.getLong(2) ->
+          ((r.getDouble(3), r.getBoolean(4)))).toMap
+    val out = run(86400000L, 0L)
+    def t(nano: Long) = nano.toDouble / 1.0e9
+    assert(out(1L) == ((t(1000000000L), false)))
+    assert(out(2L) == ((t(1500000000L), false)))
+    assert(out(3L) == ((t(2000000000L), false)), "at-capacity is conformant")
+    assert(out(4L) == ((t(2800000000L), true)), "burst exceeded flags")
+    assert(out(5L) == ((t(1000000000L), false)), "idle refills clamp at full")
+    assert(out(6L) == ((t(1000000000L), false)))
+    // the scan is exact: any chunking and any anchor give identical bits
+    assert(run(400L, 0L) == out, "chunk-size invariance")
+    assert(run(86400000L, -7200000L) == out, "anchor invariance")
+  }
 }
