@@ -78,6 +78,15 @@ final case class ChangeBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     runTs: Long, runTie: Long, runVal: Double, runLen: Long, primed: Boolean)
 
 /** One flagged point from [[StreamStage.madStream]] (bucket = epoch ms). */
+/** Output row of [[StreamStage.rateLimitStream]]. */
+final case class RlOut(url: String, ts: Long, tie: Long,
+    burst_used: Double, violation: Boolean)
+
+/** Buffer + running meter of [[StreamStage.rateLimitStream]]: nano-token
+  * usage `s` as of `lastTs` (primed after the first event). */
+final case class RlStreamBuf(ts: Array[Long], tie: Array[Long],
+    vs: Array[Double], s: Long, lastTs: Long, primed: Boolean)
+
 /** Output row of [[StreamStage.trimmedStream]]. */
 final case class TrimOut(url: String, bucket: Long, n: Long,
     trimmed_each: Long, trimmed_mean: Double, winsor_mean: Double)
@@ -812,6 +821,51 @@ object StreamStage {
           CusumOut(url, t, q, v, s.toDouble / 100.0, s > hC)
         }.toVector
         (out, st.copy(s = s))
+      })
+  }
+
+  /** STREAMING token-bucket rate-limit audit — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.rateLimitAudit]], with the same
+    * watermark-buffered in-order replay as [[ewmaStream]]. The meter is
+    * the sequential recurrence itself (streams don't need the batch op's
+    * anchored tropical transform): integer nano-tokens, so emitted rows
+    * equal the batch output BIT-FOR-BIT under any arrival order within
+    * the lateness window. Idle gaps refill lazily on the next event
+    * (linear refill is memoryless in integer arithmetic — decaying across
+    * one long gap equals decaying through any intermediate point), so the
+    * steady state per key is the O(lateness) buffer plus ONE (s, lastTs)
+    * pair that never needs a per-batch touch — the [[asofStream]]
+    * carried-payload discipline. */
+  def rateLimitStream(
+      points: Dataset[TiedPoint],
+      ratePerSec: Double,
+      burst: Double,
+      lateness: String = "10 minutes"): Dataset[RlOut] = {
+    require(ratePerSec >= 0.001 && ratePerSec <= 100.0,
+      s"ratePerSec must be in [0.001, 100], got $ratePerSec")
+    require(burst >= 1.0, s"burst must be >= 1 token, got $burst")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val c = 1000000000L
+    val r = Math.round(ratePerSec * 1e6)   // nano-tokens per ms
+    val burstNano = Math.round(burst * 1e9)
+    bufferedReplay[RlStreamBuf, RlOut](points, lateness,
+        RlStreamBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0L, Long.MinValue, false))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.primed,
+      (url, st, ready) => {
+        var s = st.s
+        var lastTs = st.lastTs
+        var primed = st.primed
+        val out = ready.iterator.map { case (t, q, _) =>
+          s = if (primed) math.max(0L, s - r * (t - lastTs)) + c
+              else { primed = true; c }
+          lastTs = t
+          RlOut(url, t, q, s.toDouble / 1.0e9, s > burstNano)
+        }.toVector
+        (out, st.copy(s = s, lastTs = lastTs, primed = primed))
       })
   }
 

@@ -1615,4 +1615,54 @@ class StreamStageSpec extends SparkTestBase {
     assert(streamed(("solo", dayMs)) == ((1L, 0L, bits(3.21), bits(3.21))),
       "n = 1: untrimmed")
   }
+
+  test("streaming rate-limit audit equals the batch tropical scan exactly") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(41)
+    // rate 1 token/s, burst 2: gaps of 0.1-2 s mix violations and refills;
+    // url "a" has one dup-ts pair (tie-ordered drain)
+    val all = for (u <- Seq("a", "b")) yield {
+      var t = 3600000L
+      (0 until 50).map { i =>
+        t += (if (u == "a" && i == 30) 0L else 100L + rng.nextInt(1900))
+        TiedPoint(u, t, i.toLong, 0.0)
+      }
+    }
+    val flat = all.flatten
+    val batch = graft.ops.AnalyticsOps.rateLimitAudit(
+        flat.toDF().withColumn("ts", timestamp_millis(col("ts"))),
+        col("url"), col("ts"), col("tie"),
+        ratePerSec = 1.0, burst = 2.0, bucketMs = 5000L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((java.lang.Double.doubleToLongBits(r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+    assert(batch.values.exists(_._2) && batch.values.exists(!_._2),
+      "fixture exercises both violation branches")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.rateLimitStream(mem.toDS(), 1.0, 2.0, "10 minutes")
+      .writeStream.format("memory").queryName("rl_stream")
+      .outputMode("append").start()
+    val perturbed = flat.map(p => (p, p.ts + (rng.nextInt(5) - 2) * 400L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(12)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = flat.map(_.ts).max + 365L * 86400000L
+    for (i <- 0 until 2) {
+      mem.addData(Seq(TiedPoint("sentinel", far + i, i.toLong, 0.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("rl_stream").as[RlOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(e => (e.url, e.tie) ->
+        ((java.lang.Double.doubleToLongBits(e.burst_used), e.violation)))
+      .toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
 }
