@@ -1726,7 +1726,20 @@ object Queries {
           col("ts"), col("event_id"), ratePerSec = 0.001, burst = 2.0,
           bucketMs = 86400000L, anchorMs = AnchorMs)
         .select(col("tie").as("event_id"), col("key").as("user_id"),
-          col("ts"), col("burst_used"), col("violation")))
+          col("ts"), col("burst_used"), col("violation"))),
+
+    // --- per-language perplexity percentile gate (oracle-backed): the
+    // CCNet head/middle/tail cut — keep the lowest-perplexity 70% within
+    // each language. RANK-semantics percent_rank is the exact rational
+    // (rank-1)/(n-1), so the gate is bit-deterministic; one window pass.
+    "q134_quality_gate" -> ((s, dir) => {
+      val scored = TextOps.lmScore(documents(s, dir))
+        .join(documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .filter(col("ppl").isNotNull)
+      ops.CorpusOps.percentileGate(scored, col("lang"), col("ppl"), 0.7)
+        .select(col("doc_id"), col("lang"), col("ppl"), col("pct_rank"),
+          col("keep"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -1895,6 +1908,39 @@ FROM walk WHERE rn >= 1"""
   }
 
   private val tokExpr = "string_split_regex(trim(text), '\\s+')"
+
+  /** q118's bigram-LM perplexity mirror, factored so q134's percentile gate
+    * wraps it verbatim — any change to [[graft.ops.TextOps.lmScore]]'s op
+    * order updates BOTH oracles here. */
+  private lazy val q118MirrorSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter($tokExpr, tk -> len(tk) > 0) AS t
+       |  FROM documents),
+       |uni AS (
+       |  SELECT tok, count(*) AS c1
+       |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+       |vc AS (SELECT count(*) AS v FROM uni),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> struct_pack(pos := i, t1 := t[i],
+       |      g := concat_ws(' ', t[i], t[i+1])))) AS s
+       |  FROM toks),
+       |g2 AS (SELECT doc_id, s.pos AS pos, s.t1 AS t1, s.g AS g FROM g),
+       |bi AS (SELECT g, count(*) AS c2 FROM g2 GROUP BY 1),
+       |terms AS (
+       |  SELECT g2.doc_id, g2.pos,
+       |    ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * vc.v)) AS term
+       |  FROM g2 JOIN bi USING (g) JOIN uni ON uni.tok = g2.t1 CROSS JOIN vc),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY pos)),
+       |      (acc, x) -> acc + x) AS s
+       |  FROM terms GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CASE WHEN a.n_bigrams > 0 THEN round(-(a.s) / a.n_bigrams, 6) END AS xent,
+       |  CASE WHEN a.n_bigrams > 0 THEN round(exp(-(a.s) / a.n_bigrams), 6) END AS ppl
+       |FROM toks d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** q46's EWMA oracle: an EXACT FP MIRROR of the engine's segmented scan
     * (phase-1 recursive chunk prefixes, phase-2 chunk walk, phase-3
@@ -3544,36 +3590,25 @@ FROM walk WHERE rn >= 1"""
     // from bit-identical operands; the per-doc sum folds left-to-right
     // in position order from an explicit 0.0 (the q116 discipline). The
     // 1-based oracle pos vs the engine's 0-based only orders the fold —
-    // the orderings are identical.
-    "q118_lm_perplexity" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter($tokExpr, tk -> len(tk) > 0) AS t
-         |  FROM documents),
-         |uni AS (
-         |  SELECT tok, count(*) AS c1
-         |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
-         |vc AS (SELECT count(*) AS v FROM uni),
-         |g AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
-         |    i -> struct_pack(pos := i, t1 := t[i],
-         |      g := concat_ws(' ', t[i], t[i+1])))) AS s
-         |  FROM toks),
-         |g2 AS (SELECT doc_id, s.pos AS pos, s.t1 AS t1, s.g AS g FROM g),
-         |bi AS (SELECT g, count(*) AS c2 FROM g2 GROUP BY 1),
-         |terms AS (
-         |  SELECT g2.doc_id, g2.pos,
-         |    ln((bi.c2 + 0.5) / (uni.c1 + 0.5 * vc.v)) AS term
-         |  FROM g2 JOIN bi USING (g) JOIN uni ON uni.tok = g2.t1 CROSS JOIN vc),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY pos)),
-         |      (acc, x) -> acc + x) AS s
-         |  FROM terms GROUP BY 1)
-         |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-         |  CASE WHEN a.n_bigrams > 0 THEN round(-(a.s) / a.n_bigrams, 6) END AS xent,
-         |  CASE WHEN a.n_bigrams > 0 THEN round(exp(-(a.s) / a.n_bigrams), 6) END AS ppl
-         |FROM toks d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // the orderings are identical. Factored so q134 reuses it verbatim —
+    // change them together.
+    "q118_lm_perplexity" -> q118MirrorSql,
+
+    // percentile gate over the q118 perplexities: same LM mirror (factored
+    // above), RANK-semantics percent_rank = (rank-1)/(n-1) identical in
+    // both engines, NULL-ppl docs filtered before ranking (Spark orders
+    // NULLs first, DuckDB last — excluded rather than mirrored)
+    "q134_quality_gate" ->
+      s"""WITH p AS ($q118MirrorSql),
+         |j AS (
+         |  SELECT p.doc_id, d.lang, p.ppl
+         |  FROM p JOIN documents d USING (doc_id)
+         |  WHERE p.ppl IS NOT NULL)
+         |SELECT doc_id, lang, ppl,
+         |  percent_rank() OVER (PARTITION BY lang ORDER BY ppl) AS pct_rank,
+         |  percent_rank() OVER (PARTITION BY lang ORDER BY ppl)
+         |    <= 0.7::DOUBLE AS keep
+         |FROM j""".stripMargin,
 
     "q119_audience_overlap" ->
       """WITH p AS (

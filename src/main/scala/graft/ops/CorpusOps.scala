@@ -195,6 +195,29 @@ object CorpusOps {
       .select("doc_id", "lang", "source", "rn")
   }
 
+  /** Per-group percentile gate — the CCNet head/middle/tail move: rank each
+    * row's score WITHIN its group (ascending: lower = better, e.g.
+    * perplexity) and keep the best `keepFrac` quantile. percent_rank is the
+    * exact rational (rank−1)/(n−1) over integer rank/count (RANK semantics:
+    * ties share a rank in both engines), so the gate is bit-deterministic
+    * at any parallelism and mirrors the oracle exactly; a 1-row group ranks
+    * 0.0 (kept) in both engines.
+    *
+    * Scale shape: ONE per-group window pass (rank + percent_rank share the
+    * single sort); no buffered frame, no second pass for n. */
+  def percentileGate(
+      scored: DataFrame,
+      groupCol: Column,
+      scoreCol: Column,
+      keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol)
+    scored
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("keep", col("pct_rank") <= keepFrac)
+  }
+
   /** Deterministic WEIGHTED stratified sample — Efraimidis–Spirakis
     * (2006) reservoir keys without a reservoir: each doc draws the
     * pseudo-uniform u = ([[idHash]](doc_id)+1)/2³² ∈ (0,1] (pure function

@@ -171,4 +171,20 @@ class CorpusOpsSpec extends SparkTestBase {
     val meanW = docs.filter(r => en.contains(r._1)).map(_._4).sum / 5.0
     assert(meanW > 1500.0, s"weighted sample must skew heavy, mean w $meanW")
   }
+
+  test("percentileGate keeps the best keepFrac per group, RANK-tied") {
+    val df = Seq(
+      ("en", 1L, 10.0), ("en", 2L, 20.0), ("en", 3L, 20.0),
+      ("en", 4L, 30.0), ("en", 5L, 40.0),
+      ("de", 6L, 5.0)
+    ).toDF("lang", "doc_id", "ppl")
+    val out = CorpusOps.percentileGate(df, col("lang"), col("ppl"), 0.5)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0.0, true)))
+    assert(out(2L) == ((0.25, true)) && out(3L) == ((0.25, true)),
+      "ties share a RANK and its percentile")
+    assert(out(4L) == ((0.75, false)) && out(5L) == ((1.0, false)))
+    assert(out(6L) == ((0.0, true)), "singleton group ranks 0 and is kept")
+  }
 }
