@@ -1739,7 +1739,17 @@ object Queries {
       ops.CorpusOps.percentileGate(scored, col("lang"), col("ppl"), 0.7)
         .select(col("doc_id"), col("lang"), col("ppl"), col("pct_rank"),
           col("keep"))
-    })
+    }),
+
+    // --- per-language Zipf rank-frequency fit (oracle-backed): OLS of
+    // ln(freq) on ln(rank) over the top-1000 ranks — the corpus-health
+    // diagnostic (natural text ≈ 1; templated/generated text drifts).
+    // Integer term counts, fixed-order ln folds, olsFinalize's closed
+    // form — raw doubles mirror the oracle bit-for-bit.
+    "q135_zipf_fit" -> ((s, dir) =>
+      TextOps.zipfFit(documents(s, dir), col("lang"), topN = 1000)
+        .select(col("grp").as("lang"), col("n_ranks"), col("vocab_size"),
+          col("zipf_exponent"), col("intercept"), col("r2")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3609,6 +3619,54 @@ FROM walk WHERE rn >= 1"""
          |  percent_rank() OVER (PARTITION BY lang ORDER BY ppl)
          |    <= 0.7::DOUBLE AS keep
          |FROM j""".stripMargin,
+
+    // Zipf fit mirror: exact integer term counts, row_number under the
+    // deterministic (freq DESC, token ASC) order, fixed-order ln folds
+    // (rank ascending, explicit 0.0 seed — the q116/q118 discipline),
+    // then olsFinalize's closed form op-for-op (scale-1.0 divisions are
+    // bit-exact identities, so they're omitted). Raw doubles, no round.
+    "q135_zipf_fit" ->
+      s"""WITH tf AS (
+         |  SELECT lang, tok, count(*) AS c
+         |  FROM (SELECT lang,
+         |    unnest(list_filter($tokExpr, tk -> len(tk) > 0)) AS tok
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |v AS (SELECT lang, count(*) AS vocab_size FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT lang, c,
+         |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+         |  FROM tf),
+         |h AS (
+         |  SELECT lang, count(*) AS n,
+         |    list(struct_pack(rnk := rnk, c := c) ORDER BY rnk) AS rc
+         |  FROM r WHERE rnk <= 1000 GROUP BY 1),
+         |s AS (
+         |  SELECT lang, n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(rc,
+         |      t -> ln(t.rnk::DOUBLE))), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(rc,
+         |      t -> ln(t.c::DOUBLE))), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(rc,
+         |      t -> ln(t.rnk::DOUBLE) * ln(t.c::DOUBLE))), (a, b) -> a + b) AS sxy,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(rc,
+         |      t -> ln(t.rnk::DOUBLE) * ln(t.rnk::DOUBLE))), (a, b) -> a + b) AS sxx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(rc,
+         |      t -> ln(t.c::DOUBLE) * ln(t.c::DOUBLE))), (a, b) -> a + b) AS syy
+         |  FROM h),
+         |f AS (
+         |  SELECT lang, n, sx, sy, sxy, sxx, syy,
+         |    n::DOUBLE * sxy - sx * sy AS cov,
+         |    n::DOUBLE * sxx - sx * sx AS varx,
+         |    n::DOUBLE * syy - sy * sy AS vary
+         |  FROM s)
+         |SELECT f.lang, f.n AS n_ranks, v.vocab_size,
+         |  CASE WHEN varx > 0 THEN -(cov / varx) END AS zipf_exponent,
+         |  CASE WHEN varx > 0 THEN
+         |    sy / n::DOUBLE - (cov / varx) * (sx / n::DOUBLE) END AS intercept,
+         |  CASE WHEN varx > 0 AND vary > 0 THEN
+         |    (cov / varx) * (cov / vary) END AS r2
+         |FROM f JOIN v USING (lang)""".stripMargin,
 
     "q119_audience_overlap" ->
       """WITH p AS (

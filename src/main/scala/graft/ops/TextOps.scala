@@ -84,6 +84,62 @@ object TextOps {
         col("score"))
   }
 
+  /** Zipf rank–frequency fit per group (e.g. language): OLS of ln(freq)
+    * on ln(rank) over the top `topN` ranks; `zipf_exponent` = −slope
+    * (Zipf's law predicts ≈ 1 for natural text; machine-generated or
+    * template-heavy corpora drift well off it), plus intercept, r², the
+    * rank count actually fitted and the full vocabulary size — the
+    * corpus-health diagnostic next to [[vocabulary]]'s raw counts.
+    *
+    * EXACT cross-engine: term frequencies are exact integers at any
+    * partitioning; ranks are `row_number` under the deterministic
+    * (freq DESC, token ASC) order; the five OLS sufficient statistics
+    * fold ln terms LEFT-TO-RIGHT in rank order from an explicit 0.0 each
+    * (the q116 fixed-order-ln discipline), and the closed form reuses
+    * [[AnalyticsOps.olsFinalize]]'s op order verbatim (scale 1.0 divisions
+    * are bit-exact), so raw doubles mirror the oracle bit-for-bit.
+    *
+    * Scale shape: the only corpus-sized work is one explode +
+    * partial/final hash aggregate to (group, token) counts. The rank
+    * window runs over the VOCABULARY-sized table and its `rnk <= topN`
+    * filter pushes down as WindowGroupLimit (per-partition top-N heaps
+    * prune before the per-group sort); every later stage — the collected
+    * fold list, the vocab-count join — is topN- or group-count-sized. */
+  def zipfFit(
+      documents: DataFrame,
+      groupCol: Column,
+      topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val tf = documents
+      .select(groupCol.as("grp"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val vocab = tf.groupBy("grp").agg(count(lit(1)).as("vocab_size"))
+    val w = Window.partitionBy("grp").orderBy(col("c").desc, col("tok"))
+    val ranked = tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+    val folded = ranked
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("rnk"), col("c"))))
+        .as("__rc"))
+    def fold(term: Column => Column) =
+      aggregate(transform(col("__rc"), term), lit(0.0), (acc, t) => acc + t)
+    def x(s: Column) = log(s("rnk").cast("double"))
+    def y(s: Column) = log(s("c").cast("double"))
+    val stats = folded.select(
+      col("grp"),
+      size(col("__rc")).cast("long").as("n"),
+      fold(x).as("sx"), fold(y).as("sy"),
+      fold(s => x(s) * y(s)).as("sxy"),
+      fold(s => x(s) * x(s)).as("sxx"),
+      fold(s => y(s) * y(s)).as("syy"))
+    AnalyticsOps.olsFinalize(stats, 1.0)
+      .join(vocab, Seq("grp"))
+      .select(col("grp"), col("n").as("n_ranks"), col("vocab_size"),
+        (-col("slope")).as("zipf_exponent"), col("intercept"), col("r2"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length; `keep` mirrors common crawl-cleaning heuristics. */
   def qualityScore(documents: DataFrame): DataFrame = {

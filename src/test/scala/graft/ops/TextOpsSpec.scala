@@ -122,4 +122,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(out((2L, 2)) == (("banana", 1L, 2L, sc(1, 2))))
     assert(out((3L, 1)) == (("date", 2L, 1L, sc(2, 1))))
   }
+
+  test("zipfFit recovers slope -1 on an exact 1/r power-law corpus") {
+    // freq_r = 12/r for ranks 1..4 → ln f = ln 12 − ln r EXACTLY linear:
+    // exponent 1, intercept ln 12, r² 1 (up to double round-off)
+    val text = Seq("a" -> 12, "b" -> 6, "c" -> 4, "d" -> 3)
+      .flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    // second group: a single token — zero x-variance, NULL fit
+    val docs = Seq("en" -> text, "de" -> "einzig")
+      .toDF("lang", "text")
+    val out = TextOps.zipfFit(docs, col("lang"), topN = 1000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 4L && en.getLong(2) == 4L)
+    assert(math.abs(en.getDouble(3) - 1.0) < 1e-9, s"exponent ${en.getDouble(3)}")
+    assert(math.abs(en.getDouble(4) - StrictMath.log(12.0)) < 1e-9)
+    assert(math.abs(en.getDouble(5) - 1.0) < 1e-9, s"r2 ${en.getDouble(5)}")
+    val de = out("de")
+    assert(de.getLong(1) == 1L && de.getLong(2) == 1L)
+    assert(de.isNullAt(3) && de.isNullAt(4) && de.isNullAt(5),
+      "single-rank group has zero x-variance: NULL fit")
+  }
+
+  test("zipfFit caps the fit at topN but reports the full vocab size") {
+    val text = Seq("a" -> 9, "b" -> 5, "c" -> 3, "d" -> 2, "e" -> 1)
+      .flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val docs = Seq("en" -> text).toDF("lang", "text")
+    val out = TextOps.zipfFit(docs, col("lang"), topN = 3).collect().head
+    assert(out.getLong(1) == 3L, "n_ranks capped at topN")
+    assert(out.getLong(2) == 5L, "vocab_size is the full vocabulary")
+  }
 }
