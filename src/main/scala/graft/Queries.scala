@@ -1749,7 +1749,18 @@ object Queries {
     "q135_zipf_fit" -> ((s, dir) =>
       TextOps.zipfFit(documents(s, dir), col("lang"), topN = 1000)
         .select(col("grp").as("lang"), col("n_ranks"), col("vocab_size"),
-          col("zipf_exponent"), col("intercept"), col("r2")))
+          col("zipf_exponent"), col("intercept"), col("r2"))),
+
+    // --- per-language Heaps-law vocabulary growth (oracle-backed): OLS of
+    // ln(cum vocab) on ln(cum tokens) at power-of-2 chunk-rank checkpoints
+    // along the doc_id axis — "is more crawl still buying new vocabulary?"
+    // All-integer prefixes over a chunk-count-sized rollup; ≤64-point
+    // fixed-order ln folds; raw doubles mirror the oracle bit-for-bit.
+    "q136_heaps_fit" -> ((s, dir) =>
+      TextOps.heapsFit(documents(s, dir), col("lang"), col("doc_id"),
+          chunkShift = 4)
+        .select(col("grp").as("lang"), col("n_points"), col("total_tokens"),
+          col("total_vocab"), col("beta"), col("ln_k"), col("r2")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3667,6 +3678,66 @@ FROM walk WHERE rn >= 1"""
          |  CASE WHEN varx > 0 AND vary > 0 THEN
          |    (cov / varx) * (cov / vary) END AS r2
          |FROM f JOIN v USING (lang)""".stripMargin,
+
+    // Heaps-law mirror: integer chunk ids (doc_id >> 4), integer prefix
+    // sums over the chunk rollup, power-of-2 rank checkpoints, then the
+    // same fixed-order ln folds + olsFinalize closed form as q135.
+    "q136_heaps_fit" ->
+      s"""WITH toks AS (
+         |  SELECT lang, doc_id >> 4 AS chunk,
+         |    unnest(list_filter($tokExpr, tk -> len(tk) > 0)) AS tok
+         |  FROM documents),
+         |fc AS (SELECT lang, tok, min(chunk) AS first_chunk
+         |  FROM toks GROUP BY 1, 2),
+         |np AS (SELECT lang, first_chunk AS chunk, count(*) AS new_toks
+         |  FROM fc GROUP BY 1, 2),
+         |tp AS (SELECT lang, chunk, count(*) AS n_toks
+         |  FROM toks GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT tp.lang, tp.chunk,
+         |    sum(tp.n_toks) OVER (PARTITION BY tp.lang ORDER BY tp.chunk)
+         |      AS cum_n,
+         |    sum(coalesce(np.new_toks, 0))
+         |      OVER (PARTITION BY tp.lang ORDER BY tp.chunk) AS cum_v,
+         |    row_number() OVER (PARTITION BY tp.lang ORDER BY tp.chunk) AS rn
+         |  FROM tp LEFT JOIN np ON np.lang = tp.lang AND np.chunk = tp.chunk),
+         |tot AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+         |  FROM tp GROUP BY 1),
+         |voc AS (SELECT lang, count(*) AS total_vocab FROM fc GROUP BY 1),
+         |pts AS (
+         |  SELECT lang, count(*) AS n,
+         |    list(struct_pack(rn := rn, cn := cum_n, cv := cum_v)
+         |      ORDER BY rn) AS ps
+         |  FROM cum WHERE (rn & (rn - 1)) = 0 GROUP BY 1),
+         |s AS (
+         |  SELECT lang, n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps,
+         |      t -> ln(t.cn::DOUBLE))), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps,
+         |      t -> ln(t.cv::DOUBLE))), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps,
+         |      t -> ln(t.cn::DOUBLE) * ln(t.cv::DOUBLE))), (a, b) -> a + b)
+         |      AS sxy,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps,
+         |      t -> ln(t.cn::DOUBLE) * ln(t.cn::DOUBLE))), (a, b) -> a + b)
+         |      AS sxx,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps,
+         |      t -> ln(t.cv::DOUBLE) * ln(t.cv::DOUBLE))), (a, b) -> a + b)
+         |      AS syy
+         |  FROM pts),
+         |f AS (
+         |  SELECT lang, n, sx, sy, sxy, sxx, syy,
+         |    n::DOUBLE * sxy - sx * sy AS cov,
+         |    n::DOUBLE * sxx - sx * sx AS varx,
+         |    n::DOUBLE * syy - sy * sy AS vary
+         |  FROM s)
+         |SELECT f.lang, f.n AS n_points, tot.total_tokens, voc.total_vocab,
+         |  CASE WHEN varx > 0 THEN cov / varx END AS beta,
+         |  CASE WHEN varx > 0 THEN
+         |    sy / n::DOUBLE - (cov / varx) * (sx / n::DOUBLE) END AS ln_k,
+         |  CASE WHEN varx > 0 AND vary > 0 THEN
+         |    (cov / varx) * (cov / vary) END AS r2
+         |FROM f JOIN tot USING (lang) JOIN voc USING (lang)""".stripMargin,
 
     "q119_audience_overlap" ->
       """WITH p AS (

@@ -140,6 +140,85 @@ object TextOps {
         (-col("slope")).as("zipf_exponent"), col("intercept"), col("r2"))
   }
 
+  /** Heaps' law vocabulary-growth fit per group: V(N) ≈ K·N^β — OLS of
+    * ln(cumulative vocabulary) on ln(cumulative tokens) sampled along the
+    * doc_id axis. β ∈ (0.4, 0.6) for natural text; β → 0 means the corpus
+    * has stopped contributing new vocabulary (saturation — more crawl buys
+    * no diversity), β → 1 means near-random token soup. The companion
+    * diagnostic to [[zipfFit]]'s rank-frequency view.
+    *
+    * Scale shape — NO doc-count-sized sequential pass anywhere:
+    * the doc axis is CHUNKED by `doc_id >> chunkShift` (an exact integer
+    * shift); the only corpus-sized work is one explode feeding two hash
+    * aggregates (per-(group, token) first-chunk — vocab-sized — and
+    * per-(group, chunk) token counts). Cumulative N and V then come from
+    * prefix-sum windows over the CHUNK-COUNT-sized rollup, and the ln-ln
+    * fit uses only checkpoints whose chunk rank is a POWER OF TWO —
+    * ≤ 64 points per group, log-spaced exactly where a log-log fit wants
+    * them — so the collected fold list is O(log chunks), never data-sized.
+    *
+    * EXACT cross-engine: chunk ids, counts, prefix sums and the
+    * power-of-2 rank mask are all integers (order-free); the ≤64 ln terms
+    * fold LEFT-TO-RIGHT in rank order from an explicit 0.0 (the q116
+    * discipline) and the closed form reuses [[AnalyticsOps.olsFinalize]]
+    * verbatim, so raw doubles mirror the oracle bit-for-bit. Groups with
+    * one checkpoint (or zero x-variance) yield NULL fits. */
+  def heapsFit(
+      documents: DataFrame,
+      groupCol: Column,
+      docIdCol: Column,
+      chunkShift: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkShift >= 0 && chunkShift < 63,
+      s"chunkShift must be in [0, 63), got $chunkShift")
+    val toks = documents
+      .select(groupCol.as("grp"),
+        shiftright(docIdCol.cast("long"), chunkShift).as("chunk"),
+        explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val firstChunk = toks.groupBy("grp", "tok")
+      .agg(min("chunk").as("first_chunk"))
+    val newPerChunk = firstChunk
+      .groupBy(col("grp"), col("first_chunk").as("chunk"))
+      .agg(count(lit(1)).as("new_toks"))
+    val tokPerChunk = toks.groupBy("grp", "chunk")
+      .agg(count(lit(1)).as("n_toks"))
+    // every chunk with a first-seen token also has tokens, so left join
+    val w = Window.partitionBy("grp").orderBy("chunk")
+    val cum = tokPerChunk
+      .join(newPerChunk, Seq("grp", "chunk"), "left")
+      .na.fill(0L, Seq("new_toks"))
+      .select(col("grp"), col("chunk"),
+        sum(col("n_toks")).over(w).as("cum_n"),
+        sum(col("new_toks")).over(w).as("cum_v"),
+        row_number().over(w).as("rn"))
+    val totals = tokPerChunk.groupBy("grp")
+      .agg(sum("n_toks").as("total_tokens"))
+      .join(firstChunk.groupBy("grp").agg(count(lit(1)).as("total_vocab")),
+        Seq("grp"))
+    val checkpoints = cum
+      .filter(col("rn").bitwiseAND(col("rn") - 1) === 0)
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("rn"), col("cum_n"),
+        col("cum_v")))).as("__pts"))
+    def fold(term: Column => Column) =
+      aggregate(transform(col("__pts"), term), lit(0.0), (acc, t) => acc + t)
+    def x(s: Column) = log(s("cum_n").cast("double"))
+    def y(s: Column) = log(s("cum_v").cast("double"))
+    val stats = checkpoints.select(
+      col("grp"),
+      size(col("__pts")).cast("long").as("n"),
+      fold(x).as("sx"), fold(y).as("sy"),
+      fold(s => x(s) * y(s)).as("sxy"),
+      fold(s => x(s) * x(s)).as("sxx"),
+      fold(s => y(s) * y(s)).as("syy"))
+    AnalyticsOps.olsFinalize(stats, 1.0)
+      .join(totals, Seq("grp"))
+      .select(col("grp"), col("n").as("n_points"), col("total_tokens"),
+        col("total_vocab"), col("slope").as("beta"),
+        col("intercept").as("ln_k"), col("r2"))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
     * length; `keep` mirrors common crawl-cleaning heuristics. */
   def qualityScore(documents: DataFrame): DataFrame = {

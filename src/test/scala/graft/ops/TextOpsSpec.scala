@@ -144,6 +144,36 @@ class TextOpsSpec extends SparkTestBase {
       "single-rank group has zero x-variance: NULL fit")
   }
 
+  test("heapsFit recovers beta 0.5 on an exact V = sqrt(N) growth corpus") {
+    // chunk = doc_id (shift 0); cum (N, V) at power-of-2 ranks 1, 2, 4 are
+    // (4,2), (16,4), (64,8): ln V = 0.5 ln N exactly → beta ½, ln_k 0, r² 1
+    val docs = Seq(
+      0L -> "a a b b",                                    // +4 toks, +2 new
+      1L -> ("c d " + Seq.fill(10)("a").mkString(" ")),   // +12, +2
+      2L -> ("e f " + Seq.fill(22)("a").mkString(" ")),   // +24, +2 (rank 3)
+      3L -> ("g h " + Seq.fill(22)("a").mkString(" "))    // +24, +2
+    ).map { case (id, t) => ("en", id, t) }.toDF("lang", "doc_id", "text")
+    val out = TextOps.heapsFit(docs, col("lang"), col("doc_id"),
+      chunkShift = 0).collect().head
+    assert(out.getLong(1) == 3L, "checkpoints at ranks 1, 2, 4")
+    assert(out.getLong(2) == 64L && out.getLong(3) == 8L)
+    assert(math.abs(out.getDouble(4) - 0.5) < 1e-9, s"beta ${out.getDouble(4)}")
+    assert(math.abs(out.getDouble(5)) < 1e-9, s"ln_k ${out.getDouble(5)}")
+    assert(math.abs(out.getDouble(6) - 1.0) < 1e-9, s"r2 ${out.getDouble(6)}")
+  }
+
+  test("heapsFit merges docs sharing a chunk before ranking") {
+    val docs = Seq(0L -> "a b", 1L -> "c a", 2L -> "d e", 3L -> "a a")
+      .map { case (id, t) => ("en", id, t) }.toDF("lang", "doc_id", "text")
+    // shift 1: chunks {0,1}->0, {2,3}->1 — both ranks are powers of 2
+    val out = TextOps.heapsFit(docs, col("lang"), col("doc_id"),
+      chunkShift = 1).collect().head
+    assert(out.getLong(1) == 2L, "two chunks, both checkpointed")
+    assert(out.getLong(2) == 8L && out.getLong(3) == 5L)
+    // two points define the line exactly: r² = 1
+    assert(math.abs(out.getDouble(6) - 1.0) < 1e-12)
+  }
+
   test("zipfFit caps the fit at topN but reports the full vocab size") {
     val text = Seq("a" -> 9, "b" -> 5, "c" -> 3, "d" -> 2, "e" -> 1)
       .flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
