@@ -1760,7 +1760,17 @@ object Queries {
       TextOps.heapsFit(documents(s, dir), col("lang"), col("doc_id"),
           chunkShift = 4)
         .select(col("grp").as("lang"), col("n_points"), col("total_tokens"),
-          col("total_vocab"), col("beta"), col("ln_k"), col("r2")))
+          col("total_vocab"), col("beta"), col("ln_k"), col("r2"))),
+
+    // --- per-source unigram divergence from the corpus (oracle-backed):
+    // KL / Jensen-Shannon / total-variation over the corpus top-200 token
+    // distribution — the source-skew monitor run before corpus mixing.
+    // Integer counts, broadcast top set, topN-bounded fixed-order folds;
+    // raw doubles mirror the oracle bit-for-bit.
+    "q137_source_divergence" -> ((s, dir) =>
+      TextOps.sourceDivergence(documents(s, dir), col("source"), topN = 200)
+        .select(col("grp").as("source"), col("n_top_tokens"), col("kl"),
+          col("js"), col("tv")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3738,6 +3748,47 @@ FROM walk WHERE rn >= 1"""
          |  CASE WHEN varx > 0 AND vary > 0 THEN
          |    (cov / varx) * (cov / vary) END AS r2
          |FROM f JOIN tot USING (lang) JOIN voc USING (lang)""".stripMargin,
+
+    // source-divergence mirror: integer counts, the same top-200 set under
+    // the deterministic (count DESC, token ASC) order, per-row p/q fixed
+    // divisions with the eps substitution, then rank-ordered fixed-order
+    // folds for KL/JS/TV — identical op order, raw doubles
+    "q137_source_divergence" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(list_filter($tokExpr, tk -> len(tk) > 0))
+         |    AS tok
+         |  FROM documents),
+         |corpus AS (SELECT tok, count(*) AS cc FROM toks GROUP BY 1),
+         |top AS (
+         |  SELECT tok, cc, row_number() OVER (ORDER BY cc DESC, tok) AS rank
+         |  FROM corpus ORDER BY cc DESC, tok LIMIT 200),
+         |g AS (
+         |  SELECT t.source AS grp, top.rank, count(*) AS gc
+         |  FROM toks t JOIN top ON top.tok = t.tok GROUP BY 1, 2),
+         |gt AS (SELECT grp, CAST(sum(gc) AS BIGINT) AS gt FROM g GROUP BY 1),
+         |tc AS (SELECT CAST(sum(cc) AS BIGINT) AS tc FROM top),
+         |grid AS (
+         |  SELECT gt.grp, gt.gt, top.rank,
+         |    CASE WHEN coalesce(g.gc, 0) > 0
+         |      THEN g.gc::DOUBLE / gt.gt::DOUBLE ELSE 1e-4 END AS p,
+         |    top.cc::DOUBLE / tc.tc::DOUBLE AS q
+         |  FROM gt CROSS JOIN top CROSS JOIN tc
+         |  LEFT JOIN g ON g.grp = gt.grp AND g.rank = top.rank),
+         |f AS (
+         |  SELECT grp, gt,
+         |    list(struct_pack(rank := rank, p := p, q := q) ORDER BY rank)
+         |      AS terms
+         |  FROM grid GROUP BY 1, 2)
+         |SELECT grp AS source, gt AS n_top_tokens,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(terms,
+         |    t -> t.p * ln(t.p / t.q))), (a, b) -> a + b) AS kl,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(terms,
+         |    t -> (t.p * ln(t.p / ((t.p + t.q) / 2.0))
+         |      + t.q * ln(t.q / ((t.p + t.q) / 2.0))) / 2.0)),
+         |    (a, b) -> a + b) AS js,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(terms,
+         |    t -> abs(t.p - t.q))), (a, b) -> a + b) / 2.0 AS tv
+         |FROM f""".stripMargin,
 
     "q119_audience_overlap" ->
       """WITH p AS (

@@ -140,6 +140,70 @@ object TextOps {
         (-col("slope")).as("zipf_exponent"), col("intercept"), col("r2"))
   }
 
+  /** Per-group unigram-distribution divergence from the corpus: KL(p‖q),
+    * Jensen–Shannon, and total-variation distance between each group's
+    * token distribution and the corpus-wide one, both restricted to the
+    * corpus TOP-`topN` tokens (renormalized within them) — the "which
+    * source/shard is statistically off" monitor a mixing pipeline runs
+    * before weighting corpora, the unbounded-vocabulary twin of
+    * [[AnalyticsOps.psiDrift]]'s binned version. Groups missing a top
+    * token substitute `eps` for its proportion (PSI's convention), so
+    * every log is finite.
+    *
+    * EXACT cross-engine: all counts are exact integers; per-term p/q are
+    * fixed divisions; the three divergences fold term-by-term in RANK
+    * order from an explicit 0.0 (the q116 discipline, ln parity per q65).
+    * Scale shape: one corpus-sized explode feeds two hash aggregates (the
+    * corpus counts and the per-(group, token) counts pre-filtered by a
+    * BROADCAST of the topN set); the distribution grid is groups×topN
+    * rows; the fold list is topN-bounded. The top-N itself is
+    * TakeOrderedAndProject — per-partition heaps, never a global sort. */
+  def sourceDivergence(
+      documents: DataFrame,
+      groupCol: Column,
+      topN: Int = 200,
+      eps: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val toks = documents
+      .select(groupCol.as("grp"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+      .orderBy(col("cc").desc, col("tok")).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cc").desc, col("tok"))))
+    val grpCounts = toks
+      .join(broadcast(top.select("tok", "rank")), Seq("tok"))
+      .groupBy("grp", "rank").agg(count(lit(1)).as("gc"))
+    val grpTot = grpCounts.groupBy("grp").agg(sum("gc").as("gt"))
+    val corpusTot = top.agg(sum("cc").as("tc"))
+    val grid = grpTot
+      .crossJoin(broadcast(top.select(col("rank"), col("cc"))))
+      .crossJoin(broadcast(corpusTot))
+      .join(grpCounts, Seq("grp", "rank"), "left")
+      .na.fill(0L, Seq("gc"))
+      .withColumn("p", when(col("gc") > 0L,
+        col("gc").cast("double") / col("gt").cast("double"))
+        .otherwise(lit(eps)))
+      .withColumn("q", col("cc").cast("double") / col("tc").cast("double"))
+    val folded = grid
+      .groupBy(col("grp"), col("gt"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("p"), col("q"))))
+        .as("__terms"))
+    def fold(term: Column => Column) =
+      aggregate(transform(col("__terms"), term), lit(0.0), (acc, t) => acc + t)
+    folded.select(
+      col("grp"),
+      col("gt").as("n_top_tokens"),
+      fold(s => s("p") * log(s("p") / s("q"))).as("kl"),
+      fold { s =>
+        val m = (s("p") + s("q")) / lit(2.0)
+        (s("p") * log(s("p") / m) + s("q") * log(s("q") / m)) / lit(2.0)
+      }.as("js"),
+      (fold(s => abs(s("p") - s("q"))) / lit(2.0)).as("tv"))
+  }
+
   /** Heaps' law vocabulary-growth fit per group: V(N) ≈ K·N^β — OLS of
     * ln(cumulative vocabulary) on ln(cumulative tokens) sampled along the
     * doc_id axis. β ∈ (0.4, 0.6) for natural text; β → 0 means the corpus

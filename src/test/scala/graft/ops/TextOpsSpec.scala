@@ -174,6 +174,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(out.getDouble(6) - 1.0) < 1e-12)
   }
 
+  test("sourceDivergence matches hand-computed KL/JS/TV with eps fill") {
+    // corpus: a×3, b×1 → q = (0.75, 0.25); X = "a a a" → p = (1, eps);
+    // Y = "b" → p = (eps, 1)
+    val docs = Seq("X" -> "a a a", "Y" -> "b").toDF("source", "text")
+    val out = TextOps.sourceDivergence(docs, col("source"), topN = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val eps = 1e-4
+    def ln(x: Double) = StrictMath.log(x)
+    def kl(p: Seq[Double], q: Seq[Double]) =
+      p.zip(q).map { case (a, b) => a * ln(a / b) }.foldLeft(0.0)(_ + _)
+    def js(p: Seq[Double], q: Seq[Double]) =
+      p.zip(q).map { case (a, b) =>
+        val m = (a + b) / 2.0
+        (a * ln(a / m) + b * ln(b / m)) / 2.0
+      }.foldLeft(0.0)(_ + _)
+    def tv(p: Seq[Double], q: Seq[Double]) =
+      p.zip(q).map { case (a, b) => math.abs(a - b) }.foldLeft(0.0)(_ + _) / 2.0
+    val qd = Seq(0.75, 0.25)
+    val pX = Seq(1.0, eps); val pY = Seq(eps, 1.0)
+    assert(out("X") == ((3L, kl(pX, qd), js(pX, qd), tv(pX, qd))),
+      s"X got ${out("X")}")
+    assert(out("Y") == ((1L, kl(pY, qd), js(pY, qd), tv(pY, qd))),
+      s"Y got ${out("Y")}")
+  }
+
   test("zipfFit caps the fit at topN but reports the full vocab size") {
     val text = Seq("a" -> 9, "b" -> 5, "c" -> 3, "d" -> 2, "e" -> 1)
       .flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
