@@ -1770,7 +1770,22 @@ object Queries {
     "q137_source_divergence" -> ((s, dir) =>
       TextOps.sourceDivergence(documents(s, dir), col("source"), topN = 200)
         .select(col("grp").as("source"), col("n_top_tokens"), col("kl"),
-          col("js"), col("tv")))
+          col("js"), col("tv"))),
+
+    // --- Bloom-gated new-entity detection (oracle-backed, EXACT): (user,
+    // action) combinations first seen in the back half of the month — the
+    // crawl-frontier "never crawled before" gate. The Bloom sketch
+    // (constant-embedded, Spark's own runtime-filter contract) prunes the
+    // anti-join to the probe-positive remainder; negatives are
+    // definitively new, so the output is exactly the anti-join's at any
+    // fpp.
+    "q138_new_keys" -> ((s, dir) =>
+      ops.AnalyticsOps.newKeysGate(events(s, dir),
+          col("user_id") * 1000L
+            + get_json_object(col("props"), "$.k").cast("long"),
+          col("ts"),
+          splitMs = AnchorMs + 15L * 86400000L, expectedItems = 100000L)
+        .select(col("key"), col("n_events"), col("first_ts_ms")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3789,6 +3804,20 @@ FROM walk WHERE rn >= 1"""
          |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(terms,
          |    t -> abs(t.p - t.q))), (a, b) -> a + b) / 2.0 AS tv
          |FROM f""".stripMargin,
+
+    // new-entity gate: the Bloom layer is pruning only — the exact answer
+    // is the plain anti-join, which is the oracle
+    "q138_new_keys" ->
+      """WITH k AS (
+        |  SELECT user_id * 1000
+        |      + CAST(json_extract_string(props, '$.k') AS BIGINT) AS key,
+        |    epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |cur AS (SELECT key, ts_ms FROM k WHERE ts_ms >= 1705363200000),
+        |prior AS (SELECT DISTINCT key FROM k WHERE ts_ms < 1705363200000)
+        |SELECT key, count(*) AS n_events, min(ts_ms) AS first_ts_ms
+        |FROM cur ANTI JOIN prior USING (key)
+        |GROUP BY 1""".stripMargin,
 
     "q119_audience_overlap" ->
       """WITH p AS (

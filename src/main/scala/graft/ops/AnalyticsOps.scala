@@ -2369,4 +2369,63 @@ object AnalyticsOps {
       .select(col("key"), col("period"), col("n_events"), col("n_types"),
         col("entropy"), col("norm_entropy"), col("simpson"))
   }
+
+  /** Bloom-gated NEW-entity detection — the crawl-frontier primitive
+    * ("which of today's keys have we never seen before?"): keys of the
+    * current window (ts ≥ `splitMs`) absent from the prior window, with
+    * event count and first-seen timestamp. The result is EXACT — identical
+    * to a plain anti-join — the Bloom filter is purely a pruning layer:
+    * a negative probe is definitively new (no false negatives), so only
+    * the probe-POSITIVE remainder pays the exact anti-join shuffle. On a
+    * frontier where most keys are new (the crawl steady state) that
+    * shrinks the join's left side by the new-key fraction; the false-
+    * positive rate `fpp` only moves work between the two paths, never
+    * the answer.
+    *
+    * Mechanics: the prior window folds into ONE bounded
+    * `BloomFilterAggregate` sketch (bit-OR merge — order-free), collected
+    * to the driver and embedded as a constant (Spark's own runtime-filter
+    * contract: `BloomFilterMightContain` requires a constant or scalar
+    * subquery), so the probe is a codegen'd map-side filter with no
+    * join. The collect is O(numBits/8) — a deliberate driver-sized
+    * sketch, like the IVF centroids. An empty prior window short-circuits:
+    * everything is new, no probe, no join. */
+  def newKeysGate(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      splitMs: Long,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val tsMs = unix_millis(tsCol.cast("timestamp"))
+    val prior = events.filter(tsMs < splitMs).select(keyCol.as("key"))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(col("key")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val blob = prior.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val current = events
+      .filter(tsMs >= splitMs)
+      .select(keyCol.as("key"), tsMs.as("__ts"))
+    val newEvents =
+      if (blob == null) current // empty prior window: every key is new
+      else {
+        val maybeSeen = Bridge.column(BloomFilterMightContain(
+          Literal(blob, BinaryType), Bridge.expression(col("key"))))
+        val probed = current.withColumn("__maybe", maybeSeen)
+        probed.filter(!col("__maybe")).drop("__maybe")
+          .unionByName(
+            probed.filter(col("__maybe")).drop("__maybe")
+              .join(prior, Seq("key"), "left_anti"))
+      }
+    newEvents.groupBy("key")
+      .agg(count(lit(1)).as("n_events"), min("__ts").as("first_ts_ms"))
+  }
 }

@@ -1383,4 +1383,42 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(run(400L, 0L) == out, "chunk-size invariance")
     assert(run(86400000L, -7200000L) == out, "anchor invariance")
   }
+
+  test("newKeysGate equals the plain anti-join regardless of Bloom fpp") {
+    // keys 1..40 in the prior window; 21..60 in the current → new = 41..60
+    val rows = (1L to 40L).map(k => (k, 10L)) ++
+      (21L to 60L).flatMap(k => Seq((k, 100L), (k, 120L)))
+    val ev = rows.map { case (k, ms) => (k, new java.sql.Timestamp(ms)) }
+      .toDF("key_id", "ts")
+    // a 1%-and-a-99%-ish fpp must give the SAME answer: the Bloom only
+    // routes rows between the direct path and the verify join
+    for (fpp <- Seq(0.01, 0.5)) {
+      val out = AnalyticsOps.newKeysGate(ev, col("key_id"), col("ts"),
+          splitMs = 50L, expectedItems = 64L, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(out.keySet == (41L to 60L).toSet, s"fpp=$fpp got ${out.keySet}")
+      assert(out(41L) == ((2L, 100L)), "count + first-seen ms")
+    }
+  }
+
+  test("newKeysGate short-circuits an empty prior window: everything new") {
+    val ev = Seq((7L, 100L), (7L, 110L), (8L, 120L))
+      .map { case (k, ms) => (k, new java.sql.Timestamp(ms)) }
+      .toDF("key_id", "ts")
+    val out = AnalyticsOps.newKeysGate(ev, col("key_id"), col("ts"),
+        splitMs = 50L, expectedItems = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(7L -> 2L, 8L -> 1L))
+  }
+
+  test("newKeysGate boundary: ts == split belongs to the current window") {
+    val ev = Seq((1L, 49L), (2L, 50L))
+      .map { case (k, ms) => (k, new java.sql.Timestamp(ms)) }
+      .toDF("key_id", "ts")
+    val out = AnalyticsOps.newKeysGate(ev, col("key_id"), col("ts"),
+        splitMs = 50L, expectedItems = 8L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L), "key 1 is prior-only; key 2 is current and new")
+  }
 }
