@@ -1785,7 +1785,38 @@ object Queries {
             + get_json_object(col("props"), "$.k").cast("long"),
           col("ts"),
           splitMs = AnchorMs + 15L * 86400000L, expectedItems = 100000L)
-        .select(col("key"), col("n_events"), col("first_ts_ms")))
+        .select(col("key"), col("n_events"), col("first_ts_ms"))),
+
+    // --- inverted-index build (oracle-backed, EXACT): per-token df/cf +
+    // a WindowGroupLimit-capped ascending posting list — the retrieval
+    // primitive next to q65's BM25 scoring. Integer counts + a
+    // deterministic posting string; no stop-word posting list is ever
+    // materialized.
+    "q139_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(documents(s, dir), minDf = 2L, postingCap = 8)),
+
+    // --- PMI bigram collocations (oracle-backed, EXACT): top-100 adjacent
+    // token pairs by pointwise mutual information — phrase mining /
+    // tokenizer merge candidates. Integer counts; the score is a fixed
+    // left-to-right ln chain, so ranks and raw doubles mirror the oracle.
+    "q140_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(documents(s, dir), minCount = 5L, topN = 100)),
+
+    // --- interpolated Kneser-Ney bigram LM table (oracle-backed, EXACT):
+    // absolute-discounted p_kn(w2|w1) with continuation-count backoff —
+    // the count-based LM build that q118/q134's scoring passes consume.
+    // Every statistic is an integer over the FULL bigram table; only the
+    // emitted rows are minCount-filtered.
+    "q141_kneser_ney_lm" -> ((s, dir) =>
+      TextOps.knBigramLm(documents(s, dir), discount = 0.75, minCount = 5L)),
+
+    // --- exact trailing-7d actives (oracle-backed, EXACT): the true WAU
+    // curve via the dedup-first first-in-window identity (<= 7-row fan-out
+    // per DISTINCT (user, day), no per-window distinct sets) — the exact
+    // twin that pins q117's mergeable-HLL tier.
+    "q142_trailing_actives" -> ((s, dir) =>
+      ops.AnalyticsOps.trailingActives(events(s, dir), col("user_id"),
+        col("ts"), windowDays = 7))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3818,6 +3849,112 @@ FROM walk WHERE rn >= 1"""
         |SELECT key, count(*) AS n_events, min(ts_ms) AS first_ts_ms
         |FROM cur ANTI JOIN prior USING (key)
         |GROUP BY 1""".stripMargin,
+
+    // inverted-index mirror: same (token, doc) tf aggregate, HAVING df >= 2,
+    // the identical rnk <= 8 posting cap, ascending comma-joined ids —
+    // integers and strings only, exact at any partitioning
+    "q139_inverted_index" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter($tokExpr, tk -> len(tk) > 0)) AS token
+         |  FROM documents),
+         |g AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM g GROUP BY 1 HAVING count(*) >= 2),
+         |r AS (
+         |  SELECT token, doc_id,
+         |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rnk
+         |  FROM g),
+         |p AS (
+         |  SELECT token,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |      AS postings
+         |  FROM r WHERE rnk <= 8 GROUP BY 1)
+         |SELECT s.token, s.df, s.cf, p.postings
+         |FROM stats s JOIN p USING (token)""".stripMargin,
+
+    // PMI mirror: integer uni/bigram counts, scan-level totals (sum of
+    // list lengths, never an unnest), and the engine's exact left-to-right
+    // six-term ln chain — raw doubles and therefore the top-100 ranking
+    // mirror bit-for-bit
+    "q140_pmi_collocations" ->
+      s"""WITH d AS (
+         |  SELECT list_filter($tokExpr, tk -> len(tk) > 0) AS t
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(sum(len(t)) AS BIGINT) AS nu,
+         |    CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS nb FROM d),
+         |uni AS (SELECT unnest(t) AS w FROM d),
+         |unic AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         |big0 AS (
+         |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+         |  FROM d WHERE len(t) >= 2),
+         |big AS (
+         |  SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_xy
+         |  FROM big0 GROUP BY 1, 2 HAVING count(*) >= 5),
+         |scored AS (
+         |  SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+         |    ln(b.c_xy::DOUBLE) - ln(tot.nb::DOUBLE) - ln(u1.c::DOUBLE)
+         |      + ln(tot.nu::DOUBLE) - ln(u2.c::DOUBLE) + ln(tot.nu::DOUBLE)
+         |      AS pmi
+         |  FROM big b JOIN unic u1 ON u1.w = b.w1
+         |  JOIN unic u2 ON u2.w = b.w2 CROSS JOIN tot)
+         |SELECT row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank,
+         |  w1, w2, c_xy, c_x, c_y, pmi
+         |FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // Kneser-Ney mirror: every statistic is an integer aggregate over the
+    // FULL bigram table (the minCount filter applies to output rows only);
+    // p_kn is the engine's exact fixed-order double chain
+    "q141_kneser_ney_lm" ->
+      s"""WITH d AS (
+         |  SELECT list_filter($tokExpr, tk -> len(tk) > 0) AS t
+         |  FROM documents),
+         |big0 AS (
+         |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+         |  FROM d WHERE len(t) >= 2),
+         |big AS (
+         |  SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_xy
+         |  FROM big0 GROUP BY 1, 2),
+         |ctx AS (
+         |  SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_w1,
+         |    count(*) AS n_follow
+         |  FROM big GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS n_precede FROM big GROUP BY 1),
+         |ty AS (SELECT count(*) AS n_types FROM big)
+         |SELECT b.w1, b.w2, b.c_xy, ctx.c_w1, ctx.n_follow, cont.n_precede,
+         |  greatest(b.c_xy::DOUBLE - 0.75, 0.0) / ctx.c_w1::DOUBLE
+         |    + ((0.75 * ctx.n_follow::DOUBLE) / ctx.c_w1::DOUBLE)
+         |      * (cont.n_precede::DOUBLE / ty.n_types::DOUBLE) AS p_kn
+         |FROM big b JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+         |WHERE b.c_xy >= 5""".stripMargin,
+
+    // trailing-actives mirror: the same dedup-first first-in-window
+    // identity — an active day covers windows [max(day, prev+7d), day+6d]
+    // — over a generate_series day spine; pure integer day/count math
+    "q142_trailing_actives" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS key,
+        |    epoch_ms(date_trunc('day', ts)) AS day
+        |  FROM events),
+        |fi AS (
+        |  SELECT day, lag(day) OVER (PARTITION BY key ORDER BY day) AS prev
+        |  FROM ud),
+        |cov AS (
+        |  SELECT unnest(generate_series(
+        |    CASE WHEN prev IS NULL THEN day
+        |      ELSE greatest(day, prev + 604800000) END,
+        |    day + 518400000, 86400000)) AS day_ms
+        |  FROM fi),
+        |counts AS (SELECT day_ms, count(*) AS actives FROM cov GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT epoch_ms(date_trunc('day', min(ts))) FROM events),
+        |    (SELECT epoch_ms(date_trunc('day', max(ts))) FROM events),
+        |    86400000)) AS day_ms)
+        |SELECT s.day_ms, coalesce(c.actives, 0) AS actives
+        |FROM spine s LEFT JOIN counts c USING (day_ms)""".stripMargin,
 
     "q119_audience_overlap" ->
       """WITH p AS (

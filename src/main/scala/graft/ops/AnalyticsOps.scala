@@ -2428,4 +2428,59 @@ object AnalyticsOps {
     newEvents.groupBy("key")
       .agg(count(lit(1)).as("n_events"), min("__ts").as("first_ts_ms"))
   }
+
+  /** EXACT trailing-window distinct actives — one row per day in the data
+    * span with the count of keys active at least once in the trailing
+    * `windowDays` days (the true WAU/MAU curve; the exact twin of the q117
+    * HLL-sketch tier, which trades this op's fan-out for mergeable state).
+    *
+    * The naive shapes both fail at 100 TB: per-day count-distinct over a
+    * 7-day self-join re-reads each event 7x and holds per-window distinct
+    * sets; a distinct-per-window explode fans every (key, day) row out 7x
+    * BEFORE deduplication. This op dedups FIRST (one (key, day) row per
+    * active day), then uses the classic first-in-window identity: a key
+    * counts toward window W exactly once, at its first active day inside
+    * [W−(n−1), W] — i.e. an active day `d` with previous active gap g
+    * covers windows [max(d, prev+n), d+n−1]. That range explode is <= n
+    * rows per DEDUPED (key, day) pair and needs only a lag() over the
+    * key's own days, so total work is n·|distinct(key,day)| with no
+    * distinct-set state anywhere.
+    *
+    * EXACT cross-engine: pure integer day/count arithmetic. Scale shape:
+    * one hash-distinct of (key, day); a key-partitioned lag window; a <=
+    * n-row sequence explode; one final day-keyed hash aggregate joined to
+    * the day spine (a broadcast of span/86400000 rows built from ONE 1-row
+    * min/max aggregate). */
+  def trailingActives(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayMs = 86400000L
+    val win = lit(windowDays.toLong * dayMs)
+    val ud = events
+      .select(keyCol.as("key"),
+        unix_millis(date_trunc("day", tsCol).cast("timestamp")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("key").orderBy(col("day"))
+    val firstIn = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("lo",
+        when(col("prev").isNull, col("day"))
+          .otherwise(greatest(col("day"), col("prev") + win)))
+      .withColumn("hi", col("day") + win - lit(dayMs))
+      .select(explode(sequence(col("lo"), col("hi"), lit(dayMs))).as("day_ms"))
+    val counts = firstIn.groupBy("day_ms").agg(count(lit(1)).as("actives"))
+    val spine = events
+      .agg(
+        unix_millis(date_trunc("day", min(tsCol)).cast("timestamp")).as("lo"),
+        unix_millis(date_trunc("day", max(tsCol)).cast("timestamp")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(dayMs)))
+        .as("day_ms"))
+    broadcast(spine).join(counts, Seq("day_ms"), "left")
+      .select(col("day_ms"),
+        coalesce(col("actives"), lit(0L)).as("actives"))
+  }
 }

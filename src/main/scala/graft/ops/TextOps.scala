@@ -605,4 +605,161 @@ object TextOps {
         when(col("n_bigrams") > 0,
           round(exp(-col("__s") / col("n_bigrams")), 6)).as("ppl"))
   }
+
+  /** Inverted-index build — the search-engine primitive over the corpus:
+    * one row per token with document frequency `df`, collection frequency
+    * `cf`, and a bounded posting list (the first `postingCap` doc ids in
+    * ascending order, comma-joined). Tokens below `minDf` are dropped —
+    * hapaxes dominate the vocabulary and carry no retrieval value.
+    *
+    * EXACT cross-engine: df/cf are integers at any partitioning and the
+    * posting string is a deterministic ascending join.
+    *
+    * Scale shape: the corpus-sized work is one explode + a partial/final
+    * hash aggregate to (token, doc_id, tf) — map-side combine collapses
+    * each partition's repeats before the shuffle. Stats are a second
+    * vocabulary-sized hash aggregate over that. The posting cap is a
+    * `row_number <= cap` filter that pushes down as WindowGroupLimit
+    * (per-partition top-cap heaps prune before the per-token sort), so no
+    * stop-word's billion-document posting list is ever materialized —
+    * `collect_list` only ever sees <= cap rows per token. The final join
+    * is vocabulary-sized on the token key. */
+  def invertedIndex(
+      documents: DataFrame,
+      minDf: Long = 2L,
+      postingCap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(postingCap >= 1, s"postingCap must be >= 1, got $postingCap")
+    val pairs = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .filter(col("df") >= minDf)
+    val w = Window.partitionBy("token").orderBy(col("doc_id"))
+    val postings = pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= postingCap)
+      .groupBy("token")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          d => d.cast("string"))).as("postings"))
+    stats.join(postings, "token")
+      .select(col("token"), col("df"), col("cf"), col("postings"))
+  }
+
+  /** PMI bigram collocations — pointwise mutual information of adjacent
+    * token pairs vs their unigram marginals, the classic phrase-mining /
+    * tokenizer-merge-candidate query: pmi = ln p(w1,w2) − ln p(w1) − ln
+    * p(w2) with bigram and unigram probabilities over their own totals.
+    * Pairs below `minCount` are dropped (PMI is noise at tiny counts);
+    * output is the deterministic global top-`topN` by (pmi DESC, w1, w2).
+    *
+    * EXACT cross-engine: all counts are integers; the score is a
+    * LEFT-TO-RIGHT chain of six ln/± ops over them (the q65/q131 ln-parity
+    * discipline), so raw doubles — and therefore the ranking — mirror the
+    * oracle bit-for-bit.
+    *
+    * Scale shape: bigrams come from an array zip (slice/zip_with) — no
+    * per-doc window, no positional explode join. Corpus-sized work is two
+    * explode + hash-aggregate passes (unigram, bigram counts); the totals
+    * are ONE scan-level aggregate (sum of sizes — never an explode) that
+    * broadcasts as a 1-row table; marginal joins shuffle at
+    * bigram-vocabulary granularity on the token keys; the top-N compiles
+    * to TakeOrderedAndProject (per-partition heaps + driver merge of N). */
+  def pmiCollocations(
+      documents: DataFrame,
+      minCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val base = documents.select(toks.as("t"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nBig = greatest(size(col("t")) - 1, lit(0))
+    val totals = base.agg(
+      sum(size(col("t")).cast("long")).as("nu"),
+      sum(nBig.cast("long")).as("nb"))
+    val big = base
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), nBig), slice(col("t"), lit(2), nBig),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val scored = big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        log(col("c_xy").cast("double")) - log(col("nb").cast("double"))
+          - log(col("c_x").cast("double")) + log(col("nu").cast("double"))
+          - log(col("c_y").cast("double")) + log(col("nu").cast("double")))
+    val top = scored
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("pmi").desc, col("w1"),
+          col("w2"))))
+      .select(col("rank"), col("w1"), col("w2"), col("c_xy"), col("c_x"),
+        col("c_y"), col("pmi"))
+  }
+
+  /** Interpolated Kneser-Ney bigram LM table — the training-side
+    * counterpart to [[lmScore]]'s scoring pass: for each retained bigram,
+    * the absolute-discounted probability
+    * p_kn(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·) + λ(w1)·p_cont(w2) with
+    * λ(w1) = D·N1+(w1·)/c(w1·) and p_cont(w2) = N1+(·w2)/|bigram types| —
+    * Kneser & Ney 1995 / Chen & Goodman 1999, the standard smoothing for
+    * count-based LMs. Rows below `minCount` are dropped from the OUTPUT
+    * only; every continuation/context statistic is computed over the full
+    * unfiltered bigram table, so the retained rows' probabilities are the
+    * true model's.
+    *
+    * EXACT cross-engine: every statistic is an integer at any
+    * partitioning; p_kn is a fixed chain of double ops over them, mirrored
+    * verbatim in the oracle.
+    *
+    * Scale shape: one explode + hash aggregate to bigram counts; the four
+    * derived statistics are vocabulary-sized hash aggregates OVER that
+    * table (never a second corpus scan); joins shuffle at bigram-table
+    * granularity on single-token keys; the type total broadcasts as one
+    * row. */
+  def knBigramLm(
+      documents: DataFrame,
+      discount: Double = 0.75,
+      minCount: Long = 5L): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val toks = filter(tokens(col("text")), t => length(t) > 0)
+    val base = documents.select(toks.as("t"))
+    val nBig = greatest(size(col("t")) - 1, lit(0))
+    val big = base
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), nBig), slice(col("t"), lit(2), nBig),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val ctx = big.groupBy("w1").agg(
+      sum("c_xy").as("c_w1"), count(lit(1)).as("n_follow"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    val types = big.agg(count(lit(1)).as("n_types"))
+    val d = lit(discount)
+    big.filter(col("c_xy") >= minCount)
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("p_kn",
+        greatest(col("c_xy").cast("double") - d, lit(0.0))
+          / col("c_w1").cast("double")
+          + (d * col("n_follow").cast("double")
+              / col("c_w1").cast("double"))
+            * (col("n_precede").cast("double")
+              / col("n_types").cast("double")))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_w1"),
+        col("n_follow"), col("n_precede"), col("p_kn"))
+  }
 }

@@ -11,13 +11,21 @@ object SortScan {
   // q37/q65/q112/q118/q131 crossJoin a broadcast 1-ROW anchor/stats aggregate
   // (the SinglePartition exchange under it is the global agg producing that
   // one row — aggregate-sized, plan-pinned in PlanSpec)
+  // q134/q140/q141 share the same 1-row (or topN-row: q137's top-200 grid)
+  // broadcast-aggregate crossJoin shape
   private val allowedNlj =
     Set("q09_topk_cosine", "q19_ivf_topk", "q29_jaccard_exact",
       "q37_retention_expiry", "q65_bm25", "q112_staleness",
-      "q118_lm_perplexity", "q131_keywords")
+      "q118_lm_perplexity", "q131_keywords", "q134_quality_gate",
+      "q137_source_divergence", "q140_pmi_collocations",
+      "q141_kneser_ney_lm")
+  // q142's single-partition exchange is the 1-row min/max aggregate that
+  // explodes into the broadcast day spine (span/86400000 rows)
   private val allowedSinglePartition =
     Set("q37_retention_expiry", "q65_bm25", "q112_staleness",
-      "q118_lm_perplexity", "q131_keywords")
+      "q118_lm_perplexity", "q131_keywords", "q134_quality_gate",
+      "q140_pmi_collocations", "q141_kneser_ney_lm",
+      "q142_trailing_actives")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

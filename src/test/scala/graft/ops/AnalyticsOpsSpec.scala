@@ -1421,4 +1421,33 @@ class AnalyticsOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(2L), "key 1 is prior-only; key 2 is current and new")
   }
+
+  test("trailingActives equals brute-force trailing distinct, incl. zeros") {
+    val dayMs = 86400000L
+    // deterministic LCG activity: 5 users over a 20-day span with a 9-day
+    // dead zone (days 6-14 have no activity) — longer than the 7-day
+    // window, so some trailing counts must be EXACTLY zero
+    var s = 42L
+    def lcg(): Long = { s = (s * 1103515245L + 12345L) & 0x7fffffffL; s }
+    val pairs = (for (_ <- 1 to 60) yield {
+      val u = lcg() % 5
+      val d = lcg() % 11
+      (u, if (d < 6) d else d + 9) // days {0..5} U {15..19}
+    }).distinct
+    val ev = pairs.map { case (u, d) =>
+      (u, new java.sql.Timestamp(d * dayMs + (u + 1) * 3600000L))
+    }.toDF("user_id", "ts")
+    val n = 7
+    val out = AnalyticsOps.trailingActives(ev, col("user_id"), col("ts"), n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (lo, hi) = (pairs.map(_._2).min, pairs.map(_._2).max)
+    val expected = (lo to hi).map { w =>
+      w * dayMs ->
+        pairs.filter { case (_, d) => d <= w && d > w - n }.map(_._1)
+          .distinct.size.toLong
+    }.toMap
+    assert(out == expected, s"got $out\nexpected $expected")
+    assert(expected.valuesIterator.contains(0L),
+      "the dead zone must actually exercise the zero-count days")
+  }
 }

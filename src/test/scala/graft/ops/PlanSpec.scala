@@ -315,4 +315,26 @@ class PlanSpec extends SparkTestBase {
     assert(!read.contains("props") && !read.contains("value"),
       s"scan must prune unused columns: $read")
   }
+
+  test("q139 inverted index: posting cap prunes below the shuffle") {
+    val p = plan("q139_inverted_index")
+    // rnk <= cap must compile to WindowGroupLimit with a map-side Partial
+    // pass — otherwise a stop-word's full posting list crosses the wire
+    assert(p.contains("WindowGroupLimit"),
+      s"posting cap must compile to WindowGroupLimit:\n$p")
+    assert(p.split("\n").count(_.contains("WindowGroupLimit")) >= 2,
+      "want Partial AND Final group limits (map-side prune)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q142 trailing actives: dedup-first, no per-window distinct state") {
+    val p = plan("q142_trailing_actives")
+    // the (key, day) dedup must be a partial/final hash aggregate and the
+    // spine join a keyed broadcast — never a range self-join
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "dedup needs map-side partial aggregation")
+    assert(p.contains("BroadcastHashJoin"), "day spine must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "no data-sized join anywhere")
+  }
 }

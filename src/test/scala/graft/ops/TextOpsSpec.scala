@@ -208,4 +208,64 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.getLong(1) == 3L, "n_ranks capped at topN")
     assert(out.getLong(2) == 5L, "vocab_size is the full vocabulary")
   }
+
+  test("invertedIndex: df/cf counts, ascending capped postings, minDf gate") {
+    val docs = Seq(
+      (1L, "a b a"),  // a twice here (cf counts repeats, df doesn't)
+      (2L, "a c"),
+      (3L, "c a"),
+      (4L, "b")       // b: df=2 exactly at the gate
+    ).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, minDf = 2L, postingCap = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("a") == ((3L, 4L, "1,2")), s"a got ${out("a")}")
+    assert(out("b") == ((2L, 2L, "1,4")), s"b got ${out("b")}")
+    assert(out("c") == ((2L, 2L, "2,3")), s"c got ${out("c")}")
+    assert(out.size == 3, "no sub-minDf tokens survive")
+  }
+
+  test("pmiCollocations matches the hand-computed ln chain and ranking") {
+    // corpus: "p q" x4 (perfectly associated) + "p r" x2 + "s t" x2
+    val docs = (Seq.fill(4)("p q") ++ Seq.fill(2)("p r") ++ Seq.fill(2)("s t"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs, minCount = 2L, topN = 10)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getInt(0), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    def ln(x: Double) = StrictMath.log(x)
+    val (nu, nb) = (16.0, 8.0)
+    def pmi(cxy: Double, cx: Double, cy: Double) =
+      ln(cxy) - ln(nb) - ln(cx) + ln(nu) - ln(cy) + ln(nu)
+    // s t: 2/8 joint vs (2/16)(2/16) -> pmi = ln(8); p q: ln(8/3); p r: ln(8/3)
+    assert(out(("s", "t")) == ((1, 2L, 2L, 2L, pmi(2, 2, 2))),
+      s"st got ${out(("s", "t"))}")
+    assert(out(("p", "q")) == ((2, 4L, 6L, 4L, pmi(4, 6, 4))),
+      s"pq got ${out(("p", "q"))}")
+    assert(out(("p", "r")) == ((3, 2L, 6L, 2L, pmi(2, 6, 2))),
+      s"pr got ${out(("p", "r"))}")
+    assert(out.size == 3, "sub-minCount pairs dropped")
+  }
+
+  test("knBigramLm: full-table continuation stats despite the output gate") {
+    // bigrams: (a b) x3, (c b) x1, (a d) x1 -> with minCount=2 only (a b)
+    // is EMITTED, but its statistics must still see the filtered-out rows:
+    // c(a.) = 4, N1+(a.) = 2, N1+(.b) = 2, types = 3
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "c b"), (5L, "a d")
+    ).toDF("doc_id", "text")
+    val out = TextOps.knBigramLm(docs, discount = 0.75, minCount = 2L)
+      .collect()
+    assert(out.length == 1, "only (a b) clears minCount")
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((3L, 4L, 2L, 2L)), "stats computed over the unfiltered bigram table")
+    val expected = math.max(3.0 - 0.75, 0.0) / 4.0 +
+      ((0.75 * 2.0) / 4.0) * (2.0 / 3.0)
+    assert(r.getDouble(6) == expected, s"p_kn got ${r.getDouble(6)}")
+  }
 }
