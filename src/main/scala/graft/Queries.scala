@@ -1816,7 +1816,17 @@ object Queries {
     // twin that pins q117's mergeable-HLL tier.
     "q142_trailing_actives" -> ((s, dir) =>
       ops.AnalyticsOps.trailingActives(events(s, dir), col("user_id"),
-        col("ts"), windowDays = 7))
+        col("ts"), windowDays = 7)),
+
+    // --- rolling 24h view/purchase correlation (oracle-backed, EXACT):
+    // per hourly bucket, Pearson r of the two types' decimal-cents volumes
+    // over the trailing 24 PRESENT hours (RANGE frame = true wall clock)
+    // — the live drift companion to q74's global correlation. Integer
+    // sufficient statistics; fixed-order double finalize mirrors the
+    // oracle bit-for-bit.
+    "q143_rolling_corr" -> ((s, dir) =>
+      ops.AnalyticsOps.rollingCorrelation(events(s, dir), col("event_type"),
+        col("ts"), col("value"), "view", "purchase", windowBuckets = 24))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3929,6 +3939,45 @@ FROM walk WHERE rn >= 1"""
          |      * (cont.n_precede::DOUBLE / ty.n_types::DOUBLE) AS p_kn
          |FROM big b JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
          |WHERE b.c_xy >= 5""".stripMargin,
+
+    // rolling-correlation mirror: identical decimal-cents hourly cells,
+    // HUGEINT product sums over the same RANGE frame (exact ≡ Spark's
+    // decimal(19,0) products), and the engine's exact Pearson double chain
+    "q143_rolling_corr" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    event_type
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |a AS (
+        |  SELECT bucket_ms,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |      THEN cents END), 0) AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN cents END), 0) AS BIGINT) AS y
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT bucket_ms,
+        |    count(*) OVER w AS n_buckets,
+        |    CAST(sum(CAST(x AS HUGEINT)) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) OVER w AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) OVER w
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER w
+        |      AS DOUBLE) AS syy
+        |  FROM a
+        |  WINDOW w AS (ORDER BY bucket_ms
+        |    RANGE BETWEEN 82800000 PRECEDING AND CURRENT ROW))
+        |SELECT bucket_ms, n_buckets,
+        |  CASE WHEN (n_buckets::DOUBLE * sxx - sx * sx) > 0
+        |        AND (n_buckets::DOUBLE * syy - sy * sy) > 0
+        |    THEN (n_buckets::DOUBLE * sxy - sx * sy)
+        |      / sqrt((n_buckets::DOUBLE * sxx - sx * sx)
+        |        * (n_buckets::DOUBLE * syy - sy * sy))
+        |  END AS corr
+        |FROM s""".stripMargin,
 
     // trailing-actives mirror: the same dedup-first first-in-window
     // identity — an active day covers windows [max(day, prev+7d), day+6d]

@@ -2483,4 +2483,63 @@ object AnalyticsOps {
       .select(col("day_ms"),
         coalesce(col("actives"), lit(0L)).as("actives"))
   }
+
+  /** Rolling-window Pearson correlation between two event types' hourly
+    * volumes — "are purchases still tracking views over the last 24h?",
+    * the live companion to [[crossCorrelation]]'s global lag sweep. Per
+    * hourly bucket: the correlation of the two types' decimal-cents value
+    * sums over the trailing `windowBuckets` PRESENT hours (a RANGE frame
+    * on the bucket epoch, so true wall-clock trailing across gaps — the
+    * q87/q111 discipline; hours with no events at all contribute nothing
+    * rather than fabricated zeros). NULL when either side has zero
+    * variance in the window.
+    *
+    * EXACT cross-engine: per-bucket sums are decimal-exact integers at
+    * any partitioning, the six windowed sufficient statistics are
+    * exact-integer (decimal/HUGEINT) sums of their products, and the
+    * Pearson finalize is a fixed chain of double ops over them — raw
+    * doubles mirror the oracle bit-for-bit.
+    *
+    * Scale shape: the only event-sized work is one hash aggregate to
+    * hourly cells (map-side combine). The rolling window is unpartitioned
+    * BUT runs over the BUCKET-COUNT-sized aggregate (hours in the data
+    * span — ~87k rows for a decade), the same post-reduction tier as the
+    * q85 top-k; it is never event-sized. */
+  def rollingCorrelation(
+      events: DataFrame,
+      typeCol: Column,
+      tsCol: Column,
+      valueCol: Column,
+      typeA: String,
+      typeB: String,
+      windowBuckets: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowBuckets >= 2,
+      s"windowBuckets must be >= 2, got $windowBuckets")
+    val bucketMs = 3600000L
+    val cents = (valueCol.cast("decimal(12,2)") * lit(100)).cast("long")
+    val aligned = events
+      .filter(typeCol.isin(typeA, typeB))
+      .groupBy(unix_millis(date_trunc("hour", tsCol).cast("timestamp"))
+        .as("bucket_ms"))
+      .agg(
+        coalesce(sum(when(typeCol === typeA, cents)), lit(0L)).as("x"),
+        coalesce(sum(when(typeCol === typeB, cents)), lit(0L)).as("y"))
+    val w = Window.orderBy(col("bucket_ms"))
+      .rangeBetween(-(windowBuckets - 1L) * bucketMs, 0L)
+    def big(c: Column) = c.cast("decimal(19,0)")
+    def dsum(c: Column) = sum(c).over(w).cast("double")
+    val stats = aligned.select(col("bucket_ms"),
+      count(lit(1)).over(w).as("n_buckets"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(big(col("x")) * big(col("y"))).as("sxy"),
+      dsum(big(col("x")) * big(col("x"))).as("sxx"),
+      dsum(big(col("y")) * big(col("y"))).as("syy"))
+    val nD = col("n_buckets").cast("double")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val varx = nD * col("sxx") - col("sx") * col("sx")
+    val vary = nD * col("syy") - col("sy") * col("sy")
+    stats.select(col("bucket_ms"), col("n_buckets"),
+      when(varx > 0 && vary > 0, cov / sqrt(varx * vary)).as("corr"))
+  }
 }

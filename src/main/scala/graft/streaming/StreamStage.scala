@@ -66,6 +66,17 @@ final case class EwmaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
 final case class DeltaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
     prevTs: Long, prevVal: Double, primed: Boolean)
 
+/** One first-in-window membership row from
+  * [[StreamStage.trailingActivesStream]]'s stage 1: this key contributes
+  * exactly one such row to trailing window `day_ms`. */
+final case class CoverOut(user: String, dayMs: Long)
+
+/** Per-user state for [[StreamStage.trailingActivesStream]]: the
+  * above-watermark buffer plus the last drained active day the next
+  * coverage range starts after. */
+final case class CoverBuf(ts: Array[Long], tie: Array[Long],
+    vs: Array[Double], prevDay: Long, primed: Boolean)
+
 /** One CLOSED run from [[StreamStage.changeStream]]: the run's first row
   * (ts, tie, value) plus how many raw readings it absorbed. */
 final case class ChangeOut(url: String, ts: Long, tie: Long, value: Double,
@@ -407,6 +418,88 @@ object StreamStage {
         approx_count_distinct(col("etype"), rsd).as("types_approx"))
       .select(col("window.start").as("day"), col("cnt"),
         col("users_approx"), col("types_approx"))
+  }
+
+  /** STREAMING exact trailing-window actives, stage 1 of 2 — with
+    * [[trailingActivesFromCover]], the unbounded twin of
+    * [[graft.ops.AnalyticsOps.trailingActives]] (q142). Replays each
+    * key's active days in event-time order (the shared [[ewmaStream]]
+    * watermark-buffer discipline) and emits the batch op's
+    * first-in-window identity incrementally: a newly drained active day
+    * `d` after previous day `p` appends one MEMBERSHIP row per trailing
+    * window in [max(d, p+w), d+w−1] — ranges from successive days never
+    * overlap, so each (key, window) row appends EXACTLY ONCE and is never
+    * retracted. State: the O(lateness) buffer plus one (prevDay, primed)
+    * pair per key; a primed key's state persists (its last active day
+    * gates all future coverage) — the same O(keys) tier as
+    * [[sessionizeStream]].
+    *
+    * The membership stream is itself the write-path artifact ("which keys
+    * count toward which trailing window") and is meant to be PERSISTED;
+    * the day counts are the separate query [[trailingActivesFromCover]]
+    * runs over that sink. The split is deliberate: fusing both into one
+    * query puts a second watermark node downstream of this operator, and
+    * Spark's global-min watermark then deadlocks at the epoch until the
+    * first membership row appears (downstream node with no data pins the
+    * only watermark stage 1 drains by). Two queries give each stage its
+    * own sound watermark — the standard intermediate-sink shape for
+    * chained stateful pipelines. */
+  def trailingCoverStream(
+      events: Dataset[ActivityPoint],
+      windowDays: Int = 7,
+      lateness: String = "10 minutes"): Dataset[CoverOut] = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+    val win = windowDays.toLong * dayMs
+    val points = events.map(a =>
+      TiedPoint(a.user, Math.floorDiv(a.ts, dayMs) * dayMs, 0L, 0.0))
+    bufferedReplay[CoverBuf, CoverOut](points, lateness,
+        CoverBuf(Array.emptyLongArray, Array.emptyLongArray,
+          Array.emptyDoubleArray, 0L, false))(
+      s => (s.ts, s.tie, s.vs),
+      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      s => !s.primed,
+      (user, st, ready) => {
+        var prev = st.prevDay
+        var primed = st.primed
+        val out = Vector.newBuilder[CoverOut]
+        ready.foreach { case (d, _, _) =>
+          if (!primed || d > prev) { // same-day repeats are no-ops
+            var w = if (!primed) d else math.max(d, prev + win)
+            val hi = d + win - dayMs
+            while (w <= hi) { out += CoverOut(user, w); w += dayMs }
+            prev = d; primed = true
+          }
+        }
+        (out.result(), st.copy(prevDay = prev, primed = primed))
+      })
+  }
+
+  /** Stage 2 of the exact trailing-actives twin: a NATIVE watermarked
+    * 1-day window count over [[trailingCoverStream]]'s membership sink
+    * (the [[histogramStream]] pattern — zero custom state code; each
+    * (key, window) row arrives exactly once, so count(*) IS the actives).
+    * Run as its OWN streaming query over the persisted membership stream
+    * (see [[trailingCoverStream]] for why the stages must not share a
+    * query). Lateness must cover stage 1's look-ahead: a membership row's
+    * day can run up to windowDays−1 days ahead of the day that produced
+    * it, so the default mirrors the window. Closed days equal the batch
+    * q142 rows with actives > 0 exactly; the batch spine's zero-activity
+    * days are the only rows with no streaming counterpart
+    * (spec-pinned under shuffled late arrivals). */
+  def trailingActivesFromCover(
+      cover: Dataset[CoverOut],
+      windowDays: Int = 7): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    cover.toDF()
+      .withColumn("cover_time", timestamp_millis(col("dayMs")))
+      .withWatermark("cover_time", s"${windowDays * 24} hours")
+      .groupBy(window(col("cover_time"), "1 day"))
+      .agg(count(lit(1)).as("actives"))
+      .select(unix_millis(col("window.start")).as("day_ms"), col("actives"))
   }
 
   /** STREAMING per-bucket OLS trend — the unbounded twin of

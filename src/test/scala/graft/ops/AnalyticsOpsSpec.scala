@@ -1450,4 +1450,31 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(expected.valuesIterator.contains(0L),
       "the dead zone must actually exercise the zero-count days")
   }
+
+  test("rollingCorrelation: exact r over present hours, NULL on no variance") {
+    val hourMs = 3600000L
+    // hours 0-3: A/B cents sums (100,200) (200,400) (300,600) (400,100);
+    // hour 4 empty; hour 5: (100,200) — the RANGE frame must skip hour 4
+    val ev = Seq(
+      (0L, "view", 1.00), (0L, "purchase", 2.00),
+      (1L, "view", 2.00), (1L, "purchase", 4.00),
+      (2L, "view", 1.00), (2L, "view", 2.00), (2L, "purchase", 6.00),
+      (3L, "view", 4.00), (3L, "purchase", 1.00),
+      (5L, "view", 1.00), (5L, "purchase", 2.00),
+      (1L, "error", 99.0) // other types must not leak into the cells
+    ).map { case (h, t, v) => (new java.sql.Timestamp(h * hourMs), t, v) }
+      .toDF("ts", "event_type", "value")
+    val out = AnalyticsOps.rollingCorrelation(ev, col("event_type"),
+        col("ts"), col("value"), "view", "purchase", windowBuckets = 2)
+      .collect().map(r => r.getLong(0) / hourMs ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(0L) == ((1L, None)), "single-bucket window has no variance")
+    assert(out(1L) == ((2L, Some(1.0))), "perfectly correlated pair")
+    assert(out(2L) == ((2L, Some(1.0))), "dup-type rows sum into the cell")
+    assert(out(3L) == ((2L, Some(-1.0))), "perfectly anti-correlated pair")
+    assert(out(5L) == ((1L, None)),
+      "RANGE frame skips the empty hour: window holds ONE present bucket")
+    assert(!out.contains(4L), "empty hours emit no row")
+  }
 }

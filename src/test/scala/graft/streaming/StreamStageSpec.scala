@@ -1571,6 +1571,79 @@ class StreamStageSpec extends SparkTestBase {
       "single-type bucket: NULL normalized entropy")
   }
 
+  test("streaming trailing actives equals batch nonzero days under late arrivals") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(91)
+    val dayMs = 86400000L
+    // 6 users over a 20-day span with a 9-day dead zone (days 6-14) —
+    // wider than the 7-day window, so the batch spine carries zero days
+    // the stream must simply not emit
+    val all = (for (_ <- 1 to 80) yield {
+      val u = rng.nextInt(6)
+      val d0 = rng.nextInt(11)
+      val d = if (d0 < 6) d0 else d0 + 9
+      // days start at 1: ts=0 sits ON Spark's initial watermark and the
+      // late-row filter is boundary-inclusive (see the verify skill notes)
+      ActivityPoint(s"u$u", "view", (d + 1) * dayMs + rng.nextInt(dayMs.toInt))
+    }).distinct
+    val batch = graft.ops.AnalyticsOps.trailingActives(
+        all.toDF(), col("user"), timestamp_millis(col("ts")), 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.valuesIterator.contains(0L), "dead zone must yield zeros")
+
+    implicit val sqlCtx = spark.sqlContext
+    // stage 1: the membership stream, under a full shuffle (lateness
+    // covers the whole span, so nothing is watermark-dropped)
+    val mem = MemoryStream[ActivityPoint]
+    val q1 = StreamStage.trailingCoverStream(mem.toDS(), 7, "40 days")
+      .writeStream.format("memory").queryName("trailing_cover_stream")
+      .outputMode("append").start()
+    for (chunk <- rng.shuffle(all).grouped(25)) {
+      mem.addData(chunk.toSeq)
+      q1.processAllAvailable()
+    }
+    // two sentinel advances: drain the reals past the 40-day lateness,
+    // then drain sentinel #1 itself
+    val far = all.map(_.ts).max + 365L * dayMs
+    for (i <- 0 until 2) {
+      mem.addData(Seq(ActivityPoint("sentinel", "view", far + i * 41L * dayMs)))
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    val cover = spark.table("trailing_cover_stream")
+      .as[CoverOut].collect().toSeq
+    assert(cover.nonEmpty, "stage 1 must emit membership rows")
+
+    // stage 2: its own query over the persisted membership stream (see
+    // trailingCoverStream's scaladoc for why the stages must not fuse)
+    val mem2 = MemoryStream[CoverOut]
+    val q2 = StreamStage.trailingActivesFromCover(mem2.toDS(), 7)
+      .writeStream.format("memory").queryName("trailing_actives_stream")
+      .outputMode("append").start()
+    mem2.addData(cover)
+    q2.processAllAvailable()
+    // one membership sentinel closes every real window
+    mem2.addData(Seq(CoverOut("sentinel", (far / dayMs) * dayMs)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the batch spine ends at the last ACTIVE day; the stream also emits
+    // the up-to-6 trailing days past it (still-nonzero windows with no
+    // spine row) — compare strictly within the spine
+    val cutoff = (all.map(_.ts).max / dayMs) * dayMs + dayMs
+    val streamed = spark.table("trailing_actives_stream")
+      .filter(col("day_ms") < cutoff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = batch.filter { case (d, c) => c > 0 && d < cutoff }
+    assert(streamed == expected,
+      s"stream-only: ${(streamed.toSet -- expected.toSet).take(4)}; " +
+        s"batch-only: ${(expected.toSet -- streamed.toSet).take(4)}")
+    // the sentinel user's own membership stays above the cutoff, so the
+    // real days' counts cannot be inflated by it
+    assert(cover.count(_.user == "sentinel") > 0 &&
+      cover.filter(_.user == "sentinel").forall(_.dayMs >= cutoff))
+  }
+
   test("streaming trimmed mean equals batch trimmedMean bit-for-bit") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(97)
