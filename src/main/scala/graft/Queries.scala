@@ -1826,7 +1826,21 @@ object Queries {
     // oracle bit-for-bit.
     "q143_rolling_corr" -> ((s, dir) =>
       ops.AnalyticsOps.rollingCorrelation(events(s, dir), col("event_type"),
-        col("ts"), col("value"), "view", "purchase", windowBuckets = 24))
+        col("ts"), col("value"), "view", "purchase", windowBuckets = 24)),
+
+    // --- earth-mover + KS histogram drift (oracle-backed, EXACT): q96's
+    // day-over-day value histograms scored by HOW FAR mass moved
+    // (1-Wasserstein via the cumulative-count identity, absent bins
+    // covered exactly by lead-gap products) and the worst
+    // single-threshold CDF gap (KS) — magnitude-aware drift next to
+    // q96's TV and q116's PSI. Integer cumulative statistics; one fixed
+    // division each.
+    "q144_emd_drift" -> ((s, dir) =>
+      ops.AnalyticsOps.emdKsDrift(events(s, dir), col("event_type"),
+          unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+          86400000L, col("value"), binWidth = 25.0)
+        .select(col("key").as("event_type"), col("period").as("day_ms"),
+          col("n"), col("m"), col("emd"), col("ks")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3180,6 +3194,42 @@ FROM walk WHERE rn >= 1"""
         |JOIN t pt ON pt.event_type = j.event_type
         |  AND pt.period = j.period - 86400000
         |GROUP BY 1, 2, t.n, pt.n""".stripMargin,
+
+    // EMD/KS mirror: q96's cell scaffold + HUGEINT cumulative-count
+    // products over the same (key, period) bin order, lead-gap coverage of
+    // absent bins, then the engine's exact two divisions
+    "q144_emd_drift" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    epoch_ms(date_trunc('day', ts)) AS period,
+        |    CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, period, sum(c) AS n FROM c GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(c.event_type, q.event_type) AS event_type,
+        |    coalesce(c.period, q.period + 86400000) AS period,
+        |    coalesce(c.bin, q.bin) AS bin,
+        |    coalesce(c.c, 0) AS c, coalesce(q.c, 0) AS q
+        |  FROM c FULL OUTER JOIN c q
+        |    ON c.event_type = q.event_type
+        |    AND c.period = q.period + 86400000 AND c.bin = q.bin),
+        |g AS (
+        |  SELECT j.event_type, j.period, j.bin,
+        |    abs(CAST(sum(j.c) OVER w AS HUGEINT) * pt.n
+        |      - CAST(sum(j.q) OVER w AS HUGEINT) * t.n) AS d,
+        |    coalesce(lead(j.bin) OVER w - j.bin, 0) AS gap,
+        |    t.n AS n, pt.n AS m
+        |  FROM j
+        |  JOIN t ON t.event_type = j.event_type AND t.period = j.period
+        |  JOIN t pt ON pt.event_type = j.event_type
+        |    AND pt.period = j.period - 86400000
+        |  WINDOW w AS (PARTITION BY j.event_type, j.period ORDER BY j.bin))
+        |SELECT event_type, period AS day_ms,
+        |  CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+        |  25.0 * CAST(sum(d * gap) AS DOUBLE) / (n::DOUBLE * m::DOUBLE)
+        |    AS emd,
+        |  CAST(max(d) AS DOUBLE) / (n::DOUBLE * m::DOUBLE) AS ks
+        |FROM g GROUP BY 1, 2, n, m""".stripMargin,
 
     // plain-SQL recompute from raw events: hash equality means the engine's
     // Gorilla encode->decode wire preserved every double BIT-FOR-BIT

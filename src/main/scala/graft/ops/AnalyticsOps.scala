@@ -1403,6 +1403,50 @@ object AnalyticsOps {
       .drop("__num")
   }
 
+  /** Earth-mover (1-Wasserstein) + Kolmogorov-Smirnov drift between each
+    * period's value histogram and its immediate predecessor — the
+    * magnitude-aware companions to [[histogramDrift]]'s total variation
+    * (TV says HOW MUCH mass moved; EMD says HOW FAR it moved; KS is the
+    * worst single-threshold gap). Over binned data both reduce to the
+    * cumulative-count identity: with D(b) = |cumC(b)·m − cumQ(b)·n| at
+    * each PRESENT bin, EMD = binWidth·Σ D(b)·(next_bin − b)/(n·m) (the
+    * CDF gap is constant across absent bins, so the lead-gap product
+    * covers them exactly; after the last bin D = 0) and
+    * KS = max D(b)/(n·m).
+    *
+    * EXACT cross-engine: D and the gap products are exact decimal/HUGEINT
+    * integers at any partitioning; each output is one fixed division of
+    * them. Scale shape: reuses [[histogramDrift]]'s persisted cell table
+    * (the event-sized aggregate runs once); the cumulative window is
+    * partitioned per (key, period) over bin-count-sized frames; the final
+    * aggregate is cell-sized. */
+  def emdKsDrift(
+      events: DataFrame,
+      keyCol: Column,
+      periodCol: Column,
+      periodStepMs: Long,
+      valueCol: Column,
+      binWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = shiftJoinedCells(events, keyCol, periodCol, periodStepMs,
+      valueCol, binWidth)
+    val w = Window.partitionBy("key", "period").orderBy("bin")
+    def big(c: Column) = c.cast("decimal(19,0)")
+    val cum = cells
+      .withColumn("d",
+        abs(big(sum("c").over(w)) * big(col("m"))
+          - big(sum("q").over(w)) * big(col("n"))))
+      .withColumn("gap",
+        coalesce(lead(col("bin"), 1).over(w) - col("bin"), lit(0L)))
+    val nm = col("n").cast("double") * col("m").cast("double")
+    cum.groupBy("key", "period", "n", "m")
+      .agg(sum(col("d") * big(col("gap"))).as("__s"),
+        max(col("d")).as("__d"))
+      .select(col("key"), col("period"), col("n"), col("m"),
+        (lit(binWidth) * col("__s").cast("double") / nm).as("emd"),
+        (col("__d").cast("double") / nm).as("ks"))
+  }
+
   /** Shared scaffold of [[histogramDrift]] and [[psiDrift]]: per
     * (key, period, bin), the period's count `c` and its immediate
     * predecessor's `q` (0 where absent, both-absent bins don't exist),

@@ -1451,6 +1451,29 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "the dead zone must actually exercise the zero-count days")
   }
 
+  test("emdKsDrift: distance-aware drift, absent bins covered by gaps") {
+    val dayMs = 86400000L
+    // day1: 4 events in bin 0; day2: 4 events in bin 2 (a clean 2-bin
+    // shift); day3: 1 in bin 0 + 1 in bin 1 against day2's bin-2 mass
+    val ev = (Seq.fill(4)((1L, 10.0)) ++ Seq.fill(4)((2L, 60.0)) ++
+        Seq((3L, 10.0), (3L, 30.0)))
+      .map { case (d, v) => ("k", new java.sql.Timestamp(d * dayMs), v) }
+      .toDF("event_type", "ts", "value")
+    val out = AnalyticsOps.emdKsDrift(ev, col("event_type"),
+        unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+        dayMs, col("value"), binWidth = 25.0)
+      .collect().map(r => r.getLong(1) / dayMs ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // day2: all mass moved exactly 2 bins -> EMD = 2 * 25; disjoint
+    // supports -> KS = 1. The empty bin 1 between them is covered by the
+    // lead-gap product, not a materialized row.
+    assert(out(2L) == ((4L, 4L, 50.0, 1.0)), s"day2 got ${out(2L)}")
+    // day3 vs day2: cum d at bins 0,1,2 = 4,8,0 over n*m=8 -> 25*12/8
+    assert(out(3L) == ((2L, 4L, 37.5, 1.0)), s"day3 got ${out(3L)}")
+    assert(!out.contains(1L), "first day has no predecessor")
+  }
+
   test("rollingCorrelation: exact r over present hours, NULL on no variance") {
     val hourMs = 3600000L
     // hours 0-3: A/B cents sums (100,200) (200,400) (300,600) (400,100);
