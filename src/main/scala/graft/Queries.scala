@@ -1840,7 +1840,18 @@ object Queries {
           unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
           86400000L, col("value"), binWidth = 25.0)
         .select(col("key").as("event_type"), col("period").as("day_ms"),
-          col("n"), col("m"), col("emd"), col("ks")))
+          col("n"), col("m"), col("emd"), col("ks"))),
+
+    // --- rank-biased overlap of daily top-10 users (oracle-backed,
+    // EXACT): truncated RBO@10 (p=0.9) between consecutive days' ranked
+    // heavy-hitter lists — the RANK-sensitive drift monitor next to
+    // q144's distributional ones. Deterministic ranks, shared literal
+    // weight table, fixed-order <= k fold: raw doubles mirror.
+    "q145_rbo_topk" -> ((s, dir) =>
+      ops.AnalyticsOps.rboDrift(events(s, dir), col("user_id"),
+          unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+          86400000L, k = 10, p = 0.9)
+        .select(col("period").as("day_ms"), col("overlap_k"), col("rbo")))
   )
 
   // ------------------------------------------------------------- oracles
@@ -2081,6 +2092,44 @@ FROM walk WHERE rn >= 1"""
       |  p.value, p.c * s.y + p.d AS ewma
       |FROM rec p JOIN scan s ON p.user_id = s.user_id AND p.bucket = s.bucket
       |WHERE p.rn >= 1""".stripMargin
+
+  /** Generated DuckDB oracle for q145: the truncated-RBO weight table is
+    * computed ONCE ([[graft.ops.AnalyticsOps.rboWeights]]) and embedded
+    * here as shortest-round-trip double literals, so both engines fold the
+    * IDENTICAL doubles in the identical (m, item) order — machine-generated
+    * like the q50 mirror so the two copies cannot drift. */
+  private lazy val q145MirrorSql: String = {
+    val cases = ops.AnalyticsOps.rboWeights(10, 0.9).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN ${java.lang.Double.toString(w)}" }
+      .mkString(" ")
+    s"""WITH c AS (
+       |  SELECT epoch_ms(date_trunc('day', ts)) AS period,
+       |    user_id AS item, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT period, item,
+       |    row_number() OVER (PARTITION BY period ORDER BY cnt DESC, item)
+       |      AS rnk
+       |  FROM c QUALIFY rnk <= 10),
+       |m AS (
+       |  SELECT r.period, r.item, greatest(r.rnk, pr.rnk) AS m,
+       |    CASE greatest(r.rnk, pr.rnk) $cases END AS wgt
+       |  FROM r JOIN r pr ON pr.item = r.item
+       |    AND pr.period = r.period - 86400000),
+       |f AS (
+       |  SELECT period, count(*) AS overlap_k,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |      list(struct_pack(m := m, item := item, wgt := wgt)
+       |        ORDER BY m, item), t -> t.wgt)), (a, b) -> a + b) AS s
+       |  FROM m GROUP BY 1),
+       |pairs AS (
+       |  SELECT period FROM (SELECT DISTINCT period FROM r)
+       |  WHERE period - 86400000 IN (SELECT DISTINCT period FROM r))
+       |SELECT pairs.period AS day_ms,
+       |  coalesce(f.overlap_k, 0) AS overlap_k,
+       |  (1.0 - 0.9) * coalesce(f.s, 0.0) AS rbo
+       |FROM pairs LEFT JOIN f USING (period)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_rollup_1m" ->
@@ -3194,6 +3243,12 @@ FROM walk WHERE rn >= 1"""
         |JOIN t pt ON pt.event_type = j.event_type
         |  AND pt.period = j.period - 86400000
         |GROUP BY 1, 2, t.n, pt.n""".stripMargin,
+
+    // RBO mirror: the same deterministic (cnt DESC, item) ranks, the SAME
+    // literal weight table (machine-generated from rboWeights via
+    // shortest-round-trip doubles), and the same fixed (m, item)-ordered
+    // fold — raw doubles bit-identical
+    "q145_rbo_topk" -> q145MirrorSql,
 
     // EMD/KS mirror: q96's cell scaffold + HUGEINT cumulative-count
     // products over the same (key, period) bin order, lead-gap coverage of

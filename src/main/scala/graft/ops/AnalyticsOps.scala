@@ -1447,6 +1447,75 @@ object AnalyticsOps {
         (col("__d").cast("double") / nm).as("ks"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010, truncated RBO@k) between
+    * each period's top-k ranked item list and its immediate predecessor's
+    * — "did the heavy hitters change, and how high up?" — the
+    * RANK-sensitive drift monitor next to [[histogramDrift]]'s
+    * distributional ones. A matched item contributes to every depth
+    * d >= max(rank, prev_rank), so its weight is the closed tail sum
+    * w(m) = Σ_{d=m..k} p^(d-1)/d; RBO = (1-p)·Σ_matched w(max ranks).
+    * Identical lists score 1 − p^k (the truncated maximum); disjoint
+    * lists score 0.
+    *
+    * EXACT cross-engine: ranks are row_number under the deterministic
+    * (count DESC, item ASC) order; the k weights are computed ONCE here
+    * and embedded as shortest-round-trip literals in BOTH engines (via
+    * [[rboWeights]]), and the per-period sum folds <= k weights in fixed
+    * (m, item) order — raw doubles mirror bit-for-bit.
+    *
+    * Scale shape: one event-sized hash aggregate to (period, item)
+    * counts; the rank window's `rnk <= k` filter pushes down as
+    * WindowGroupLimit (no period's full item list survives); everything
+    * after — the shift join, the fold — is (periods × k)-sized. */
+  def rboDrift(
+      events: DataFrame,
+      itemCol: Column,
+      periodCol: Column,
+      periodStepMs: Long,
+      k: Int = 10,
+      p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(periodStepMs > 0, s"periodStepMs must be positive, got $periodStepMs")
+    val counts = events
+      .groupBy(periodCol.cast("long").as("period"), itemCol.as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("period").orderBy(col("cnt").desc, col("item"))
+    val ranked = counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("period"), col("item"), col("rnk"))
+    val wArr = rboWeights(k, p)
+    val prev = ranked.select(col("item"),
+      (col("period") + lit(periodStepMs)).as("period"),
+      col("rnk").as("rnk_prev"))
+    val matched = ranked.join(prev, Seq("period", "item"))
+      .withColumn("m", greatest(col("rnk"), col("rnk_prev")))
+      .withColumn("wgt",
+        element_at(array(wArr.map(lit(_)): _*), col("m").cast("int")))
+    val folded = matched.groupBy("period")
+      .agg(count(lit(1)).as("overlap_k"),
+        aggregate(
+          sort_array(collect_list(struct(col("m"), col("item"), col("wgt")))),
+          lit(0.0), (acc, t) => acc + t.getField("wgt")).as("__s"))
+    val periods = ranked.select("period").distinct()
+    val pairs = periods.join(
+      periods.select((col("period") + lit(periodStepMs)).as("period")),
+      Seq("period"))
+    pairs.join(folded, Seq("period"), "left")
+      .select(col("period"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"),
+        ((lit(1.0) - lit(p)) * coalesce(col("__s"), lit(0.0))).as("rbo"))
+  }
+
+  /** The k truncated-RBO tail weights w(m) = Σ_{d=m..k} p^(d-1)/d, folded
+    * HIGH depth to low so both engines consume identical literals (the
+    * oracle embeds these same doubles via shortest-round-trip strings). */
+  private[graft] def rboWeights(k: Int, p: Double): IndexedSeq[Double] = {
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    (1 to k).map(m => terms.drop(m - 1).foldLeft(0.0)(_ + _))
+  }
+
   /** Shared scaffold of [[histogramDrift]] and [[psiDrift]]: per
     * (key, period, bin), the period's count `c` and its immediate
     * predecessor's `q` (0 where absent, both-absent bins don't exist),

@@ -1451,6 +1451,33 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "the dead zone must actually exercise the zero-count days")
   }
 
+  test("rboDrift: identical lists hit 1-p^k, swaps decay, disjoint is 0") {
+    val dayMs = 86400000L
+    // day1/day2: identical ranked lists (a>b>c); day3: a and b swapped;
+    // day4: disjoint items (x>y>z) — counts pick the order
+    def mk(d: Long, items: Seq[(String, Int)]) = items.flatMap {
+      case (it, n) => Seq.fill(n)((it, new java.sql.Timestamp(d * dayMs)))
+    }
+    val ev = (mk(1, Seq("a" -> 3, "b" -> 2, "c" -> 1)) ++
+        mk(2, Seq("a" -> 3, "b" -> 2, "c" -> 1)) ++
+        mk(3, Seq("b" -> 3, "a" -> 2, "c" -> 1)) ++
+        mk(4, Seq("x" -> 3, "y" -> 2, "z" -> 1)))
+      .toDF("item", "ts")
+    val out = AnalyticsOps.rboDrift(ev, col("item"),
+        unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
+        dayMs, k = 3, p = 0.5)
+      .collect().map(r => r.getLong(0) / dayMs ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(2L)._1 == 3L)
+    assert(math.abs(out(2L)._2 - 0.875) < 1e-12,
+      s"identical lists: RBO = 1 - p^k, got ${out(2L)}")
+    // swap of ranks 1/2: matched weights w(2)+w(2)+w(3) = 0.75 -> 0.375
+    assert(out(3L)._1 == 3L && math.abs(out(3L)._2 - 0.375) < 1e-12,
+      s"day3 got ${out(3L)}")
+    assert(out(4L) == ((0L, 0.0)), "disjoint lists score exactly 0")
+    assert(!out.contains(1L), "first day has no predecessor")
+  }
+
   test("emdKsDrift: distance-aware drift, absent bins covered by gaps") {
     val dayMs = 86400000L
     // day1: 4 events in bin 0; day2: 4 events in bin 2 (a clean 2-bin
