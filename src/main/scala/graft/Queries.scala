@@ -1851,7 +1851,20 @@ object Queries {
       ops.AnalyticsOps.rboDrift(events(s, dir), col("user_id"),
           unix_millis(date_trunc("day", col("ts")).cast("timestamp")),
           86400000L, k = 10, p = 0.9)
-        .select(col("period").as("day_ms"), col("overlap_k"), col("rbo")))
+        .select(col("period").as("day_ms"), col("overlap_k"), col("rbo"))),
+
+    // --- Kaplan-Meier churn survival (oracle-backed, EXACT): the
+    // product-limit estimator over (user, prop-key) entity lifetimes with
+    // right-censoring at the observation edge (7-day churn definition) —
+    // "how long do tracked entities stay?" next to q77's cohort retention
+    // triangle (q138's entity key: users alone never churn in this data).
+    // Integer risk sets/death counts; ascending-t product fold mirrors
+    // bit-for-bit.
+    "q146_churn_survival" -> ((s, dir) =>
+      ops.AnalyticsOps.churnSurvival(events(s, dir),
+        col("user_id") * 1000L
+          + get_json_object(col("props"), "$.k").cast("long"),
+        col("ts"), churnDays = 7))
   )
 
   // ------------------------------------------------------------- oracles
@@ -3249,6 +3262,47 @@ FROM walk WHERE rn >= 1"""
     // shortest-round-trip doubles), and the same fixed (m, item)-ordered
     // fold — raw doubles bit-identical
     "q145_rbo_topk" -> q145MirrorSql,
+
+    // Kaplan-Meier mirror: integer lifetimes/risk sets, the identical
+    // ascending-t prefix fold seeded at 1.0 (plain double accumulator —
+    // safe from the DuckDB struct-acc lambda bug)
+    "q146_churn_survival" ->
+      """WITH spans AS (
+        |  SELECT user_id * 1000
+        |      + CAST(json_extract_string(props, '$.k') AS BIGINT) AS key,
+        |    CAST(epoch_ms(date_trunc('day', min(ts))) // 86400000
+        |      AS BIGINT) AS f,
+        |    CAST(epoch_ms(date_trunc('day', max(ts))) // 86400000
+        |      AS BIGINT) AS l
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS total, max(l) AS max_day FROM spans),
+        |e AS (
+        |  SELECT s.l <= a.max_day - 7 AS dead,
+        |    CASE WHEN s.l <= a.max_day - 7 THEN s.l - s.f
+        |      ELSE a.max_day - s.f END AS t,
+        |    a.total
+        |  FROM spans s CROSS JOIN a),
+        |byt AS (
+        |  SELECT t, max(total) AS total,
+        |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM e GROUP BY 1),
+        |risk AS (
+        |  SELECT t, d, total - coalesce(sum(d + c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS n_risk
+        |  FROM byt),
+        |lst AS (
+        |  SELECT list(struct_pack(t := t, d := d, n := n_risk)
+        |    ORDER BY t) AS rows FROM risk),
+        |rr AS (SELECT *, row_number() OVER (ORDER BY t) AS rn FROM risk)
+        |SELECT rr.t AS t_days, CAST(rr.n_risk AS BIGINT) AS n_risk,
+        |  rr.d AS n_deaths,
+        |  list_reduce(list_prepend(1.0::DOUBLE, list_transform(
+        |    l.rows[1:rr.rn], x -> 1.0 - x.d::DOUBLE / x.n::DOUBLE)),
+        |    (a, b) -> a * b) AS survival
+        |FROM rr CROSS JOIN lst l
+        |WHERE rr.d > 0""".stripMargin,
 
     // EMD/KS mirror: q96's cell scaffold + HUGEINT cumulative-count
     // products over the same (key, period) bin order, lead-gap coverage of

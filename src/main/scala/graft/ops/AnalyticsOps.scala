@@ -1516,6 +1516,69 @@ object AnalyticsOps {
     (1 to k).map(m => terms.drop(m - 1).foldLeft(0.0)(_ + _))
   }
 
+  /** Kaplan-Meier churn survival curve — "what fraction of keys are still
+    * active t days after their first appearance?", the product-limit
+    * estimator over key lifetimes with right-censoring at the observation
+    * edge. A key is DEAD (churned) if its last active day is at least
+    * `churnDays` before the data's max day (death time = last − first in
+    * days); otherwise it is CENSORED at maxDay − first. One row per death
+    * time: the risk-set size, deaths, and S(t) = Π_{s<=t} (1 − d_s/n_s).
+    * Censor-only times multiply by an exact 1.0, so the fold runs
+    * uniformly over all event times.
+    *
+    * EXACT cross-engine: lifetimes/risk sets/death counts are integers at
+    * any partitioning; each factor is one division and the product folds
+    * in ascending-t order on both engines — raw doubles mirror
+    * bit-for-bit.
+    *
+    * Scale shape: ONE event-sized hash aggregate (per-key first/last
+    * day); everything after is lifetime-spectrum-sized (distinct event
+    * times <= days in span — thousands for years of data): a broadcast
+    * 1-row (N, maxDay) anchor, an unpartitioned-but-tiny cumulative
+    * window for risk sets (the q143 post-reduction tier), and a
+    * span-bounded prefix fold per output row. */
+  def churnSurvival(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      churnDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(churnDays >= 1, s"churnDays must be >= 1, got $churnDays")
+    val day = unix_millis(date_trunc("day", tsCol).cast("timestamp"))
+    val spans = events
+      .groupBy(keyCol.as("key"))
+      .agg((min(day) / lit(86400000L)).cast("long").as("f"),
+        (max(day) / lit(86400000L)).cast("long").as("l"))
+    val anchor = spans.agg(count(lit(1)).as("total"),
+      max(col("l")).as("max_day"))
+    val evts = spans.crossJoin(broadcast(anchor))
+      .withColumn("dead", col("l") <= col("max_day") - churnDays)
+      .withColumn("t",
+        when(col("dead"), col("l") - col("f"))
+          .otherwise(col("max_day") - col("f")))
+      .groupBy(col("t"), col("total"))
+      .agg(sum(when(col("dead"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("dead"), 0L).otherwise(1L)).as("c"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = evts
+      .withColumn("n_risk",
+        col("total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+    val curve = risk
+      .groupBy(col("total"))
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("d"), col("n_risk")))).as("rows"))
+      .select(col("rows"), posexplode(col("rows")))
+      .withColumn("survival",
+        aggregate(slice(col("rows"), lit(1), col("pos") + 1), lit(1.0),
+          (acc, x) => acc * (lit(1.0)
+            - x.getField("d").cast("double")
+              / x.getField("n_risk").cast("double"))))
+    curve.filter(col("col.d") > 0)
+      .select(col("col.t").as("t_days"), col("col.n_risk").as("n_risk"),
+        col("col.d").as("n_deaths"), col("survival"))
+  }
+
   /** Shared scaffold of [[histogramDrift]] and [[psiDrift]]: per
     * (key, period, bin), the period's count `c` and its immediate
     * predecessor's `q` (0 where absent, both-absent bins don't exist),

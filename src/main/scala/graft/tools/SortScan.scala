@@ -18,16 +18,20 @@ object SortScan {
       "q37_retention_expiry", "q65_bm25", "q112_staleness",
       "q118_lm_perplexity", "q131_keywords", "q134_quality_gate",
       "q137_source_divergence", "q140_pmi_collocations",
-      "q141_kneser_ney_lm")
+      "q141_kneser_ney_lm", "q146_churn_survival")
   // q142's single-partition exchange is the 1-row min/max aggregate that
   // explodes into the broadcast day spine (span/86400000 rows); q143's is
   // the unpartitioned rolling window over the BUCKET-COUNT-sized hourly
   // aggregate (hours in the span — post-reduction, never event-sized)
+  // q146's are the 1-row (N, maxDay) anchor plus the risk-set window and
+  // curve fold over the lifetime SPECTRUM (distinct event times <= days in
+  // span — post-reduction, never key-sized)
   private val allowedSinglePartition =
     Set("q37_retention_expiry", "q65_bm25", "q112_staleness",
       "q118_lm_perplexity", "q131_keywords", "q134_quality_gate",
       "q140_pmi_collocations", "q141_kneser_ney_lm",
-      "q142_trailing_actives", "q143_rolling_corr")
+      "q142_trailing_actives", "q143_rolling_corr",
+      "q146_churn_survival")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

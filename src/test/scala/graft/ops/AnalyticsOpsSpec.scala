@@ -1451,6 +1451,32 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "the dead zone must actually exercise the zero-count days")
   }
 
+  test("churnSurvival: product-limit curve with censoring at the edge") {
+    val dayMs = 86400000L
+    // k1 dies at t=1, k4 at t=0, k2 at t=9; k3 survives to the edge
+    // (censored at t=15) — churnDays=3, max day = 20
+    val ev = Seq(
+      ("k1", 1L), ("k1", 2L),
+      ("k2", 1L), ("k2", 10L),
+      ("k3", 5L), ("k3", 20L),
+      ("k4", 2L)
+    ).map { case (k, d) => (k, new java.sql.Timestamp(d * dayMs)) }
+      .toDF("key_id", "ts")
+    val out = AnalyticsOps.churnSurvival(ev, col("key_id"), col("ts"),
+        churnDays = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // risk sets: t0: 4 alive -> S=3/4; t1: 3 -> S=1/2; t9: 2 -> S=1/4;
+    // the censor at t15 emits no row but held the t9 risk set at 2
+    assert(out.keySet == Set(0L, 1L, 9L), s"death times: ${out.keySet}")
+    assert(out(0L)._1 == 4L && out(0L)._2 == 1L &&
+      math.abs(out(0L)._3 - 0.75) < 1e-12, s"t0 got ${out(0L)}")
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._3 - 0.5) < 1e-12,
+      s"t1 got ${out(1L)}")
+    assert(out(9L)._1 == 2L && math.abs(out(9L)._3 - 0.25) < 1e-12,
+      s"t9 got ${out(9L)}")
+  }
+
   test("rboDrift: identical lists hit 1-p^k, swaps decay, disjoint is 0") {
     val dayMs = 86400000L
     // day1/day2: identical ranked lists (a>b>c); day3: a and b swapped;
