@@ -71,6 +71,18 @@ final case class DeltaBuf(ts: Array[Long], tie: Array[Long], vs: Array[Double],
   * exactly one such row to trailing window `day_ms`. */
 final case class CoverOut(user: String, dayMs: Long)
 
+/** One closed bucket from [[StreamStage.rollingCorrStream]]: the trailing
+  * Pearson r over the last `windowBuckets` PRESENT hourly cells. */
+final case class RollCorrOut(bucket_ms: Long, n_buckets: Long,
+    corr: Option[Double])
+
+/** State for [[StreamStage.rollingCorrStream]]: open buckets' cents sums,
+  * the ring of closed cells still inside some future window, and the
+  * newest closed bucket (late-arrival guard). O(open + windowBuckets). */
+final case class RollCorrBuf(openB: Array[Long], openX: Array[Long],
+    openY: Array[Long], ringB: Array[Long], ringX: Array[Long],
+    ringY: Array[Long], lastClosed: Long)
+
 /** Per-user state for [[StreamStage.trailingActivesStream]]: the
   * above-watermark buffer plus the last drained active day the next
   * coverage range starts after. */
@@ -1734,6 +1746,125 @@ object StreamStage {
               acc.keys.headOption.map(_ + bucketMs),
               if (ring.isEmpty) None
               else Some(ring.map(_._1).max + longMs + bucketMs)
+            ).flatten.min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          out.result().iterator
+        })
+  }
+
+  /** STREAMING rolling-window correlation — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.rollingCorrelation]] (q143): per CLOSED
+    * hourly bucket, the Pearson r of the two signals' cents volumes over
+    * the trailing `windowBuckets` PRESENT buckets. Feed
+    * `SeriesPoint(url = event type, ts, value)`; rows outside the two
+    * types only advance the watermark. The [[sloBurnStream]] cross-bucket
+    * ring discipline: open buckets accumulate exact cents sums
+    * (commutative — no replay buffer needed), a bucket closes when the
+    * watermark passes it, and the ring keeps closed cells until no future
+    * window can reach them; late rows for an already-closed bucket are
+    * dropped (the same contract a watermark aggregate applies). The
+    * sufficient statistics use BigInteger products ≡ the batch op's
+    * decimal(19,0) exactly, and the finalize repeats its fixed double op
+    * order — closed buckets equal batch rows BIT-FOR-BIT (spec-pinned
+    * under shuffled late arrivals). State: one global group of
+    * O(open + windowBuckets) longs. */
+  def rollingCorrStream(
+      points: Dataset[SeriesPoint],
+      typeA: String,
+      typeB: String,
+      windowBuckets: Int = 24,
+      lateness: String = "10 minutes"): Dataset[RollCorrOut] = {
+    require(windowBuckets >= 2,
+      s"windowBuckets must be >= 2, got $windowBuckets")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bucketMs = 3600000L
+    val spanMs = windowBuckets.toLong * bucketMs
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue.longValueExact
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      // NOTE: no pre-filter on url — Catalyst pushes filters BELOW the
+      // EventTimeWatermark node, so off-pair rows would stop advancing
+      // the watermark; they are ignored inside the state function instead
+      .select(col("url"), (col("ts") - pmod(col("ts"), lit(bucketMs)))
+        .as("bucket"), col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_ => "pair")
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[RollCorrBuf]) => {
+          val st = state.getOption.getOrElse(RollCorrBuf(
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+            Long.MinValue))
+          val acc = scala.collection.mutable.SortedMap.empty[Long, (Long, Long)]
+          for (i <- st.openB.indices)
+            acc(st.openB(i)) = (st.openX(i), st.openY(i))
+          val ring = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          for (i <- st.ringB.indices)
+            ring += ((st.ringB(i), st.ringX(i), st.ringY(i)))
+          var lastClosed = st.lastClosed
+          rows.foreach { case (t, b, v, _) =>
+            // off-pair rows only advance the watermark; beyond-lateness
+            // stragglers drop (the watermark-aggregate contract)
+            if ((t == typeA || t == typeB) && b > lastClosed) {
+              val (x, y) = acc.getOrElse(b, (0L, 0L))
+              acc(b) =
+                if (t == typeA) (x + cents(v), y) else (x, y + cents(v))
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = Vector.newBuilder[RollCorrOut]
+          val closing = acc.keys.filter(b => b + bucketMs <= wm + 1)
+            .toArray.sorted
+          closing.foreach { b =>
+            val (x, y) = acc.remove(b).get
+            ring += ((b, x, y))
+            lastClosed = b
+            import java.math.BigInteger
+            var (sxy, sxx, syy) =
+              (BigInteger.ZERO, BigInteger.ZERO, BigInteger.ZERO)
+            var (n, sx, sy) = (0L, 0L, 0L)
+            ring.foreach { case (rb, rx, ry) =>
+              if (rb > b - spanMs && rb <= b) {
+                val (bx, by) =
+                  (BigInteger.valueOf(rx), BigInteger.valueOf(ry))
+                n += 1; sx += rx; sy += ry
+                sxy = sxy.add(bx.multiply(by))
+                sxx = sxx.add(bx.multiply(bx))
+                syy = syy.add(by.multiply(by))
+              }
+            }
+            // the batch op's exact finalize order on the same doubles
+            val nD = n.toDouble
+            val (sxD, syD) = (sx.toDouble, sy.toDouble)
+            val cov = nD * sxy.doubleValue - sxD * syD
+            val varx = nD * sxx.doubleValue - sxD * sxD
+            val vary = nD * syy.doubleValue - syD * syD
+            val corr = if (varx > 0 && vary > 0)
+              Some(cov / math.sqrt(varx * vary)) else None
+            out += RollCorrOut(b, n, corr)
+            ring.filterInPlace(_._1 > b + bucketMs - spanMs)
+          }
+          val ringDead = ring.isEmpty ||
+            wm >= ring.map(_._1).max + spanMs + bucketMs
+          if (acc.isEmpty && ringDead) state.remove()
+          else {
+            state.update(RollCorrBuf(
+              acc.keys.toArray, acc.values.map(_._1).toArray,
+              acc.values.map(_._2).toArray,
+              ring.map(_._1).toArray, ring.map(_._2).toArray,
+              ring.map(_._3).toArray, lastClosed))
+            val wake = Seq(
+              acc.keys.headOption.map(_ + bucketMs),
+              if (ring.isEmpty) None
+              else Some(ring.map(_._1).max + spanMs + bucketMs)
             ).flatten.min
             state.setTimeoutTimestamp(math.max(wake, wm + 1L))
           }

@@ -1644,6 +1644,55 @@ class StreamStageSpec extends SparkTestBase {
       cover.filter(_.user == "sentinel").forall(_.dayMs >= cutoff))
   }
 
+  test("streaming rolling correlation equals batch q143 bit-for-bit on closed buckets") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(47)
+    val hourMs = 3600000L
+    // 60 hours of paired volumes with gaps (hour % 7 == 3 empty) and an
+    // off-pair type that must only advance the watermark
+    val all = (for (h <- 1 to 60 if h % 7 != 3; i <- 0 until 3) yield {
+      val ts = h * hourMs + i * 60000L + rng.nextInt(1000)
+      Seq(
+        SeriesPoint("view", ts, (rng.nextInt(2000) + 100) / 100.0),
+        SeriesPoint("purchase", ts + 7, (rng.nextInt(900) + 50) / 100.0),
+        SeriesPoint("error", ts + 11, 99.99))
+    }).flatten
+    val batch = graft.ops.AnalyticsOps.rollingCorrelation(
+        all.map(p => (p.url, new java.sql.Timestamp(p.ts), p.value))
+          .toDF("event_type", "ts", "value"),
+        col("event_type"), col("ts"), col("value"), "view", "purchase",
+        windowBuckets = 24)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])
+          .map(java.lang.Double.doubleToLongBits)))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesPoint]
+    val q = StreamStage.rollingCorrStream(mem.toDS(), "view", "purchase",
+        windowBuckets = 24, lateness = "2 hours")
+      .writeStream.format("memory").queryName("rollcorr_stream")
+      .outputMode("append").start()
+    // shuffle within less than (lateness - span) so nothing is dropped
+    for (chunk <- all.grouped(40)) {
+      mem.addData(rng.shuffle(chunk.toSeq))
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * 86400000L
+    for (i <- 0 until 2) {
+      mem.addData(Seq(SeriesPoint("sentinel", far + i, 0.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("rollcorr_stream")
+      .as[RollCorrOut].collect()
+      .map(r => r.bucket_ms ->
+        ((r.n_buckets, r.corr.map(java.lang.Double.doubleToLongBits))))
+      .toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(4)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(4)}")
+  }
+
   test("streaming trimmed mean equals batch trimmedMean bit-for-bit") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(97)
