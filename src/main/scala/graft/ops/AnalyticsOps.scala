@@ -1509,8 +1509,9 @@ object AnalyticsOps {
   }
 
   /** The k truncated-RBO tail weights w(m) = Σ_{d=m..k} p^(d-1)/d, folded
-    * HIGH depth to low so both engines consume identical literals (the
-    * oracle embeds these same doubles via shortest-round-trip strings). */
+    * in ASCENDING depth order (d = m..k) — the exact doubles both engines
+    * consume (the oracle embeds them via shortest-round-trip strings), so
+    * any third mirror must fold the same way. */
   private[graft] def rboWeights(k: Int, p: Double): IndexedSeq[Double] = {
     val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
     (1 to k).map(m => terms.drop(m - 1).foldLeft(0.0)(_ + _))
@@ -2624,9 +2625,9 @@ object AnalyticsOps {
     *
     * EXACT cross-engine: pure integer day/count arithmetic. Scale shape:
     * one hash-distinct of (key, day); a key-partitioned lag window; a <=
-    * n-row sequence explode; one final day-keyed hash aggregate joined to
-    * the day spine (a broadcast of span/86400000 rows built from ONE 1-row
-    * min/max aggregate). */
+    * n-row sequence explode; one final day-keyed hash aggregate (day-count
+    * rows, BROADCAST into the left-outer join) against the day spine
+    * (span/86400000 rows built from ONE 1-row min/max aggregate). */
   def trailingActives(
       events: DataFrame,
       keyCol: Column,
@@ -2655,7 +2656,11 @@ object AnalyticsOps {
         unix_millis(date_trunc("day", max(tsCol)).cast("timestamp")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), lit(dayMs)))
         .as("day_ms"))
-    broadcast(spine).join(counts, Seq("day_ms"), "left")
+    // hint the RIGHT side: Spark cannot broadcast-build the left of a
+    // left-outer join, so broadcast(spine) would be silently ignored;
+    // counts is day-count-sized after its aggregate, the legitimately
+    // broadcastable side at any scale
+    spine.join(broadcast(counts), Seq("day_ms"), "left")
       .select(col("day_ms"),
         coalesce(col("actives"), lit(0L)).as("actives"))
   }

@@ -294,6 +294,21 @@ final case class OvlBuf(ts: Array[Long], member: Array[String],
   * across batches (replay in order, or watermark+buffer upstream). */
 object StreamStage {
 
+  /** Cents conversion that mirrors the BATCH `cast("decimal(12,2)")`
+    * exactly: HALF_UP to 2 decimals, None for non-finite values and for
+    * magnitudes the decimal can't hold (the cast's NULL), so one poison
+    * record can never kill a streaming query. Only for twins whose batch
+    * side uses the decimal CAST; twins whose batch kernel uses
+    * `BigDecimal.valueOf` directly keep their own exact-throw helpers. */
+  private def decimalCents(v: Double): Option[Long] = {
+    if (!java.lang.Double.isFinite(v)) return None
+    val u = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue
+    if (u.abs.compareTo(java.math.BigInteger.valueOf(1000000000000L)) >= 0)
+      None
+    else Some(u.longValue)
+  }
+
   /** Config for the per-url detector.
     *
     * STATE-STORE SIZING: the snapshot carries the full ring buffers, so the
@@ -471,7 +486,14 @@ object StreamStage {
         CoverBuf(Array.emptyLongArray, Array.emptyLongArray,
           Array.emptyDoubleArray, 0L, false))(
       s => (s.ts, s.tie, s.vs),
-      (s, t, q, v) => s.copy(ts = t, tie = q, vs = v),
+      // a busy key would otherwise buffer one row PER EVENT until its day
+      // drains — the drain only consumes distinct days (tie/value are
+      // constant 0), so dedup the hold to O(buffered days) state
+      (s, t, q, v) => {
+        val td = t.distinct
+        s.copy(ts = td, tie = new Array[Long](td.length),
+          vs = new Array[Double](td.length))
+      },
       s => !s.primed,
       (user, st, ready) => {
         var prev = st.prevDay
@@ -1782,9 +1804,6 @@ object StreamStage {
     import org.apache.spark.sql.functions._
     val bucketMs = 3600000L
     val spanMs = windowBuckets.toLong * bucketMs
-    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
-      .setScale(2, java.math.RoundingMode.HALF_UP)
-      .unscaledValue.longValueExact
     points.toDF()
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)
@@ -1815,8 +1834,11 @@ object StreamStage {
             // stragglers drop (the watermark-aggregate contract)
             if ((t == typeA || t == typeB) && b > lastClosed) {
               val (x, y) = acc.getOrElse(b, (0L, 0L))
-              acc(b) =
-                if (t == typeA) (x + cents(v), y) else (x, y + cents(v))
+              // None (non-finite / beyond decimal(12,2)) adds 0 but still
+              // OPENS the bucket — exactly the batch cast's NULL-excluded-
+              // from-sum, row-still-grouped semantics
+              val cv = decimalCents(v).getOrElse(0L)
+              acc(b) = if (t == typeA) (x + cv, y) else (x, y + cv)
             }
           }
           val wm = state.getCurrentWatermarkMs()
