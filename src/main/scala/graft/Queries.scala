@@ -1864,7 +1864,23 @@ object Queries {
       ops.AnalyticsOps.churnSurvival(events(s, dir),
         col("user_id") * 1000L
           + get_json_object(col("props"), "$.k").cast("long"),
-        col("ts"), churnDays = 7))
+        col("ts"), churnDays = 7)),
+
+    // --- language-ID evaluation scoreboard (oracle-backed, EXACT): q08's
+    // stopword-vote predictions scored against the labeled lang column —
+    // per-class confusion counts + precision/recall/F1, the corpus-level
+    // twin of the kernel's per-series Scoring. Integer cells, fixed
+    // double chains.
+    "q147_langid_eval" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      TextOps.labelEval(
+        TextOps.langId(docs).join(docs.select(col("doc_id"), col("lang")),
+          "doc_id"),
+        col("lang"), col("lang_pred"))
+        .select(col("cls").as("lang"), col("support"), col("pred_n"),
+          col("tp"), col("fp"), col("fn"), col("precision"), col("recall"),
+          col("f1"))
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -3262,6 +3278,42 @@ FROM walk WHERE rn >= 1"""
     // shortest-round-trip doubles), and the same fixed (m, item)-ordered
     // fold — raw doubles bit-identical
     "q145_rbo_topk" -> q145MirrorSql,
+
+    // language-ID eval mirror: q08's prediction CASE verbatim, then the
+    // same integer confusion cells and fixed p/r/f1 chains
+    "q147_langid_eval" ->
+      s"""WITH pred AS (
+         |  SELECT lang AS gold,
+         |    CASE WHEN len(list_filter($tokExpr, t -> t IN ('the','a','of','to','and','in','is','it','that','for'))) >= len(list_filter($tokExpr, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','von')))
+         |          AND len(list_filter($tokExpr, t -> t IN ('the','a','of','to','and','in','is','it','that','for'))) >= len(list_filter($tokExpr, t -> t IN ('le','la','les','et','est','un','une','de','que','pour')))
+         |         THEN 'en'
+         |         WHEN len(list_filter($tokExpr, t -> t IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) >= len(list_filter($tokExpr, t -> t IN ('le','la','les','et','est','un','une','de','que','pour')))
+         |         THEN 'de' ELSE 'fr' END AS pred
+         |  FROM documents),
+         |pairs AS (SELECT gold, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+         |g AS (SELECT gold AS cls, CAST(sum(n) AS BIGINT) AS support
+         |  FROM pairs GROUP BY 1),
+         |p AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+         |  FROM pairs GROUP BY 1),
+         |t AS (SELECT gold AS cls, n AS tp FROM pairs WHERE gold = pred),
+         |cl AS (SELECT cls FROM g UNION SELECT cls FROM p),
+         |b AS (
+         |  SELECT cl.cls, coalesce(g.support, 0) AS support,
+         |    coalesce(p.pred_n, 0) AS pred_n, coalesce(t.tp, 0) AS tp
+         |  FROM cl LEFT JOIN g USING (cls) LEFT JOIN p USING (cls)
+         |  LEFT JOIN t USING (cls))
+         |SELECT cls AS lang, support, pred_n, tp,
+         |  pred_n - tp AS fp, support - tp AS fn,
+         |  CASE WHEN pred_n > 0
+         |    THEN tp::DOUBLE / pred_n::DOUBLE END AS precision,
+         |  CASE WHEN support > 0
+         |    THEN tp::DOUBLE / support::DOUBLE END AS recall,
+         |  CASE WHEN pred_n > 0 AND support > 0 AND tp > 0
+         |    THEN 2.0 * (tp::DOUBLE / pred_n::DOUBLE)
+         |      * (tp::DOUBLE / support::DOUBLE)
+         |      / (tp::DOUBLE / pred_n::DOUBLE
+         |        + tp::DOUBLE / support::DOUBLE) END AS f1
+         |FROM b""".stripMargin,
 
     // Kaplan-Meier mirror: integer lifetimes/risk sets, the identical
     // ascending-t prefix fold seeded at 1.0 (plain double accumulator —

@@ -312,6 +312,52 @@ object TextOps {
       when(en >= de && en >= fr, "en").when(de >= fr, "de").otherwise("fr").as("lang_pred"))
   }
 
+  /** Per-class evaluation of a predicted label column against a gold one —
+    * the corpus-level scoreboard (confusion counts, precision/recall/F1
+    * per class) a pipeline runs after any classifier pass (language-ID,
+    * quality gates, dedup flags); the distributed sibling of the kernel's
+    * per-series [[graft.kernel.Scoring]]. One row per class in
+    * gold ∪ predicted: support, predicted count, tp/fp/fn, precision =
+    * tp/pred_n, recall = tp/support, f1 = 2pr/(p+r) (NULL where the
+    * denominator is 0 — classes never predicted / never seen).
+    *
+    * EXACT cross-engine: the confusion cells are integers at any
+    * partitioning and each metric is a fixed chain of double ops over
+    * them. Scale shape: ONE data-sized hash aggregate to (gold, pred)
+    * cells; everything after is class-count-sized. */
+  def labelEval(
+      labeled: DataFrame,
+      goldCol: Column,
+      predCol: Column): DataFrame = {
+    val pairs = labeled
+      .groupBy(goldCol.as("gold"), predCol.as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byGold = pairs.groupBy(col("gold").as("cls"))
+      .agg(sum("n").as("support"))
+    val byPred = pairs.groupBy(col("pred").as("cls"))
+      .agg(sum("n").as("pred_n"))
+    val tp = pairs.filter(col("gold") === col("pred"))
+      .select(col("gold").as("cls"), col("n").as("tp"))
+    val classes = byGold.select("cls").union(byPred.select("cls")).distinct()
+    val base = classes
+      .join(byGold, Seq("cls"), "left")
+      .join(byPred, Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("pred_n"), lit(0L)).as("pred_n"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val p = col("tp").cast("double") / col("pred_n").cast("double")
+    val r = col("tp").cast("double") / col("support").cast("double")
+    base.select(col("cls"), col("support"), col("pred_n"), col("tp"),
+      (col("pred_n") - col("tp")).as("fp"),
+      (col("support") - col("tp")).as("fn"),
+      when(col("pred_n") > 0, p).as("precision"),
+      when(col("support") > 0, r).as("recall"),
+      when(col("pred_n") > 0 && col("support") > 0 && col("tp") > 0,
+        lit(2.0) * p * r / (p + r)).as("f1"))
+  }
+
   /** Gopher-style repetition filtering (Rae et al. 2021 §A1.1): per-doc
     * unique-token fraction, most-frequent-token fraction, and the fraction
     * of 2-gram occurrences whose 2-gram repeats within the doc — the

@@ -250,6 +250,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.size == 3, "sub-minCount pairs dropped")
   }
 
+  test("labelEval: confusion cells and p/r/f1 with absent-class NULLs") {
+    val rows = Seq(
+      ("a", "a"), ("a", "b"), ("a", "d"), ("b", "b"), ("c", "b")
+    ).toDF("gold", "pred")
+    val out = TextOps.labelEval(rows, col("gold"), col("pred"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Double]),
+          Option(r.get(7)).map(_.asInstanceOf[Double]),
+          Option(r.get(8)).map(_.asInstanceOf[Double])))).toMap
+    // a: support 3, predicted once, tp 1 -> p=1, r=1/3, f1=1/2
+    assert(out("a") == ((3L, 1L, 1L, 0L, 2L, Some(1.0), Some(1.0 / 3.0),
+      Some(2.0 * 1.0 * (1.0 / 3.0) / (1.0 + 1.0 / 3.0)))), s"a=${out("a")}")
+    // b: support 1, predicted 3x, tp 1 -> p=1/3, r=1
+    assert(out("b")._1 == 1L && out("b")._2 == 3L && out("b")._3 == 1L &&
+      out("b")._6 == Some(1.0 / 3.0) && out("b")._7 == Some(1.0))
+    // c: never predicted -> precision/f1 NULL, recall 0
+    assert(out("c") == ((1L, 0L, 0L, 0L, 1L, None, Some(0.0), None)))
+    // d: never a gold label -> recall/f1 NULL
+    assert(out("d") == ((0L, 1L, 0L, 1L, 0L, Some(0.0), None, None)))
+    assert(out.size == 4, "classes = gold UNION predicted")
+  }
+
   test("knBigramLm: full-table continuation stats despite the output gate") {
     // bigrams: (a b) x3, (c b) x1, (a d) x1 -> with minCount=2 only (a b)
     // is EMITTED, but its statistics must still see the filtered-out rows:
