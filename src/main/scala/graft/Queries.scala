@@ -1866,6 +1866,17 @@ object Queries {
           + get_json_object(col("props"), "$.k").cast("long"),
         col("ts"), churnDays = 7)),
 
+    // --- per-user weekly seasonality strength (oracle-backed, EXACT):
+    // eta^2 of the hour-of-week profile over decimal-cents values — the
+    // forecastability gate run before choosing q50's seasonal smoother
+    // over q49's, next to q91's period detectors. Integer cells; one
+    // fixed double chain + an ascending-hour <=168-term fold.
+    "q148_seasonality_strength" -> ((s, dir) =>
+      ops.AnalyticsOps.seasonalityStrength(events(s, dir), col("user_id"),
+          col("ts"), col("value"))
+        .select(col("key").as("user_id"), col("n"), col("n_hours"),
+          col("ss_total"), col("ss_between"), col("eta_sq"))),
+
     // --- language-ID evaluation scoreboard (oracle-backed, EXACT): q08's
     // stopword-vote predictions scored against the labeled lang column —
     // per-class confusion counts + precision/recall/F1, the corpus-level
@@ -3278,6 +3289,39 @@ FROM walk WHERE rn >= 1"""
     // shortest-round-trip doubles), and the same fixed (m, item)-ordered
     // fold — raw doubles bit-identical
     "q145_rbo_topk" -> q145MirrorSql,
+
+    // seasonality-strength mirror: identical integer cells (HUGEINT
+    // squares ≡ decimal(19,0) products), the same SS_total chain, and the
+    // same ascending-hour fold for SS_between
+    "q148_seasonality_strength" ->
+      """WITH c AS (
+        |  SELECT user_id AS key,
+        |    (epoch_ms(ts) // 3600000) % 168 AS how,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT key, how, count(*) AS n_g,
+        |    CAST(sum(cents) AS BIGINT) AS s_g,
+        |    sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q_g
+        |  FROM c GROUP BY 1, 2),
+        |k AS (
+        |  SELECT key, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s, sum(q_g) AS q,
+        |    count(*) AS n_hours,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+        |      list(struct_pack(how := how, n_g := n_g, s_g := s_g)
+        |        ORDER BY how),
+        |      t -> t.s_g::DOUBLE * t.s_g::DOUBLE / t.n_g::DOUBLE)),
+        |      (a, b) -> a + b) AS between_raw
+        |  FROM g GROUP BY 1)
+        |SELECT key AS user_id, n, n_hours,
+        |  q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE AS ss_total,
+        |  between_raw - s::DOUBLE * s::DOUBLE / n::DOUBLE AS ss_between,
+        |  CASE WHEN (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) > 0
+        |    THEN (between_raw - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |      / (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |  END AS eta_sq
+        |FROM k""".stripMargin,
 
     // language-ID eval mirror: q08's prediction CASE verbatim, then the
     // same integer confusion cells and fixed p/r/f1 chains

@@ -1517,6 +1517,54 @@ object AnalyticsOps {
     (1 to k).map(m => terms.drop(m - 1).foldLeft(0.0)(_ + _))
   }
 
+  /** Seasonality strength per key — eta² of the hour-of-week profile:
+    * SS_between / SS_total over the key's cents values grouped by
+    * hour-of-week (0..167). ~1 means the weekly profile explains the
+    * series (use the seasonal smoothers / calendar baselines); ~0 means
+    * no weekly structure — the forecastability gate run before choosing
+    * q50's Holt-Winters over q49's Holt, next to q91's "which period"
+    * detectors. NULL where the key has zero variance.
+    *
+    * EXACT cross-engine: per-(key, hour-of-week) n/Σc/Σc² are integers at
+    * any partitioning; SS_total is one fixed double chain and SS_between
+    * folds the <= 168 group terms in ascending hour order — raw doubles
+    * mirror the oracle bit-for-bit.
+    *
+    * Scale shape: ONE event-sized hash aggregate to (key, how) cells;
+    * everything after is (keys × <= 168)-sized (a keyed collect fold, no
+    * windows). */
+  def seasonalityStrength(
+      events: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      valueCol: Column): DataFrame = {
+    val cents = (valueCol.cast("decimal(12,2)") * lit(100)).cast("long")
+    val how = (floor(unix_millis(tsCol.cast("timestamp")) / lit(3600000.0))
+      .cast("long") % lit(168L)).as("how")
+    val cells = events
+      .groupBy(keyCol.as("key"), how)
+      .agg(count(lit(1)).as("n_g"), sum(cents).as("s_g"),
+        sum(big19(cents) * big19(cents)).as("q_g"))
+    val perKey = cells.groupBy("key")
+      .agg(sum("n_g").as("n"), sum("s_g").as("s"),
+        sum("q_g").as("q"), count(lit(1)).as("n_hours"),
+        sort_array(collect_list(struct(col("how"), col("n_g"), col("s_g"))))
+          .as("__cells"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val ssTotal = col("q").cast("double") - sD * sD / nD
+    val ssBetween = aggregate(col("__cells"), lit(0.0),
+      (acc, x) => acc + x.getField("s_g").cast("double")
+        * x.getField("s_g").cast("double")
+        / x.getField("n_g").cast("double")) - sD * sD / nD
+    perKey.select(col("key"), col("n"), col("n_hours"),
+      ssTotal.as("ss_total"), ssBetween.as("ss_between"),
+      when(ssTotal > 0, ssBetween / ssTotal).as("eta_sq"))
+  }
+
+  /** decimal(19,0) cast shared by the exact product sums. */
+  private def big19(c: Column): Column = c.cast("decimal(19,0)")
+
   /** Kaplan-Meier churn survival curve — "what fraction of keys are still
     * active t days after their first appearance?", the product-limit
     * estimator over key lifetimes with right-censoring at the observation

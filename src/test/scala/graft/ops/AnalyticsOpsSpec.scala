@@ -1451,6 +1451,33 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "the dead zone must actually exercise the zero-count days")
   }
 
+  test("seasonalityStrength: eta^2 1 for pure profiles, 0 flat, NULL no-var") {
+    val hourMs = 3600000L
+    val weekMs = 168L * hourMs
+    val ev = Seq(
+      // k1: value depends ONLY on hour-of-week (h0 -> 1.00 across two
+      // weeks, h1 -> 3.00) => within-group variance 0 => eta^2 = 1
+      ("k1", 0L * hourMs, 1.00), ("k1", weekMs, 1.00),
+      ("k1", 1L * hourMs, 3.00), ("k1", weekMs + hourMs, 3.00),
+      // k2: all variance INSIDE one hour-of-week group => eta^2 = 0
+      ("k2", 2L * hourMs, 1.00), ("k2", 2L * hourMs + 60000L, 3.00),
+      // k3: constant => SS_total = 0 => NULL
+      ("k3", 3L * hourMs, 2.00), ("k3", 4L * hourMs, 2.00)
+    ).map { case (k, ms, v) => (k, new java.sql.Timestamp(ms), v) }
+      .toDF("key_id", "ts", "value")
+    val out = AnalyticsOps.seasonalityStrength(ev, col("key_id"), col("ts"),
+        col("value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("k1") == ((4L, 2L, 40000.0, 40000.0, Some(1.0))),
+      s"k1 got ${out("k1")}")
+    assert(out("k2") == ((2L, 1L, 20000.0, 0.0, Some(0.0))),
+      s"k2 got ${out("k2")}")
+    assert(out("k3")._5.isEmpty && out("k3")._3 == 0.0,
+      s"k3 got ${out("k3")}")
+  }
+
   test("churnSurvival: product-limit curve with censoring at the edge") {
     val dayMs = 86400000L
     // k1 dies at t=1, k4 at t=0, k2 at t=9; k3 survives to the edge
