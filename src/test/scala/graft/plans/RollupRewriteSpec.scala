@@ -120,6 +120,127 @@ class RollupRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("minute and day tiers are served from their own stores; unregistered tiers are not") {
+    assume(available, s"$dir not present")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def tierAgg(df: org.apache.spark.sql.DataFrame, t: String) = df
+      .groupBy(col("user_id"), date_trunc(t, col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("vsum"))
+    def store(t: String, path: String) = {
+      tierAgg(raw, t).withColumnRenamed("bucket", "bucket_start")
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val mStore = store("minute", "/tmp/graft_rw_tier_1m")
+    val dStore = store("day", "/tmp/graft_rw_tier_1d")
+    val expectedM = tierAgg(raw, "minute").collect()
+      .map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getLong(2), r.getDecimal(3)))).toMap
+    val expectedD = tierAgg(raw, "day").collect()
+      .map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getLong(2), r.getDecimal(3)))).toMap
+    val rule = RollupRewrite.registerTiers(spark, "events.parquet",
+      Map("minute" -> mStore, "day" -> dStore))
+    try {
+      val qM = tierAgg(spark.read.parquet(s"$dir/events.parquet"), "minute")
+      val pM = qM.queryExecution.executedPlan.toString
+      assert(pM.contains("graft_rw_tier_1m") && !pM.contains("events.parquet"),
+        s"minute tier must serve from the 1m store:\n$pM")
+      assert(qM.collect().map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getLong(2), r.getDecimal(3)))).toMap == expectedM)
+      val qD = tierAgg(spark.read.parquet(s"$dir/events.parquet"), "day")
+      val pD = qD.queryExecution.executedPlan.toString
+      assert(pD.contains("graft_rw_tier_1d") && !pD.contains("events.parquet"),
+        s"day tier must serve from the 1d store:\n$pD")
+      assert(qD.collect().map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getLong(2), r.getDecimal(3)))).toMap == expectedD)
+      // hour tier is NOT registered here — an hour-aligned aggregate
+      // must keep reading raw, never be approximated from another tier
+      val qH = tierAgg(spark.read.parquet(s"$dir/events.parquet"), "hour")
+      assert(qH.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "an unregistered tier must be left on the raw scan")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  test("a user_id-only WHERE is pushed onto the store; value/ts predicates are not") {
+    assume(available, s"$dir not present")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def hourAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("vsum"))
+    val expected = hourAgg(raw.filter(col("user_id") % 7 === 0)).collect()
+      .map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getLong(2), r.getDecimal(3)))).toMap
+    hourAgg(raw).withColumnRenamed("bucket", "bucket_start")
+      .write.mode("overwrite").parquet("/tmp/graft_rw_rollup_flt")
+    val stored = spark.read.parquet("/tmp/graft_rw_rollup_flt")
+    val rule = RollupRewrite.register(spark, "events.parquet", stored)
+    try {
+      val q = hourAgg(spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("user_id") % 7 === 0))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_rw_rollup_flt") && !plan.contains("events.parquet"),
+        s"grouping-key filter must rewrite AND move onto the store:\n$plan")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.get(1).toString) ->
+          ((r.getLong(2), r.getDecimal(3)))).toMap
+      assert(got == expected,
+        "filtered rewrite must equal the filtered raw aggregation exactly")
+      // negative: a predicate on a rolled-away column can NOT be served
+      val qVal = hourAgg(spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("value") > 50.0))
+      assert(qVal.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a value-column predicate must keep the raw scan")
+      val qTs = hourAgg(spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("ts") > java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      assert(qTs.queryExecution.executedPlan.toString.contains("events.parquet"),
+        "a ts predicate must keep the raw scan (not provably bucket-aligned)")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  test("the spark.sql.extensions injector rule reads stores from session confs") {
+    assume(available, s"$dir not present")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def dayAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("vsum"))
+    dayAgg(raw).withColumnRenamed("bucket", "bucket_start")
+      .write.mode("overwrite").parquet("/tmp/graft_rw_conf_1d")
+    val expected = dayAgg(raw).collect()
+      .map(r => (r.getLong(0), r.get(1).toString) ->
+        ((r.getLong(2), r.getDecimal(3)))).toMap
+    // the injector-built rule, applied directly (same code path a
+    // spark.sql.extensions deployment runs inside the optimizer)
+    val confRule = new ConfDrivenRollupRewrite(spark)
+    val q = dayAgg(spark.read.parquet(s"$dir/events.parquet"))
+    val before = q.queryExecution.optimizedPlan
+    assert(confRule(before) eq before, "no confs set -> no-op")
+    spark.conf.set("spark.graft.rollup.rawPathContains", "events.parquet")
+    spark.conf.set("spark.graft.rollup.store.day", "/tmp/graft_rw_conf_1d")
+    try {
+      val rewritten = confRule(before)
+      assert(rewritten ne before, "conf-driven rule must fire")
+      val served = org.apache.spark.sql.graft.Bridge.ofRows(spark, rewritten)
+      assert(served.queryExecution.executedPlan.toString.contains("graft_rw_conf_1d"))
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.get(1).toString) ->
+          ((r.getLong(2), r.getDecimal(3)))).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("spark.graft.rollup.rawPathContains")
+      spark.conf.unset("spark.graft.rollup.store.day")
+    }
+  }
+
   test("avg is served from the rollup bit-identically (decimal Average mirror)") {
     assume(available, s"$dir not present")
     val raw = spark.read.parquet(s"$dir/events.parquet")
