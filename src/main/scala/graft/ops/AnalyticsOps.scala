@@ -615,9 +615,12 @@ object AnalyticsOps {
     * 0.001 tokens/sec steps), so the distributed result is BIT-IDENTICAL
     * to the sequential recurrence and to the DuckDB oracle at any
     * parallelism and chunking; `burst_used` is one fixed-order division.
-    * Overflow headroom: r·t′ ≤ 9.2e18 needs ratePerSec ≤ 100 and spans
-    * within ~3 years of `anchorMs` (required below); per-chunk T = n·10⁹
-    * bounds chunks at ~10⁹ rows.
+    * Overflow headroom: r·t′ is kept within Long.MaxValue/4, ENFORCED per
+    * row — any |ts − anchorMs| beyond (Long.MaxValue/4 − 10⁹)/r ms (≈8.5
+    * months at ratePerSec=100, ≈71 years at 1.0) throws with the fix in
+    * the message (pass anchorMs near min(ts)) instead of silently
+    * corrupting burst_used/violation; per-chunk T = n·10⁹ bounds chunks
+    * at ~10⁹ rows.
     *
     * A violation marks an event whose arrival pushed usage past the burst
     * capacity (the event a real limiter would have throttled — though this
@@ -640,6 +643,23 @@ object AnalyticsOps {
     val rNanoPerMs = Math.round(ratePerSec * 1e6)
     val burstNano = Math.round(burst * 1e9)
     val NEG = Long.MinValue / 4               // "bucket full since forever"
+    // overflow guard: the ledger's core product rNanoPerMs·(ts−anchorMs)
+    // must stay within Long.MaxValue/4 (leaving 3/4 headroom for the +c
+    // accumulations and the NEG seed). With the default anchorMs=0 and
+    // real epoch-ms timestamps that product overflows silently for
+    // ratePerSec >= ~1.3e-3·4 — so the precondition is ENFORCED per row,
+    // failing loudly with the fix (anchor near min(ts)) in the message.
+    val maxSpanMs = (Long.MaxValue / 4 - c) / math.max(rNanoPerMs, 1L)
+    def guardSpan(ts: Long): Long = {
+      val span = ts - anchorMs
+      if (span < -maxSpanMs || span > maxSpanMs)
+        throw new IllegalArgumentException(
+          s"rateLimitAudit: |ts - anchorMs| = ${math.abs(span)} ms exceeds " +
+          s"$maxSpanMs ms at ratePerSec=$ratePerSec — the nano-token ledger " +
+          "would overflow Long. Pass anchorMs near the data's minimum " +
+          "timestamp (e.g. min(ts) truncated to the epoch start).")
+      span
+    }
 
     val base = events.select(
         keyCol.cast("string").as("key"),
@@ -661,7 +681,9 @@ object AnalyticsOps {
         var m = NEG
         var t = 0L
         rows.iterator.map { case (_, _, ts, tie) =>
-          m = math.max(c + rNanoPerMs * (ts - anchorMs), m + c)
+          // guardSpan throws on overflow; phase 3 reuses these same rows,
+          // so one guarded pass covers both multiplications
+          m = math.max(c + rNanoPerMs * guardSpan(ts), m + c)
           t += c
           RlRow(key, b, ts, tie, m, t)
         }
@@ -2644,10 +2666,15 @@ object AnalyticsOps {
       else {
         val maybeSeen = Bridge.column(BloomFilterMightContain(
           Literal(blob, BinaryType), Bridge.expression(col("key"))))
+        // a NULL key probes to NULL — route it around the Bloom filter
+        // into the exact anti-join branch (where, as in a plain left_anti,
+        // a null key never matches and survives as "new"), so both the
+        // Bloom and the empty-prior paths keep null-key rows identically
         val probed = current.withColumn("__maybe", maybeSeen)
-        probed.filter(!col("__maybe")).drop("__maybe")
+        probed.filter(col("__maybe") === false).drop("__maybe")
           .unionByName(
-            probed.filter(col("__maybe")).drop("__maybe")
+            probed.filter(col("__maybe").isNull || col("__maybe"))
+              .drop("__maybe")
               .join(prior, Seq("key"), "left_anti"))
       }
     newEvents.groupBy("key")

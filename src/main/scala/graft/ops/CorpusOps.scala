@@ -55,24 +55,29 @@ object CorpusOps {
   }
 
   /** Decontamination for UNBOUNDED document streams — the streaming twin of
-    * [[decontaminate]]. The eval set is static and benchmark-sized, so its
-    * distinct gram hashes are collected once and embedded as a broadcast
-    * literal inside a codegen'd `arrays_overlap`; each micro-batch is then a
-    * stateless per-row map — no shuffle, no state store, identical semantics
-    * on batch and streaming inputs (stream ≡ batch asserted in
-    * CorpusOpsSpec). For eval sets too large for a literal array (≫10⁶
-    * grams) use the batch op's broadcast-join shape instead.
+    * [[decontaminate]]. The eval set is static, so its distinct gram
+    * hashes are aggregated once and shipped as a Spark BROADCAST variable
+    * probed by a codegen'd native expression
+    * ([[graft.functions.SortedLongsOverlapBroadcast]] — binary search per
+    * doc gram against the sorted broadcast array); each micro-batch is
+    * then a stateless per-row map — no shuffle, no state store, identical
+    * semantics on batch and streaming inputs (stream ≡ batch asserted in
+    * CorpusOpsSpec, including a 10⁵-gram eval set). The broadcast seam
+    * scales to 10⁸ grams (8 B each — executor-memory-bounded, not
+    * codegen-bounded); the EXACT set rides the broadcast, so there are no
+    * false positives to re-verify.
     *
     * Unlike [[decontaminate]], eval docs are NOT excluded from the output
     * (an anti-join on an unbounded stream would be stateful); feed the
     * stream pre-filtered or drop `doc_id % …` eval rows downstream. */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame, k: Int = 5): DataFrame = {
-    import graft.functions.functions.hashed_shingles
+    import graft.functions.functions.{hashed_shingles, overlaps_broadcast}
     val evalGrams: Array[Long] = evalDocs
       .select(explode(hashed_shingles(col("text"), k)).as("g"))
       .distinct().collect().map(_.getLong(0)).sorted
+    val bc = docs.sparkSession.sparkContext.broadcast(evalGrams)
     docs.select(col("doc_id"),
-      arrays_overlap(hashed_shingles(col("text"), k), lit(evalGrams)).as("contaminated"))
+      overlaps_broadcast(hashed_shingles(col("text"), k), bc).as("contaminated"))
   }
 
   /** Knuth multiplicative hash of a non-negative 64-bit id, reduced mod
@@ -147,6 +152,13 @@ object CorpusOps {
           .when(!col("r_keep"), "repetition")
           .when(!col("d_keep"), "near_dup")
           .when(col("contaminated"), "contaminated"))
+      // the decision table is FLAG-SIZED — doc_id, stratum keys, token
+      // count, per-stage keep flags; never the text column (at 100 TB the
+      // raw corpus cannot be cached: each filter stage reads its own
+      // column-pruned scan instead, and only this small table persists).
+      // It is consumed three times below (drop rows, the budget window,
+      // the shard join), so the cache saves two full stage-recomputes.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // budget runs over the docs that survived every filter
     val survivors = decided.filter(col("drop_reason").isNull)
     val w = Window.partitionBy("lang", "source").orderBy("doc_id")

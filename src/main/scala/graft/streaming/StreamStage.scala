@@ -245,6 +245,11 @@ final case class DriftBuf(ts: Array[Long], vs: Array[Double],
     openP: Array[Long], openBin: Array[Long], openC: Array[Long],
     prevPeriod: Long, prevBin: Array[Long], prevC: Array[Long])
 
+/** One closed-period PSI row from [[StreamStage.psiDriftStream]] — same
+  * fields as the batch [[graft.ops.AnalyticsOps.psiDrift]]. */
+final case class PsiOut(url: String, period: Long, n: Long, m: Long,
+    psi: Double)
+
 /** One closed-bucket row from [[StreamStage.calendarBaselineStream]] —
   * same fields as the batch [[graft.ops.AnalyticsOps.calendarBaseline]]. */
 final case class CalOut(url: String, bucket: Long, n: Long, mean: Double,
@@ -1281,7 +1286,7 @@ object StreamStage {
           var prev = st.prevBin.zip(st.prevC).toMap
           val out = Vector.newBuilder[DriftOut]
           val closing = open.keys.map(_._1)
-            .filter(p => p + periodMs <= wm + 1).toSeq.distinct.sorted
+            .filter(p => p + periodMs <= wm).toSeq.distinct.sorted
           closing.foreach { p =>
             val hist = open.range((p, Long.MinValue), (p, Long.MaxValue))
               .map { case ((_, b), c) => b -> c }.toMap
@@ -1294,6 +1299,103 @@ object StreamStage {
               }.sum
               out += DriftOut(url, p, n, m,
                 num.toDouble / (2.0 * n * m))
+            }
+            prevPeriod = p
+            prev = hist
+          }
+          val prevDead = prevPeriod == Long.MinValue ||
+            wm >= prevPeriod + 2 * periodMs
+          if (hold.isEmpty && open.isEmpty && prevDead) state.remove()
+          else {
+            val op = open.toArray
+            state.update(DriftBuf(hold.map(_._1), hold.map(_._2),
+              op.map(_._1._1), op.map(_._1._2), op.map(_._2),
+              prevPeriod, prev.keys.toArray, prev.values.toArray))
+            val wake = Seq(
+              hold.iterator.map(_._1).minOption,
+              open.keys.map(_._1).minOption.map(_ + periodMs),
+              if (prevPeriod == Long.MinValue) None
+              else Some(prevPeriod + 2 * periodMs)
+            ).flatten.min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          out.result().iterator
+        })
+  }
+
+  /** STREAMING PSI drift monitor — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.psiDrift]] (q116), the population-stability
+    * index a production model-input monitor runs CONTINUOUSLY. Identical
+    * state machine to [[driftStream]] (the [[DriftBuf]] shape is reused
+    * verbatim): per key, open periods accumulate bin counts from
+    * watermark-final rows; when a period closes whose immediate
+    * predecessor also closed, its PSI vs that predecessor is emitted —
+    * the batch formula exactly (per bin over the union of either side's
+    * bins, p = c/n when c > 0 else `eps`, q = q/m when q > 0 else `eps`,
+    * Σ (p−q)·ln(p/q) folded in ASCENDING bin order, matching the batch
+    * op's sort_array fold), and only when that predecessor is the
+    * immediately preceding period (gap periods emit nothing, like the
+    * batch join). State per key: the lateness row buffer + O(bins) open
+    * histograms + one O(bins) previous histogram; keys are removed once
+    * the watermark passes the last period a successor could still need. */
+  def psiDriftStream(
+      points: Dataset[TiedPoint],
+      periodMs: Long,
+      binWidth: Double,
+      eps: Double = 1e-4,
+      lateness: String = "10 minutes"): Dataset[PsiOut] = {
+    require(periodMs > 0 && binWidth > 0,
+      s"periodMs/binWidth must be positive, got $periodMs/$binWidth")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[DriftBuf]) => {
+          val st = state.getOption.getOrElse(DriftBuf(
+            Array.emptyLongArray, Array.emptyDoubleArray,
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+            Long.MinValue, Array.emptyLongArray, Array.emptyLongArray))
+          val all = st.ts.zip(st.vs) ++ rows.map(r => (r._2, r._3))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          val open = scala.collection.mutable.TreeMap
+            .empty[(Long, Long), Long]
+          for (i <- st.openP.indices)
+            open((st.openP(i), st.openBin(i))) = st.openC(i)
+          ready.foreach { case (t, v) =>
+            val p = t - math.floorMod(t, periodMs)
+            val bin = math.floor(v / binWidth).toLong
+            open((p, bin)) = open.getOrElse((p, bin), 0L) + 1L
+          }
+          var prevPeriod = st.prevPeriod
+          var prev = st.prevBin.zip(st.prevC).toMap
+          val out = Vector.newBuilder[PsiOut]
+          val closing = open.keys.map(_._1)
+            .filter(p => p + periodMs <= wm).toSeq.distinct.sorted
+          closing.foreach { p =>
+            val hist = open.range((p, Long.MinValue), (p, Long.MaxValue))
+              .map { case ((_, b), c) => b -> c }.toMap
+            open.filterInPlace { case ((pp, _), _) => pp != p }
+            if (prevPeriod == p - periodMs) {
+              val n = hist.values.sum
+              val m = prev.values.sum
+              var psi = 0.0
+              (hist.keySet ++ prev.keySet).toArray.sorted.foreach { b =>
+                val c = hist.getOrElse(b, 0L)
+                val q = prev.getOrElse(b, 0L)
+                val pr = if (c > 0L) c.toDouble / n.toDouble else eps
+                val qr = if (q > 0L) q.toDouble / m.toDouble else eps
+                psi += (pr - qr) * math.log(pr / qr)
+              }
+              out += PsiOut(url, p, n, m, psi)
             }
             prevPeriod = p
             prev = hist
@@ -1370,7 +1472,7 @@ object StreamStage {
           var prevSk: Option[HllSketch] =
             if (st.prevSk.isEmpty) None else Some(HllSketch.heapify(st.prevSk))
           val out = Vector.newBuilder[OvlOut]
-          val closing = open.keys.filter(p => p + periodMs <= wm + 1).toSeq.sorted
+          val closing = open.keys.filter(p => p + periodMs <= wm).toSeq.sorted
           closing.foreach { p =>
             val curr = open.remove(p).get
             prevSk.filter(_ => prevPeriod == p - periodMs).foreach { prev =>
@@ -1649,7 +1751,7 @@ object StreamStage {
           }
           val hodC = st.hodC.clone(); val hodN = st.hodN.clone()
           val out = Vector.newBuilder[CalOut]
-          val closing = open.keys.filter(b => b + bucketMs <= wm + 1)
+          val closing = open.keys.filter(b => b + bucketMs <= wm)
             .toArray.sorted
           closing.foreach { b =>
             val (c, n) = open.remove(b).get
@@ -1734,7 +1836,7 @@ object StreamStage {
           for (i <- st.ringB.indices)
             ring += ((st.ringB(i), st.ringErr(i), st.ringTot(i)))
           val out = Vector.newBuilder[SloOut]
-          val closing = acc.keys.filter(b => b + bucketMs <= wm + 1).toArray.sorted
+          val closing = acc.keys.filter(b => b + bucketMs <= wm).toArray.sorted
           closing.foreach { b =>
             val (e, n) = acc.remove(b).get
             ring += ((b, e, n))
@@ -1843,7 +1945,7 @@ object StreamStage {
           }
           val wm = state.getCurrentWatermarkMs()
           val out = Vector.newBuilder[RollCorrOut]
-          val closing = acc.keys.filter(b => b + bucketMs <= wm + 1)
+          val closing = acc.keys.filter(b => b + bucketMs <= wm)
             .toArray.sorted
           closing.foreach { b =>
             val (x, y) = acc.remove(b).get
@@ -2028,9 +2130,17 @@ object StreamStage {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // the batch op's cents: Spark Round(value * 100.0) = BigDecimal
-    // HALF_UP on the DOUBLE product (not a decimal cast of the raw value)
-    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v * 100.0)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    // HALF_UP on the DOUBLE product (not a decimal cast of the raw value),
+    // then a non-ANSI long cast. TOTAL like the batch chain — Round passes
+    // NaN/±Inf through unchanged and Cast(double→long) is Scala's
+    // saturating .toLong (NaN→0, ±Inf→Long.Min/Max) — so one poison record
+    // yields the batch twin's defined row instead of killing the query.
+    def cents(v: Double): Long = {
+      val p = v * 100.0
+      if (!java.lang.Double.isFinite(p)) p.toLong
+      else java.math.BigDecimal.valueOf(p)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+    }
     points.toDF()
       .withColumn("event_time", timestamp_millis(col("ts")))
       .withWatermark("event_time", lateness)

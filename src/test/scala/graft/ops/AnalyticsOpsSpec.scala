@@ -1384,6 +1384,36 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(run(86400000L, -7200000L) == out, "anchor invariance")
   }
 
+  test("rateLimitAudit fails loudly on nano-ledger overflow instead of corrupting") {
+    // real epoch-ms timestamps with the default anchorMs=0: at rate 100/s
+    // the nano-token product r·(ts−anchor) exceeds Long.MaxValue/4, which
+    // previously corrupted burst_used/violation SILENTLY. The guard must
+    // throw with the fix (pass anchorMs near min(ts)) in the message.
+    val epochMs = 1700000000000L // 2023-11-14, a realistic event time
+    val ev = Seq(("a", new java.sql.Timestamp(epochMs), 1L),
+        ("a", new java.sql.Timestamp(epochMs + 500L), 2L))
+      .toDF("u", "ts", "event_id")
+    val ex = intercept[Exception] {
+      AnalyticsOps.rateLimitAudit(ev, col("u"), col("ts"), col("event_id"),
+          ratePerSec = 100.0, burst = 2.0, bucketMs = 86400000L)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("rateLimitAudit") &&
+        t.getMessage.contains("anchorMs")),
+      s"expected the loud overflow guard, got: $ex")
+    // and the documented fix works: the same data with an anchor near
+    // min(ts) audits cleanly (event 2 arrives 0.5 s after a full bucket:
+    // usage 1 + refill keeps it conformant at rate 100/s)
+    val ok = AnalyticsOps.rateLimitAudit(ev, col("u"), col("ts"),
+        col("event_id"), ratePerSec = 100.0, burst = 2.0,
+        bucketMs = 86400000L, anchorMs = epochMs)
+      .collect().map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+    assert(ok == Map(1L -> false, 2L -> false))
+  }
+
   test("newKeysGate equals the plain anti-join regardless of Bloom fpp") {
     // keys 1..40 in the prior window; 21..60 in the current → new = 41..60
     val rows = (1L to 40L).map(k => (k, 10L)) ++

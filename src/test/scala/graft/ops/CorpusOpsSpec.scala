@@ -106,6 +106,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(gotShard == expectShard, s"$gotShard vs $expectShard")
   }
 
+  test("buildCorpus caches only the flag-sized decision table, never text") {
+    // the cache substitution happens in the LOGICAL plan (CacheManager
+    // replaces the cached subtree with InMemoryRelation), so assert there —
+    // the physical InMemoryTableScanExec hides inside AQE query stages
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val filler = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 8L)
+      .map(i => (i, filler + s" uniq$i extra$i more$i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusOps.buildCorpus(docs,
+      docs.filter($"doc_id" < 0).select("doc_id"),
+      budgetPerStratum = 1000L, nShards = 2)
+    out.collect()
+    val cachedRels = out.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r
+    }
+    assert(cachedRels.nonEmpty,
+      "the decision table must be persisted (it is consumed three times)")
+    cachedRels.foreach { r =>
+      val cached = r.output.map(_.name)
+      assert(!cached.contains("text"),
+        s"the cache must be flag-sized — text may never be cached, got $cached")
+    }
+  }
+
   test("buildCorpus: stratum budget drops later docs with over_budget") {
     val filler = (1 to 25).map(i => s"w$i").mkString(" ")
     val docs = (1L to 4L)
@@ -143,6 +168,46 @@ class CorpusOpsSpec extends SparkTestBase {
       q.processAllAvailable()
       val got = spark.table("decon_stream").as[(Long, Boolean)].collect().toMap
       assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("decontaminateStream handles a 100k+-gram eval set via the broadcast seam") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // 100 eval docs × 1050 unique tokens → ≥ 100k distinct 5-gram hashes:
+    // far past where a literal-array arrays_overlap bloats the generated
+    // code; the broadcast variable carries it once per executor instead
+    val evalDocs = (0 until 100).map(d =>
+        (d.toLong, (0 until 1050).map(i => s"e${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nGrams = evalDocs
+      .select(explode(graft.functions.functions
+        .hashed_shingles($"text", 5)).as("g"))
+      .distinct().count()
+    assert(nGrams >= 100000L, s"eval set must exceed 1e5 grams, got $nGrams")
+    // stream docs: 1000 contains an eval 5-gram verbatim; 1001 is clean;
+    // 1002 shares 4 of 5 tokens (no full shingle) — clean
+    val streamDocs = Seq(
+      (1000L, "x y e37_10 e37_11 e37_12 e37_13 e37_14 z"),
+      (1001L, "alpha beta gamma delta epsilon zeta"),
+      (1002L, "e37_10 e37_11 e37_12 e37_13 q e37_15"))
+    val batch = CorpusOps
+      .decontaminate(streamDocs.toDF("doc_id", "text")
+          .unionByName(evalDocs.select($"doc_id", $"text")),
+        evalDocs.select("doc_id"), k = 5)
+      .as[(Long, Boolean)].collect().toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusOps.decontaminateStream(
+        mem.toDF.toDF("doc_id", "text"), evalDocs, k = 5)
+      .writeStream.format("memory").queryName("decon_stream_big")
+      .outputMode("append").start()
+    try {
+      mem.addData(streamDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("decon_stream_big")
+        .as[(Long, Boolean)].collect().toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Map(1000L -> true, 1001L -> false, 1002L -> false))
     } finally q.stop()
   }
 
