@@ -310,22 +310,30 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("bucket"), col("ts"),
           round(col("value"), 6).as("value"))),
 
+    // LTTB to 24 representative points per user over 1-MINUTE bucket
+    // minima (bucket rows per group — the bounded shape, never raw
+    // points). Oracle-backed via the same parameterized recursive-CTE
+    // mirror as q70 (lttbMirrorSql): y = min(value) is exact under any
+    // partitioning, so every triangle-area double is bit-identical
+    // cross-engine. Complements q70's hour/max/48 flavour at the minute
+    // tier; the avg flavour stays golden-pinned in LttbGoldenSpec.
     "q34_lttb_downsample" -> ((s, dir) => {
       import s.implicits._
-      // LTTB to 100 representative points per url over 1m bucket means
-      // (bucket rows per group — the bounded shape, never raw points)
-      val nUrls = synthScale(dir, 8, 24, 64)
-      val pages = SyntheticCrawl.pagesDF(s, nUrls = nUrls, basePoints = 600)
-      Rollup.scalableRollup(CrawlSignals.pageSize(pages), 60000L, "1m", segment = false)
-        .filter(!_.gap_filled)
-        .groupByKey(_.url)
-        .flatMapGroups { (url, it) =>
-          val rows = it.toArray.sortBy(_.bucket_start)
-          val idx = ops.DownsampleOps.lttbIndices(
-            rows.map(_.bucket_start), rows.map(_.mean), 100)
-          idx.iterator.map(i => (url, rows(i).bucket_start, rows(i).mean))
+      events(s, dir)
+        .groupBy(col("user_id").cast("string").as("url"),
+          unix_millis(date_trunc("minute", col("ts"))).as("x"))
+        .agg(min("value").as("y"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          val idx = ops.DownsampleOps.lttbIndices(rows.map(_._2), rows.map(_._3), 24)
+          idx.iterator.map(i => (u, rows(i)._2, rows(i)._3))
         }
-        .toDF("url", "bucket_start", "mean")
+        .toDF("url", "x", "y")
+        .select(col("url").as("user_id"),
+          timestamp_millis(col("x")).cast("timestamp_ntz").as("bucket_start"),
+          round(col("y"), 6).as("min_val"))
     }),
 
     "q32_asof_enrich" -> ((s, dir) => {
@@ -674,11 +682,12 @@ object Queries {
     // (q07/q56/q55/q58); this pins their COMPOSITION.
     "q59_corpus_mix" -> ((s, dir) => {
       // four keep-flag stages + the final projection each consume the
-      // corpus: persist the scan once (10 column-pruned rescans measured
-      // before; at 100 TB cache the pruned text column or accept the
-      // rescan — here the cache is strictly cheaper)
+      // corpus through their OWN column-pruned parquet scan (doc_id+text
+      // only — pushdown keeps each rescan minimal). The raw scan is NOT
+      // persisted: at 100 TB the corpus cannot be cached, so the rescan
+      // IS the scalable default; only flag-sized intermediates (see
+      // buildCorpus's decision table) are ever cache candidates.
       val docs = documents(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val quality = TextOps.qualityScore(docs).select(col("doc_id"), col("keep").as("q_keep"))
       val rep = TextOps.repetitionStats(docs).select(col("doc_id"), col("keep").as("r_keep"))
       val dedup = DedupOps.dedupPipeline(docs).select(col("doc_id"), col("keep").as("d_keep"))
@@ -993,13 +1002,17 @@ object Queries {
 
     // --- multi-window SLO burn rate (oracle-backed, exact): error-budget
     // burn over the current hour AND the trailing 6h; alert only when both
-    // burn above 1.0 (sustained + still happening)
+    // burn above 1.0 (sustained + still happening). The shipped burn
+    // columns are rounded to 6 dp on BOTH sides (q95/q09 precedent) so a
+    // driver-side engine-version FP wobble can't flip the hash; `alert` is
+    // computed by the op from the UNROUNDED ratios.
     "q87_slo_burn" -> ((s, dir) =>
       ops.AnalyticsOps.sloBurnRate(events(s, dir), col("user_id"),
           col("ts"), col("event_type") === "error", budget = 0.25,
           shortMs = 3600000L, longMs = 6L * 3600000L, threshold = 1.0)
         .select(col("key").as("user_id"), col("bucket"), col("err"),
-          col("tot"), col("burn_short"), col("burn_long"), col("alert"))),
+          col("tot"), round(col("burn_short"), 6).as("burn_short"),
+          round(col("burn_long"), 6).as("burn_long"), col("alert"))),
 
     // --- matrix-profile discord discovery (rows-only; kernel parity vs an
     // independent brute force in DiscordSpec): per url, the most anomalous
@@ -1891,6 +1904,49 @@ object Queries {
         .select(col("cls").as("lang"), col("support"), col("pred_n"),
           col("tp"), col("fp"), col("fn"), col("precision"), col("recall"),
           col("f1"))
+    }),
+
+    // --- DAY-tier continuous-aggregate rewrite (oracle-backed, exact):
+    // the daily dashboard aggregate over RAW events is served from the
+    // stored 1d rollup through the multi-tier Catalyst rule — the ~1/86400
+    // read-path reduction — while the oracle recomputes from raw, so the
+    // hash match proves the day tier's read path lossless. Completes the
+    // q98 (hour) / q100 (min-max) / q104 (avg) rewrite family.
+    "q149_rewrite_day" -> ((s, dir) => {
+      def dayAgg(df: DataFrame) = df
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("vsum"))
+      val storePath = s"/tmp/graft_q149_rollup_${math.abs(dir.hashCode)}"
+      dayAgg(events(s, dir)).withColumnRenamed("bucket", "bucket_start")
+        .write.mode("overwrite").parquet(storePath)
+      val stored = s.read.parquet(storePath)
+      plans.RollupRewrite.servedFromTiers(s, "events.parquet",
+          Map("day" -> stored), dayAgg(events(s, dir)))
+        .select(col("user_id"), col("bucket"), col("cnt"),
+          col("vsum").cast("double").as("vsum"))
+    }),
+
+    // --- FILTERED continuous-aggregate rewrite (oracle-backed, exact):
+    // a dashboard query with `WHERE user_id % 7 = 3` between the hour
+    // aggregate and the raw scan — the predicate references only the
+    // grouping key, so it commutes with grouping and the rule moves it
+    // onto the STORE's user_id column (bucket-sized filter, raw scan
+    // gone). The servedFrom require() fails loudly if the filtered shape
+    // ever stops firing; the oracle recomputes from filtered raw events.
+    "q150_rewrite_filtered" -> ((s, dir) => {
+      def hourAgg(df: DataFrame) = df
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("vsum"))
+      val storePath = s"/tmp/graft_q150_rollup_${math.abs(dir.hashCode)}"
+      hourAgg(events(s, dir)).withColumnRenamed("bucket", "bucket_start")
+        .write.mode("overwrite").parquet(storePath)
+      val stored = s.read.parquet(storePath)
+      plans.RollupRewrite.servedFrom(s, "events.parquet", stored,
+          hourAgg(events(s, dir).filter(col("user_id") % 7 === 3)))
+        .select(col("user_id"), col("bucket"), col("cnt"),
+          col("vsum").cast("double").as("vsum"))
     })
   )
 
@@ -2057,6 +2113,80 @@ FROM walk WHERE rn >= 1"""
        |SELECT event_id, user_id, make_timestamp(tms * 1000) AS ts, value,
        |  level, trend, level + $phi*trend AS forecast
        |FROM fin""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for q70/q34: an EXACT mirror of
+    * [[graft.ops.DownsampleOps.lttbIndices]] as a recursive CTE. The
+    * per-user selection state (last chosen index a) advances one bucket
+    * per recursion step; centroid sums are left folds (list_reduce)
+    * matching the engine's accumulation order, and the first-max argmax is
+    * list_position(areas, list_max(areas)). `agg` must be exact under any
+    * partitioning (min/max, integer sums) so every area double is
+    * bit-identical cross-engine — never pass a float-summed aggregate.
+    * Any change to lttbIndices' op order updates BOTH oracles here. */
+  private def lttbMirrorSql(
+      trunc: String, agg: String, target: Int, outCol: String): String = {
+    val inner = target - 2
+    s"""WITH RECURSIVE agg AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |         epoch_ms(date_trunc('$trunc', ts)) AS x, $agg AS y
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT u, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
+       |         CAST(count(*) AS INT) AS n
+       |  FROM agg GROUP BY u),
+       |sel AS (
+       |  SELECT u, 0 AS i, 0 AS a FROM ser WHERE n > $target
+       |  UNION ALL
+       |  SELECT u, i + 1 AS i,
+       |    bs0 + list_position(areas, list_max(areas)) - 1 AS a
+       |  FROM (
+       |    SELECT q.*,
+       |      list_transform(generate_series(bs0 + 1, be0),
+       |        p -> abs((ax - cx) * (ys[p] - ay)
+       |               - (ax - CAST(xs[p] AS DOUBLE)) * (cy - ay)) * 0.5) AS areas
+       |    FROM (
+       |      SELECT v.*, sx / m AS cx, sy / m AS cy
+       |      FROM (
+       |        SELECT s.u, s.i, r.xs, r.ys, r.n,
+       |          CAST(r.xs[s.a + 1] AS DOUBLE) AS ax, r.ys[s.a + 1] AS ay,
+       |          (r.n - 2) / $inner.0 AS bs,
+       |          CAST(floor(s.i * bs) AS INT) + 1 AS bs0,
+       |          least(CAST(floor((s.i + 1) * bs) AS INT) + 1, r.n) AS be0,
+       |          CAST(floor((s.i + 1) * bs) AS INT) + 1 AS cs0,
+       |          least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n) AS ce0,
+       |          CASE WHEN least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
+       |                    > CAST(floor((s.i + 1) * bs) AS INT) + 1
+       |            THEN list_reduce(
+       |              list_transform(
+       |                r.xs[CAST(floor((s.i + 1) * bs) AS INT) + 2
+       |                     : least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)],
+       |                e -> CAST(e AS DOUBLE)),
+       |              (acc, e) -> acc + e)
+       |            ELSE 0.0 END AS sx,
+       |          CASE WHEN least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
+       |                    > CAST(floor((s.i + 1) * bs) AS INT) + 1
+       |            THEN list_reduce(
+       |              r.ys[CAST(floor((s.i + 1) * bs) AS INT) + 2
+       |                   : least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)],
+       |              (acc, e) -> acc + e)
+       |            ELSE 0.0 END AS sy,
+       |          greatest(least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
+       |                   - (CAST(floor((s.i + 1) * bs) AS INT) + 1), 1) AS m
+       |        FROM sel s JOIN ser r USING (u)
+       |        WHERE s.i < $inner
+       |      ) v
+       |    ) q
+       |  ) z),
+       |pick AS (
+       |  SELECT u, a FROM sel
+       |  UNION ALL
+       |  SELECT u, n - 1 AS a FROM ser WHERE n > $target
+       |  UNION ALL
+       |  SELECT u, unnest(generate_series(0, n - 1)) AS a FROM ser WHERE n <= $target)
+       |SELECT p.u AS user_id, epoch_ms(r.xs[p.a + 1]) AS bucket_start,
+       |  round(r.ys[p.a + 1], 6) AS $outCol
+       |FROM pick p JOIN ser r USING (u)""".stripMargin
   }
 
   private val tokExpr = "string_split_regex(trim(text), '\\s+')"
@@ -2863,73 +2993,13 @@ FROM walk WHERE rn >= 1"""
          |    / greatest(len(tk.t), 1), 6) AS dup_frac
          |FROM toks tk LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
-    // an EXACT mirror of DownsampleOps.lttbIndices as a recursive CTE: the
-    // per-user selection state (last chosen index a) advances one bucket per
-    // recursion step; centroid sums are left folds (list_reduce) matching
-    // the engine's accumulation order, and the first-max argmax is
-    // list_position(areas, list_max(areas)). y = max(value) is exact under
-    // any partitioning, so every area double is bit-identical cross-engine.
-    "q70_lttb_hourly" ->
-      """WITH RECURSIVE agg AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS u,
-        |         epoch_ms(date_trunc('hour', ts)) AS x, max(value) AS y
-        |  FROM events GROUP BY 1, 2),
-        |ser AS (
-        |  SELECT u, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
-        |         CAST(count(*) AS INT) AS n
-        |  FROM agg GROUP BY u),
-        |sel AS (
-        |  SELECT u, 0 AS i, 0 AS a FROM ser WHERE n > 48
-        |  UNION ALL
-        |  SELECT u, i + 1 AS i,
-        |    bs0 + list_position(areas, list_max(areas)) - 1 AS a
-        |  FROM (
-        |    SELECT q.*,
-        |      list_transform(generate_series(bs0 + 1, be0),
-        |        p -> abs((ax - cx) * (ys[p] - ay)
-        |               - (ax - CAST(xs[p] AS DOUBLE)) * (cy - ay)) * 0.5) AS areas
-        |    FROM (
-        |      SELECT v.*, sx / m AS cx, sy / m AS cy
-        |      FROM (
-        |        SELECT s.u, s.i, r.xs, r.ys, r.n,
-        |          CAST(r.xs[s.a + 1] AS DOUBLE) AS ax, r.ys[s.a + 1] AS ay,
-        |          (r.n - 2) / 46.0 AS bs,
-        |          CAST(floor(s.i * bs) AS INT) + 1 AS bs0,
-        |          least(CAST(floor((s.i + 1) * bs) AS INT) + 1, r.n) AS be0,
-        |          CAST(floor((s.i + 1) * bs) AS INT) + 1 AS cs0,
-        |          least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n) AS ce0,
-        |          CASE WHEN least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
-        |                    > CAST(floor((s.i + 1) * bs) AS INT) + 1
-        |            THEN list_reduce(
-        |              list_transform(
-        |                r.xs[CAST(floor((s.i + 1) * bs) AS INT) + 2
-        |                     : least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)],
-        |                e -> CAST(e AS DOUBLE)),
-        |              (acc, e) -> acc + e)
-        |            ELSE 0.0 END AS sx,
-        |          CASE WHEN least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
-        |                    > CAST(floor((s.i + 1) * bs) AS INT) + 1
-        |            THEN list_reduce(
-        |              r.ys[CAST(floor((s.i + 1) * bs) AS INT) + 2
-        |                   : least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)],
-        |              (acc, e) -> acc + e)
-        |            ELSE 0.0 END AS sy,
-        |          greatest(least(CAST(floor((s.i + 2) * bs) AS INT) + 1, r.n)
-        |                   - (CAST(floor((s.i + 1) * bs) AS INT) + 1), 1) AS m
-        |        FROM sel s JOIN ser r USING (u)
-        |        WHERE s.i < 46
-        |      ) v
-        |    ) q
-        |  ) z),
-        |pick AS (
-        |  SELECT u, a FROM sel
-        |  UNION ALL
-        |  SELECT u, n - 1 AS a FROM ser WHERE n > 48
-        |  UNION ALL
-        |  SELECT u, unnest(generate_series(0, n - 1)) AS a FROM ser WHERE n <= 48)
-        |SELECT p.u AS user_id, epoch_ms(r.xs[p.a + 1]) AS bucket_start,
-        |  round(r.ys[p.a + 1], 6) AS max_val
-        |FROM pick p JOIN ser r USING (u)""".stripMargin,
+    // EXACT lttbIndices mirrors (see lttbMirrorSql): q70 = hour/max/48,
+    // q34 = minute/min/24 — both aggregates are partition-invariant, so
+    // every area double is bit-identical cross-engine.
+    "q70_lttb_hourly" -> lttbMirrorSql("hour", "max(value)", 48, "max_val"),
+
+    "q34_lttb_downsample" ->
+      lttbMirrorSql("minute", "min(value)", 24, "min_val"),
 
     "q73_ohlc" ->
       """SELECT user_id, date_trunc('day', ts) AS day,
@@ -3160,10 +3230,10 @@ FROM walk WHERE rn >= 1"""
         |    count(*) AS tot
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, bucket, err, tot,
-        |  CAST(sum(err) OVER ws AS DOUBLE) / CAST(sum(tot) OVER ws AS DOUBLE)
-        |    / 0.25 AS burn_short,
-        |  CAST(sum(err) OVER wl AS DOUBLE) / CAST(sum(tot) OVER wl AS DOUBLE)
-        |    / 0.25 AS burn_long,
+        |  round(CAST(sum(err) OVER ws AS DOUBLE)
+        |    / CAST(sum(tot) OVER ws AS DOUBLE) / 0.25, 6) AS burn_short,
+        |  round(CAST(sum(err) OVER wl AS DOUBLE)
+        |    / CAST(sum(tot) OVER wl AS DOUBLE) / 0.25, 6) AS burn_long,
         |  (CAST(sum(err) OVER ws AS DOUBLE) / CAST(sum(tot) OVER ws AS DOUBLE)
         |    / 0.25 > 1.0)
         |  AND (CAST(sum(err) OVER wl AS DOUBLE) / CAST(sum(tot) OVER wl AS DOUBLE)
@@ -3453,6 +3523,16 @@ FROM walk WHERE rn >= 1"""
       """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q149_rewrite_day" ->
+      """SELECT user_id, date_trunc('day', ts) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q150_rewrite_filtered" ->
+      """SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS vsum
+        |FROM events WHERE user_id % 7 = 3 GROUP BY 1, 2""".stripMargin,
 
     "q99_asof_forward" ->
       """WITH p AS (
