@@ -37,6 +37,12 @@ object MultimodalOps {
   @inline private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  @inline private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  @inline private def chunkIs(b: Array[Byte], o: Int, t: String): Boolean =
+    b(o) == t.charAt(0).toByte && b(o + 1) == t.charAt(1).toByte &&
+      b(o + 2) == t.charAt(2).toByte && b(o + 3) == t.charAt(3).toByte
 
   /** REAL decode of the BMP header (public format: 14-byte file header +
     * BITMAPINFOHEADER/BITMAPCOREHEADER). Emits media_type "image", pixel
@@ -92,6 +98,51 @@ object MultimodalOps {
       dataBytes / blockAlign, sampleHash(bytes)))
   }
 
+  private val PngSig =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** REAL decode of the PNG header (public format, RFC 2083 / W3C PNG):
+    * 8-byte signature, then the mandatory first IHDR chunk (length 13,
+    * big-endian width/height + depth/color/compression/filter/interlace).
+    * The chunk list is then walked up to the first IDAT/IEND looking for
+    * an APNG `acTL` animation-control chunk — when present its num_frames
+    * becomes n_frames (an animated PNG is a frame sequence), else 1.
+    * Pixel decode needs inflate + per-scanline unfiltering and stays out
+    * of scope here (the BMP path covers sample-level decode). */
+  private def decodePng(docId: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 33) return None
+    var i = 0
+    while (i < 8) {
+      if ((bytes(i) & 0xff) != PngSig(i)) return None
+      i += 1
+    }
+    if (be32(bytes, 8) != 13 || !chunkIs(bytes, 12, "IHDR")) return None
+    val w = be32(bytes, 16)
+    val h = be32(bytes, 20)
+    if (w <= 0 || h <= 0) return None
+    var frames = 1
+    // Long cursor, like the RIFF walk: a malformed declared size must end
+    // the walk, never wrap an Int index
+    var oL = 8L + 8L + 13L + 4L
+    var done = false
+    while (!done && oL + 8 <= bytes.length) {
+      val o = oL.toInt
+      val size = be32(bytes, o)
+      if (size < 0) done = true
+      else {
+        if (chunkIs(bytes, o + 4, "IDAT") || chunkIs(bytes, o + 4, "IEND"))
+          done = true
+        else if (chunkIs(bytes, o + 4, "acTL") && o + 12 <= bytes.length) {
+          val nf = be32(bytes, o + 8)
+          if (nf > 0) frames = nf
+        }
+        oL += 8L + size.toLong + 4L
+      }
+    }
+    Some(MediaMeta(docId, bytes.length, "image", w, h, frames,
+      sampleHash(bytes)))
+  }
+
   /** STUB decoder for formats whose codecs are absent here: derives
     * deterministic pseudo-metadata from the bytes. A real implementation
     * would hand `bytes` to the codec; everything around this call is
@@ -108,9 +159,11 @@ object MultimodalOps {
       h)
   }
 
-  /** Decode one payload: real header parse for BMP/WAV, stub otherwise. */
+  /** Decode one payload: real header parse for BMP/PNG/WAV, stub
+    * otherwise. */
   def decodeMedia(docId: Long, bytes: Array[Byte]): MediaMeta =
     decodeBmp(docId, bytes)
+      .orElse(decodePng(docId, bytes))
       .orElse(decodeWav(docId, bytes))
       .getOrElse(decodeStub(docId, bytes))
 
@@ -360,6 +413,43 @@ object MultimodalOps {
     b
   }
 
+  /** Minimal valid PNG bytes: signature, IHDR (8-bit truecolor), an
+    * optional APNG acTL when frames > 1, an empty IDAT (declared, not
+    * materialized — the header decoder never inflates) and IEND, each
+    * chunk with its REAL CRC32 over type+data per the spec. */
+  def pngBytes(width: Int, height: Int, frames: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    PngSig.foreach(v => out.write(v))
+    def w32(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      w32(data.length)
+      val tb = t.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def b32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = ((v >> 24) & 0xff).toByte; a(o + 1) = ((v >> 16) & 0xff).toByte
+      a(o + 2) = ((v >> 8) & 0xff).toByte; a(o + 3) = (v & 0xff).toByte
+    }
+    b32(ihdr, 0, width); b32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit truecolor; compression/filter/interlace 0
+    chunk("IHDR", ihdr)
+    if (frames > 1) {
+      val actl = new Array[Byte](8)
+      b32(actl, 0, frames) // num_frames; num_plays 0 = loop forever
+      chunk("acTL", actl)
+    }
+    chunk("IDAT", Array.emptyByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Minimal valid WAV bytes (PCM fmt + data header, payload declared but
     * not materialized — the decoder reads declared sizes, as it must for
     * sampled blobs). */
@@ -426,11 +516,12 @@ object MultimodalOps {
       .toDF("doc_id", "payload")
   }
 
-  /** Build a media table from the documents table. One third of the rows
-    * carry REAL BMP or WAV headers (deterministic dimensions from doc_id) so
-    * the genuine decoders are exercised end-to-end; the rest keep the text
-    * bytes as an opaque payload routed to the stub — the mixed-format shape
-    * of a real crawl. */
+  /** Build a media table from the documents table. Half the rows carry
+    * REAL BMP, PNG (some animated, with acTL) or WAV headers with
+    * deterministic dimensions from doc_id so the genuine decoders are
+    * exercised end-to-end; the rest keep the text bytes as an opaque
+    * payload routed to the stub — the mixed-format shape of a real
+    * crawl. */
   def syntheticMedia(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -438,6 +529,8 @@ object MultimodalOps {
       .map { case (id, text) =>
         val payload = (id % 6) match {
           case 0 => bmpBytes(64 + (id % 13).toInt * 16, 48 + (id % 7).toInt * 16)
+          case 1 => pngBytes(80 + (id % 11).toInt * 16, 60 + (id % 5).toInt * 12,
+            if (id % 4 == 1) 2 + (id % 9).toInt else 1)
           case 3 => wavBytes(8000 * (1 + (id % 3).toInt), 1 + (id % 2).toInt,
             16, 1000 + (id % 500).toInt)
           case _ => text.getBytes("UTF-8")

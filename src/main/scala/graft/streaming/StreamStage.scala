@@ -250,6 +250,19 @@ final case class DriftBuf(ts: Array[Long], vs: Array[Double],
 final case class PsiOut(url: String, period: Long, n: Long, m: Long,
     psi: Double)
 
+/** One ranked-item event for [[StreamStage.rboDriftStream]]. */
+final case class RboEvent(item: String, ts: Long)
+
+/** [[StreamStage.rboDriftStream]] state: the lateness row buffer, open
+  * per-(period, item) counts, and the previous closed period's top-k. */
+final case class RboBuf(ts: Array[Long], items: Array[String],
+    openP: Array[Long], openItem: Array[String], openC: Array[Long],
+    prevPeriod: Long, prevItem: Array[String], prevRnk: Array[Int])
+
+/** One closed-period RBO row from [[StreamStage.rboDriftStream]] — same
+  * fields as the batch [[graft.ops.AnalyticsOps.rboDrift]]. */
+final case class RboOut(period: Long, overlap_k: Long, rbo: Double)
+
 /** One closed-bucket row from [[StreamStage.calendarBaselineStream]] —
   * same fields as the batch [[graft.ops.AnalyticsOps.calendarBaseline]]. */
 final case class CalOut(url: String, bucket: Long, n: Long, mean: Double,
@@ -1408,6 +1421,113 @@ object StreamStage {
             state.update(DriftBuf(hold.map(_._1), hold.map(_._2),
               op.map(_._1._1), op.map(_._1._2), op.map(_._2),
               prevPeriod, prev.keys.toArray, prev.values.toArray))
+            val wake = Seq(
+              hold.iterator.map(_._1).minOption,
+              open.keys.map(_._1).minOption.map(_ + periodMs),
+              if (prevPeriod == Long.MinValue) None
+              else Some(prevPeriod + 2 * periodMs)
+            ).flatten.min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          out.result().iterator
+        })
+  }
+
+  /** STREAMING rank-biased-overlap drift — the unbounded twin of
+    * [[graft.ops.AnalyticsOps.rboDrift]] (q145): each closed period's
+    * top-k ranked item list is compared to its immediate predecessor's
+    * with truncated RBO@k, the rank-sensitive "did the heavy hitters
+    * change?" monitor a production dashboard runs continuously. Identical
+    * math to the batch op: ranks are (count DESC, item ASC) row numbers,
+    * a matched item weighs `rboWeights(k, p)(max(rank, prev_rank))`, and
+    * the fold runs in ascending (m, item) order — the same order as the
+    * batch `sort_array` fold, so the doubles are bit-identical. A closed
+    * period emits only when its IMMEDIATE predecessor also closed (gap
+    * periods emit nothing, like the batch pairs join); periods with no
+    * overlap still emit (overlap_k = 0, rbo = 0.0), as batch's left join
+    * does. The [[driftStream]] discipline throughout: rows above the
+    * watermark buffer, closed periods resolve ascending, state drops once
+    * the watermark passes the last period a successor could pair with.
+    *
+    * The monitor is GLOBAL (one ranked list per period, like the batch
+    * op), so all state lives under one group key: the lateness row buffer
+    * + open-period item counts + the previous top-k (≤ k entries). The
+    * open-count maps are bounded by the period's distinct-item
+    * cardinality — for unbounded item spaces put a SpaceSaving/heavy-
+    * hitters pass upstream, exactly as the batch op's rank windows
+    * assume. */
+  def rboDriftStream(
+      events: Dataset[RboEvent],
+      periodMs: Long,
+      k: Int = 10,
+      p: Double = 0.9,
+      lateness: String = "10 minutes"): Dataset[RboOut] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    val weights = graft.ops.AnalyticsOps.rboWeights(k, p)
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("item"), col("ts"), col("event_time"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Int, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[RboBuf]) => {
+          val st = state.getOption.getOrElse(RboBuf(
+            Array.emptyLongArray, Array.empty[String],
+            Array.emptyLongArray, Array.empty[String], Array.emptyLongArray,
+            Long.MinValue, Array.empty[String], Array.emptyIntArray))
+          val all = st.ts.zip(st.items) ++ rows.map(r => (r._2, r._1))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          val open = scala.collection.mutable.TreeMap
+            .empty[(Long, String), Long]
+          for (i <- st.openP.indices)
+            open((st.openP(i), st.openItem(i))) = st.openC(i)
+          ready.foreach { case (t, item) =>
+            val per = t - math.floorMod(t, periodMs)
+            open((per, item)) = open.getOrElse((per, item), 0L) + 1L
+          }
+          var prevPeriod = st.prevPeriod
+          var prev = st.prevItem.zip(st.prevRnk).toMap
+          val out = Vector.newBuilder[RboOut]
+          val closing = open.keys.map(_._1)
+            .filter(per => per + periodMs <= wm).toSeq.distinct.sorted
+          closing.foreach { per =>
+            val counts = open
+              .range((per, ""), (per + 1, "")).toArray
+              .map { case ((_, item), c) => (item, c) }
+            open.filterInPlace { case ((pp, _), _) => pp != per }
+            // (count DESC, item ASC) row numbers, truncated at k — the
+            // batch rank window exactly
+            val topk = counts.sortBy { case (item, c) => (-c, item) }
+              .take(k).iterator.zipWithIndex
+              .map { case ((item, _), i) => item -> (i + 1) }.toMap
+            if (prevPeriod == per - periodMs) {
+              val matched = topk.toSeq.flatMap { case (item, rnk) =>
+                prev.get(item).map(pr => (math.max(rnk, pr), item))
+              }.sorted
+              var s = 0.0
+              matched.foreach { case (m, _) => s += weights(m - 1) }
+              out += RboOut(per, matched.size.toLong, (1.0 - p) * s)
+            }
+            prevPeriod = per
+            prev = topk
+          }
+          val prevDead = prevPeriod == Long.MinValue ||
+            wm >= prevPeriod + 2 * periodMs
+          if (hold.isEmpty && open.isEmpty && prevDead) state.remove()
+          else {
+            val op = open.toArray
+            val pv = prev.toArray
+            state.update(RboBuf(hold.map(_._1), hold.map(_._2),
+              op.map(_._1._1), op.map(_._1._2), op.map(_._2),
+              prevPeriod, pv.map(_._1), pv.map(_._2)))
             val wake = Seq(
               hold.iterator.map(_._1).minOption,
               open.keys.map(_._1).minOption.map(_ + periodMs),

@@ -58,7 +58,30 @@ class MultimodalOpsSpec extends SparkTestBase {
     assert(Set("image", "audio", "video").contains(m.media_type))
   }
 
-  test("q20 decodes the mixed media table: real BMP/WAV rows carry header-derived metadata") {
+  test("PNG header decode yields exact dimensions; acTL drives n_frames") {
+    val still = MultimodalOps.decodeMedia(1L, MultimodalOps.pngBytes(640, 480))
+    assert(still.media_type == "image")
+    assert(still.width == 640 && still.height == 480)
+    assert(still.n_frames == 1)
+    val anim = MultimodalOps.decodeMedia(2L,
+      MultimodalOps.pngBytes(320, 200, frames = 7))
+    assert(anim.width == 320 && anim.height == 200)
+    assert(anim.n_frames == 7, "APNG acTL num_frames must be decoded")
+  }
+
+  test("malformed PNG falls back to the stub, never crashes") {
+    // valid signature but a truncated/oversized first chunk
+    val sig = MultimodalOps.pngBytes(10, 10).take(12)
+    val m = MultimodalOps.decodeMedia(4L, sig)
+    assert(m == MultimodalOps.decodeStub(4L, sig))
+    // signature + declared near-Int.MaxValue IHDR length must not wrap
+    val evil = MultimodalOps.pngBytes(10, 10).clone()
+    evil(8) = 0x7f.toByte // IHDR length 0x7f00000d != 13 -> rejected
+    val m2 = MultimodalOps.decodeMedia(5L, evil)
+    assert(m2 == MultimodalOps.decodeStub(5L, evil))
+  }
+
+  test("q20 decodes the mixed media table: real BMP/PNG/WAV rows carry header-derived metadata") {
     val out = graft.Queries.all("q20_media_meta")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out.nonEmpty)
@@ -67,6 +90,12 @@ class MultimodalOpsSpec extends SparkTestBase {
         assert(r.getAs[String]("media_type") == "image")
         assert(r.getAs[Int]("width") == 64 + (id % 13).toInt * 16, s"doc $id")
         assert(r.getAs[Int]("height") == 48 + (id % 7).toInt * 16, s"doc $id")
+      } else if (id % 6 == 1) {
+        assert(r.getAs[String]("media_type") == "image")
+        assert(r.getAs[Int]("width") == 80 + (id % 11).toInt * 16, s"doc $id")
+        assert(r.getAs[Int]("height") == 60 + (id % 5).toInt * 12, s"doc $id")
+        assert(r.getAs[Int]("n_frames") ==
+          (if (id % 4 == 1) 2 + (id % 9).toInt else 1), s"doc $id")
       } else if (id % 6 == 3) {
         assert(r.getAs[String]("media_type") == "audio")
         assert(r.getAs[Int]("width") == 8000 * (1 + (id % 3).toInt), s"doc $id")

@@ -626,6 +626,51 @@ class StreamStageSpec extends SparkTestBase {
         "same ascending-bin fold, same eps substitution)")
   }
 
+  test("streaming rbo drift equals batch on closed consecutive periods") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(47)
+    val day = 86400000L
+    // days 1,2,4,5 with a day-shifted item popularity window (a GAP at
+    // day 3 — day 4 must NOT compare to day 2); ties in counts exercise
+    // the (count DESC, item ASC) deterministic rank order
+    val all = for (d <- Seq(1, 2, 4, 5); i <- 0 until 120) yield
+      RboEvent(f"u${rng.nextInt(12) + d}%02d",
+        d * day + i * 600000L + rng.nextInt(1000))
+    val batch = graft.ops.AnalyticsOps.rboDrift(
+        all.toDF("item", "tsl"),
+        col("item"), (col("tsl") - pmod(col("tsl"), lit(day))), day,
+        k = 5, p = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(batch.keySet == Set(2L * day, 5L * day),
+      "day 2 vs 1 and day 5 vs 4 only — no pair across the day-3 gap " +
+        s"(got ${batch.keys})")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RboEvent]
+    val q = StreamStage.rboDriftStream(mem.toDS(), day, k = 5, p = 0.9,
+        lateness = "6 hours")
+      .writeStream.format("memory").queryName("rbo_stream")
+      .outputMode("append").start()
+    val perturbed = all.map(e => (e, e.ts + (rng.nextInt(7) - 3) * 600000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(30)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * day
+    mem.addData(Seq(RboEvent("zz-sentinel", far)))
+    q.processAllAvailable()
+    mem.addData(Seq(RboEvent("zz-sentinel", far + 1)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rbo_stream").as[RboOut]
+      .collect().map(o => o.period -> ((o.overlap_k, o.rbo))).toMap
+    assert(streamed == batch,
+      s"stream $streamed vs batch $batch (must be BIT-identical: " +
+        "same (m, item)-ordered weight fold)")
+  }
+
   test("streaming slo burn rate equals batch on closed buckets") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(31)
