@@ -2420,6 +2420,53 @@ FROM walk WHERE rn >= 1"""
          |    greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
          |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
 
+    // EXACT all-pairs ground truth for the banded-LSH pair query. Valid
+    // as an oracle on this corpus because every true J >= 0.5 pair sits at
+    // J >= 0.9 (clones at 1.0, near-dups at [0.9, 1)), where 4x4-band
+    // MinHash recall was measured COMPLETE (engine pair set == exact pair
+    // set, checked at sf0.001 and sf0.01) — same regime argument as q55's
+    // exact-closure oracle. The jaccard division mirrors the engine's
+    // (intersect / union, one double division, round 6) so the doubles are
+    // bit-identical; string shingles here vs 64-bit hashed shingles in the
+    // engine agree because per-doc hash collisions are ~|sh|^2 / 2^64.
+    "q16_minhash_pairs" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents),
+         |toks AS (SELECT doc_id, $tokExpr AS t FROM uni),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+         |  FROM toks)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // EXACT all-pairs ground truth for the RHP-LSH embedding near-dup
+    // query. Valid as an oracle on this corpus because the only true
+    // cos >= 0.95 pairs are the vec/clone pairs at cos = 1.0 (measured: no
+    // cross pair reaches even 0.9 at sf0.001/sf0.01), and identical
+    // embeddings have identical RHP signatures, so every 8-bit chunk
+    // collides — recall is structurally 1, not probabilistic. The sim
+    // division mirrors the engine's cosine (double accumulate over float
+    // components, one division, round 6) like q09's oracle.
+    "q18_lsh_neardup_emb" ->
+      """WITH uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000 AS vec_id, embedding FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM uni a, uni b WHERE a.vec_id < b.vec_id)
+        |WHERE sim >= 0.95""".stripMargin,
+
     "q33_m4_downsample" ->
       """WITH b AS (
         |  SELECT event_id, user_id, date_trunc('day', ts) AS bucket, ts, value
