@@ -173,4 +173,37 @@ class DedupOpsSpec extends SparkTestBase {
       assert(kept == batchKeep, s"stream $kept vs batch $batchKeep")
     } finally q.stop()
   }
+
+  test("q16/q18 oracle regime holds: every true pair sits where LSH recall is complete") {
+    // The q16/q18 DuckDB oracles are EXACT all-pairs ground truths; they are
+    // valid only while every true pair sits deep in the high-similarity
+    // regime (J >= 0.88 for 4x4-band MinHash; cos ~ 1.0 identical clones for
+    // RHP chunks). If the testdata generator ever changes, this spec fails
+    // BEFORE the driver's hash gate does — re-measure recall or drop the
+    // oracles (the q55 exact-closure playbook).
+    import graft.functions.functions.{hashed_shingles, sorted_jaccard}
+    val base = docs.select(col("doc_id"), col("text"))
+    val uni = base.union(
+      base.select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
+    val sh = uni.select(col("doc_id"), hashed_shingles(col("text"), 3).as("sh"))
+    val border = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(sorted_jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.5 && col("j") < 0.88)
+      .count()
+    assert(border == 0L,
+      s"$border text pair(s) in J [0.5, 0.88) — 4x4-band recall is no longer " +
+        "structurally complete; re-validate the q16 oracle")
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val uniE = emb.union(emb.select(
+      (col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding")))
+    val borderE = uniE.as("a").join(uniE.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(graft.ops.SimilarityOps.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.9 && col("c") < 0.999999)
+      .count()
+    assert(borderE == 0L,
+      s"$borderE embedding pair(s) in cos [0.9, 1) — identical-clone recall " +
+        "no longer covers the q18 oracle; re-validate")
+  }
 }
