@@ -2191,6 +2191,115 @@ FROM walk WHERE rn >= 1"""
 
   private val tokExpr = "string_split_regex(trim(text), '\\s+')"
 
+  /** Pure-DuckDB-SQL XXH64(seed=42) — a bit-exact mirror of Spark's built-in
+    * `xxhash64` over each token's UTF-8 bytes, so the hash-folding queries
+    * (q17 simhash, q22 fingerprint) get full value oracles instead of
+    * rows-only checks. All arithmetic runs mod 2^64 in HUGEINT: a*b mod 2^64
+    * splits the multiplicand at 2^32 (lo(a)*b + ((hi(a)*lo(b)) mod 2^32)<<32
+    * — the hi*hi and hi(a)*hi(b-lo) cross terms vanish mod 2^64), rotations
+    * are mul+div by powers of two, XOR goes through UBIGINT. The generated
+    * prelude implements the COMPLETE spec — the 4-lane 32-byte stripe loop
+    * (recursive CTE), merge rounds, 8/4/1-byte tails, avalanche — validated
+    * token-for-token against Spark's xxhash64 on 1..100-byte and multi-byte
+    * UTF-8 inputs, then corpus-wide at sf0.01 and sf0.1 (0 mismatches).
+    * `__xh` is MATERIALIZED because the q22 fold references it once per
+    * recursion step. */
+  private object XxhSql {
+    private val M = BigInt(1) << 64
+    private val P1 = BigInt("11400714785074694791")
+    private val P2 = BigInt("14029467366897019727")
+    private val P3 = BigInt("1609587929392839161")
+    private val P4 = BigInt("9650029242287828579")
+    private val P5 = BigInt("2870177450012600261")
+    private def mulmod(a: String, p: BigInt): String = {
+      val lo = p % (BigInt(1) << 32)
+      s"(((($a) % 4294967296) * $p + (((($a) // 4294967296) * $lo) % 4294967296) * 4294967296) % $M)"
+    }
+    private def rotl(x: String, r: Int): String =
+      s"(((($x) * ${BigInt(1) << r}) % $M) + (($x) // ${BigInt(1) << (64 - r)}))"
+    private def xor(a: String, b: String): String =
+      s"xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT"
+    private def shr(x: String, s: Int): String = s"(($x) // ${BigInt(1) << s})"
+    private def lane(off: String, nBytes: Int): String =
+      (0 until nBytes).map(k => s"B[($off)+$k] * ${BigInt(1) << (8 * k)}")
+        .mkString("(", " + ", ")")
+    private def rnd(acc: String, l: String): String =
+      mulmod(rotl(s"((($acc) + ${mulmod(l, P2)}) % $M)", 31), P1)
+    private def merge(h: String, v: String): String =
+      s"((${mulmod(xor(h, rnd("0", v)), P1)} + $P4) % $M)"
+    private def stripe8(h: String, l: String): String =
+      s"((${mulmod(rotl(xor(h, rnd("0", l)), 27), P1)} + $P4) % $M)"
+    private def stripe4(h: String, l: String): String =
+      s"((${mulmod(rotl(xor(h, mulmod(l, P1)), 23), P2)} + $P3) % $M)"
+    private def stripe1(h: String, b: String): String =
+      mulmod(rotl(xor(h, mulmod(b, P5)), 11), P1)
+    /** Unsigned HUGEINT in [0, 2^64) -> Java signed long. */
+    def signed(e: String): String =
+      s"(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $M ELSE ($e) END)::BIGINT"
+    /** CTE chain from `tokSource` (doc_id, pos, tok) to
+      * `__xh(doc_id, pos, h)` with h = XXH64(utf8(tok), seed=42) unsigned.
+      * Embed after a `WITH RECURSIVE` keyword. */
+    def prelude(tokSource: String): String = {
+      val seed = BigInt(42)
+      val v0 = Seq((seed + P1 + P2).mod(M), (seed + P2).mod(M), seed, (seed - P1).mod(M))
+      val ctes = scala.collection.mutable.ArrayBuffer[String]()
+      ctes += s"__tk AS ($tokSource)"
+      ctes += "__bx AS (SELECT doc_id, pos, octet_length(encode(tok)) AS n, hex(encode(tok)) AS hx FROM __tk)"
+      ctes += """__ba AS (SELECT doc_id, pos, n::HUGEINT AS n, list_transform(range(1, n+1),
+                |    i -> ((strpos('0123456789ABCDEF', substr(hx, (2*i-1)::INT, 1)) - 1) * 16
+                |        + (strpos('0123456789ABCDEF', substr(hx, (2*i)::INT, 1)) - 1))::HUGEINT) AS B FROM __bx)""".stripMargin
+      // 32-byte 4-lane stripe loop (runs zero rounds for tokens < 32 bytes)
+      ctes += s"""__rec AS (
+                 |  SELECT doc_id, pos, B, n, 0::HUGEINT AS i,
+                 |    ${v0(0)}::HUGEINT AS v1, ${v0(1)}::HUGEINT AS v2, ${v0(2)}::HUGEINT AS v3, ${v0(3)}::HUGEINT AS v4
+                 |  FROM __ba
+                 |  UNION ALL
+                 |  SELECT doc_id, pos, B, n, i + 32,
+                 |    ${rnd("v1", "l1")} AS v1, ${rnd("v2", "l2")} AS v2,
+                 |    ${rnd("v3", "l3")} AS v3, ${rnd("v4", "l4")} AS v4
+                 |  FROM (SELECT doc_id, pos, B, n, i, v1, v2, v3, v4,
+                 |          ${lane("(i+1)::BIGINT", 8)} AS l1, ${lane("(i+9)::BIGINT", 8)} AS l2,
+                 |          ${lane("(i+17)::BIGINT", 8)} AS l3, ${lane("(i+25)::BIGINT", 8)} AS l4
+                 |        FROM __rec WHERE i + 32 <= n))""".stripMargin
+      ctes += "__lp AS (SELECT * FROM __rec QUALIFY row_number() OVER (PARTITION BY doc_id, pos ORDER BY i DESC) = 1)"
+      val hInit = s"((${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $M)"
+      ctes += s"""__m0 AS (SELECT doc_id, pos, B, n, i, v1, v2, v3, v4,
+                 |  CASE WHEN n >= 32 THEN $hInit ELSE ${(seed + P5).mod(M)}::HUGEINT END AS h FROM __lp)""".stripMargin
+      for (k <- 1 to 4)
+        ctes += s"""__m$k AS (SELECT doc_id, pos, B, n, i, v1, v2, v3, v4,
+                   |  CASE WHEN n >= 32 THEN ${merge("h", s"v$k")} ELSE h END AS h FROM __m${k - 1})""".stripMargin
+      ctes += s"__hn AS (SELECT doc_id, pos, B, n, i, ((h + n) % $M) AS h FROM __m4)"
+      var prev = "__hn"
+      for (k <- 1 to 3) { // remainder < 32 bytes -> at most three 8-byte stripes
+        ctes += s"""__t8$k AS (SELECT doc_id, pos, B, n,
+                   |  CASE WHEN i + 8 <= n THEN ${stripe8("h", lane("(i+1)::BIGINT", 8))} ELSE h END AS h,
+                   |  CASE WHEN i + 8 <= n THEN i + 8 ELSE i END AS i FROM $prev)""".stripMargin
+        prev = s"__t8$k"
+      }
+      ctes += s"""__t4 AS (SELECT doc_id, pos, B, n,
+                 |  CASE WHEN i + 4 <= n THEN ${stripe4("h", lane("(i+1)::BIGINT", 4))} ELSE h END AS h,
+                 |  CASE WHEN i + 4 <= n THEN i + 4 ELSE i END AS i FROM $prev)""".stripMargin
+      prev = "__t4"
+      for (k <- 1 to 3) { // then at most three single bytes
+        ctes += s"""__s$k AS (SELECT doc_id, pos, B, n,
+                   |  CASE WHEN i < n THEN ${stripe1("h", "B[(i+1)::BIGINT]")} ELSE h END AS h,
+                   |  CASE WHEN i < n THEN i + 1 ELSE i END AS i FROM $prev)""".stripMargin
+        prev = s"__s$k"
+      }
+      ctes += s"__a1 AS (SELECT doc_id, pos, ${mulmod(xor("h", shr("h", 33)), P2)} AS h FROM $prev)"
+      ctes += s"__a2 AS (SELECT doc_id, pos, ${mulmod(xor("h", shr("h", 29)), P3)} AS h FROM __a1)"
+      ctes += s"__xh AS MATERIALIZED (SELECT doc_id, pos, ${xor("h", shr("h", 32))} AS h FROM __a2)"
+      ctes.mkString(",\n")
+    }
+  }
+
+  /** (doc_id, pos, tok) source for the XXH64 prelude: whitespace tokens of
+    * trimmed text in position order — the `TextOps.tokens` mirror, with the
+    * parallel-unnest trick supplying 1-based positions. */
+  private val xxhTokSource: String =
+    s"SELECT doc_id, unnest($tokExpr) AS tok, " +
+      s"unnest(range(1, len($tokExpr) + 1)) AS pos FROM documents"
+
   /** q118's bigram-LM perplexity mirror, factored so q134's percentile gate
     * wraps it verbatim — any change to [[graft.ops.TextOps.lmScore]]'s op
     * order updates BOTH oracles here. */
@@ -2466,6 +2575,52 @@ FROM walk WHERE rn >= 1"""
         |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |  FROM uni a, uni b WHERE a.vec_id < b.vec_id)
         |WHERE sim >= 0.95""".stripMargin,
+
+    // Full value oracle via the pure-SQL XXH64 mirror (XxhSql): per token
+    // hash, bit i of the simhash is set iff sum over tokens of
+    // (+1 if hash bit i else -1) > 0 — EXACTLY the engine's sign-sum
+    // (SimHash64Function / simhashFromHashes, spec-proven equivalent).
+    // Tokens of length 0 are dropped on both sides (the engine's tokenizer
+    // skips them; the corpus has none — whole-whitespace docs would be the
+    // only source). Zero-token docs fall back to simhash 0 via the LEFT
+    // JOIN coalesce, matching the engine's empty sign-sum.
+    "q17_simhash" -> {
+      val bits = (0 until 64).map { i =>
+        s"(CASE WHEN sum(CASE WHEN (h // ${BigInt(1) << i}) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+          s" THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE ${XxhSql.prelude(s"SELECT doc_id, tok, pos FROM ($xxhTokSource) WHERE length(tok) > 0")},
+         |__sh AS (SELECT doc_id, ($bits) AS u FROM __xh GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(${XxhSql.signed("s.u")}, 0)::BIGINT AS simhash64
+         |FROM documents d LEFT JOIN __sh s USING (doc_id)""".stripMargin
+    },
+
+    // Full value oracle via the pure-SQL XXH64 mirror: the rolling
+    // fingerprint is the ordered fold acc = (acc << 5) XOR (acc >>> 2
+    // arithmetic) XOR hash(token) in Java-long semantics — mirrored in the
+    // unsigned HUGEINT domain ((acc*32) mod 2^64; arithmetic shift
+    // sign-extends by adding 3*2^62 when the sign bit is set) and advanced
+    // one token per recursion step; min_token_hash is the SIGNED min of the
+    // token hashes, exactly TextOps.fingerprint's array_min. The token
+    // source keeps empty tokens (the engine's `tokens()` has no filter),
+    // matching split semantics on whole-whitespace text.
+    "q22_fingerprint" -> {
+      val shl5 = "((f.acc * 32) % 18446744073709551616)"
+      val asr2 = "(CASE WHEN f.acc >= 9223372036854775808 " +
+        "THEN f.acc // 4 + 13835058055282163712 ELSE f.acc // 4 END)"
+      val comb = s"xor(xor(($shl5)::UBIGINT, ($asr2)::UBIGINT)::HUGEINT::UBIGINT, x.h::UBIGINT)::HUGEINT"
+      s"""WITH RECURSIVE ${XxhSql.prelude(xxhTokSource)},
+         |__fp AS (
+         |  SELECT doc_id, 0::BIGINT AS pos, 0::HUGEINT AS acc FROM documents
+         |  UNION ALL
+         |  SELECT f.doc_id, f.pos + 1, $comb AS acc
+         |  FROM __fp f JOIN __xh x ON x.doc_id = f.doc_id AND x.pos = f.pos + 1),
+         |__fl AS (SELECT doc_id, acc FROM __fp
+         |         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY pos DESC) = 1),
+         |__mn AS (SELECT doc_id, min(${XxhSql.signed("h")}) AS mn FROM __xh GROUP BY doc_id)
+         |SELECT f.doc_id, ${XxhSql.signed("f.acc")} AS rolling_fp, m.mn AS min_token_hash
+         |FROM __fl f JOIN __mn m USING (doc_id)""".stripMargin
+    },
 
     "q33_m4_downsample" ->
       """WITH b AS (
