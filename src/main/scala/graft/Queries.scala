@@ -2300,6 +2300,136 @@ FROM walk WHERE rn >= 1"""
     s"SELECT doc_id, unnest($tokExpr) AS tok, " +
       s"unnest(range(1, len($tokExpr) + 1)) AS pos FROM documents"
 
+  /** SQL mirrors for the multimodal decode queries (q20/q21): the synthetic
+    * media payloads are RECONSTRUCTED byte-for-byte in DuckDB (BMP/WAV
+    * little-endian headers, PNG chunks with REAL CRC32s via an inline
+    * 256-entry table fold), `MultimodalOps.sampleHash`'s strided signed-byte
+    * fold runs in the unsigned HUGEINT domain, and the stub branch derives
+    * its pseudo-metadata from that hash with Java `floorMod`/arithmetic-shift
+    * semantics (the 2^64 offset is a multiple of 8 for the >>3/>>7 fields;
+    * mod-3 and mod-240 need explicit +2 / −32 corrections). The oracle
+    * therefore pins the ENCODE → DECODE round trip end to end: a header
+    * parser bug and a generator bug can no longer cancel out. A corpus guard
+    * (MultimodalOpsSpec) pins that no opaque text payload begins with a real
+    * decoder's magic, so branch selection is exact. Validated hash-green at
+    * sf0.01 and sf0.1. */
+  private object MediaSql {
+    private val M = "18446744073709551616"
+    private val crcTable: IndexedSeq[Long] = (0 until 256).map { n =>
+      var c = n.toLong
+      for (_ <- 0 until 8)
+        c = if ((c & 1L) == 1L) (c >>> 1) ^ 0xEDB88320L else c >>> 1
+      c
+    }
+    private val crcIdat = { val c = new java.util.zip.CRC32(); c.update("IDAT".getBytes); c.getValue }
+    private val crcIend = { val c = new java.util.zip.CRC32(); c.update("IEND".getBytes); c.getValue }
+    private def le32(v: String) =
+      s"[($v) % 256, (($v) // 256) % 256, (($v) // 65536) % 256, (($v) // 16777216) % 256]"
+    private def le16(v: String) = s"[($v) % 256, (($v) // 256) % 256]"
+    private def be32(v: String) =
+      s"[(($v) // 16777216) % 256, (($v) // 65536) % 256, (($v) // 256) % 256, ($v) % 256]"
+    private def be32c(v: Long) = s"[${(v >> 24) & 255}, ${(v >> 16) & 255}, ${(v >> 8) & 255}, ${v & 255}]"
+    private def lit(bs: Int*) = bs.mkString("[", ",", "]")
+    /** IEEE CRC32 over a 0..255 BIGINT byte-list expression (references the
+      * `crct` CTE's table column `t`). */
+    private def crc32(blist: String) =
+      s"xor(list_reduce([4294967295::BIGINT] || ($blist), " +
+        "(c, b) -> xor(c >> 8, t[(xor(c, b) & 255) + 1])), 4294967295)"
+    /** `MultimodalOps.sampleHash`: h = h*31 + signedByte over indices
+      * 0, step, 2·step … with step = max(1, n/64); unsigned mod-2^64 fold. */
+    private def shash(slist: String, n: String) = {
+      val step = s"greatest(1, ($n) // 64)"
+      s"list_reduce([1125899906842597::HUGEINT] || " +
+        s"list_transform(generate_series(0, ((($n) - 1) // ($step))::BIGINT), " +
+        s"j -> (($slist)[(j * ($step)) + 1])::HUGEINT), " +
+        s"(a, b) -> (a * 31 + b + $M) % $M)"
+    }
+    private def sgn(blist: String) =
+      s"list_transform($blist, v -> (CASE WHEN v > 127 THEN v - 256 ELSE v END)::HUGEINT)"
+    /** Java-signed byte value of the i-th (1-based) UTF-8 byte of the hex
+      * dump column `hx`. */
+    private val hexSignedByte = {
+      val u = "((strpos('0123456789ABCDEF', substr(hx, (2*i-1)::INT, 1)) - 1) * 16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, (2*i)::INT, 1)) - 1))"
+      s"(CASE WHEN $u > 127 THEN $u - 256 ELSE $u END)::HUGEINT"
+    }
+    private val ihdrT = lit(73, 72, 68, 82)
+    private val actlT = lit(97, 99, 84, 76)
+    /** The q20 mirror: one UNION ALL branch per payload family of
+      * `MultimodalOps.syntheticMedia`. */
+    val q20Sql: String = s"""WITH crct AS (SELECT ${crcTable.mkString("[", ",", "]")} AS t),
+m0 AS (
+  SELECT doc_id,
+    ${lit(66, 77)} || ${le32("54")} || ${lit(0, 0, 0, 0)} || ${le32("54")} || ${le32("40")}
+      || ${le32("w")} || ${le32("h")} || ${lit(1, 0)} || ${lit(24, 0)} || ${lit(Seq.fill(24)(0): _*)} AS bl,
+    54 AS n_bytes, 'image' AS media_type, w AS width, h AS height, 1 AS n_frames
+  FROM (SELECT doc_id, 64 + (doc_id % 13) * 16 AS w, 48 + (doc_id % 7) * 16 AS h
+        FROM documents WHERE doc_id % 6 = 0)),
+m1p AS (
+  SELECT doc_id, w, h, fr,
+    ${be32("w")} || ${be32("h")} || ${lit(8, 2, 0, 0, 0)} AS ihdr,
+    ${be32("fr")} || ${lit(0, 0, 0, 0)} AS actl
+  FROM (SELECT doc_id, 80 + (doc_id % 11) * 16 AS w, 60 + (doc_id % 5) * 12 AS h,
+               CASE WHEN doc_id % 4 = 1 THEN 2 + (doc_id % 9) ELSE 1 END AS fr
+        FROM documents WHERE doc_id % 6 = 1)),
+m1 AS (
+  SELECT doc_id,
+    ${lit(137, 80, 78, 71, 13, 10, 26, 10)}
+      || ${lit(0, 0, 0, 13)} || $ihdrT || ihdr || ${be32(crc32(s"$ihdrT || ihdr"))}
+      || CASE WHEN fr > 1
+           THEN ${lit(0, 0, 0, 8)} || $actlT || actl || ${be32(crc32(s"$actlT || actl"))}
+           ELSE []::BIGINT[] END
+      || ${lit(0, 0, 0, 0)} || ${lit(73, 68, 65, 84)} || ${be32c(crcIdat)}
+      || ${lit(0, 0, 0, 0)} || ${lit(73, 69, 78, 68)} || ${be32c(crcIend)} AS bl,
+    CASE WHEN fr > 1 THEN 77 ELSE 57 END AS n_bytes,
+    'image' AS media_type, w AS width, h AS height, fr AS n_frames
+  FROM m1p, crct),
+m3 AS (
+  SELECT doc_id,
+    ${lit(82, 73, 70, 70)} || ${le32("36 + nf * 4")} || ${lit(87, 65, 86, 69)}
+      || ${lit(102, 109, 116, 32)} || ${le32("16")} || ${lit(1, 0)} || ${le16("2")}
+      || ${le32("sr")} || ${le32("sr * 4")} || ${lit(4, 0)} || ${lit(16, 0)}
+      || ${lit(100, 97, 116, 97)} || ${le32("nf * 4")} AS bl,
+    44 AS n_bytes, 'audio' AS media_type, sr AS width, 16 AS height, nf AS n_frames
+  FROM (SELECT doc_id, 8000 * (1 + (doc_id % 3)) AS sr, 1000 + (doc_id % 500) AS nf
+        FROM documents WHERE doc_id % 6 = 3)),
+realm AS (
+  SELECT doc_id, n_bytes, media_type, width, height, n_frames,
+         ${XxhSql.signed(shash(sgn("bl"), "len(bl)"))} AS sample_hash
+  FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m3)),
+sb AS (
+  SELECT doc_id, n, ${shash("B", "n")} AS hu
+  FROM (
+    SELECT doc_id, n, list_transform(range(1, n + 1), i -> $hexSignedByte) AS B
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+          FROM documents WHERE doc_id % 6 IN (2, 4, 5)) q)),
+stub AS (
+  SELECT doc_id, n AS n_bytes,
+    CASE fm3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+    (320 + ((hu // 8) % 8) * 160) AS width,
+    (240 + ((hu // 128) % 8) * 120) AS height,
+    (CASE WHEN fm3 = 2 THEN 1 + fm240 ELSE 1 END) AS n_frames,
+    ${XxhSql.signed("hu")} AS sample_hash
+  FROM (
+    SELECT doc_id, n, hu,
+      (CASE WHEN hu >= 9223372036854775808 THEN ((hu % 3) + 2) % 3 ELSE hu % 3 END) AS fm3,
+      (CASE WHEN hu >= 9223372036854775808 THEN ((hu // 2048) % 240 + 208) % 240
+            ELSE (hu // 2048) % 240 END) AS fm240
+    FROM sb))
+SELECT doc_id, n_bytes::INT AS n_bytes, media_type, width::INT AS width,
+       height::INT AS height, n_frames::INT AS n_frames, sample_hash
+FROM (SELECT * FROM realm UNION ALL SELECT * FROM stub)"""
+    /** The q21 mirror: stub "video" rows fan out one row per sampled frame,
+      * frame_hash = sample_hash XOR (frame_idx · 2654435761). */
+    val q21Sql: String = s"""WITH meta AS ($q20Sql),
+v AS (SELECT doc_id, n_frames,
+        (CASE WHEN sample_hash < 0 THEN sample_hash + $M ELSE sample_hash END)::HUGEINT AS hu
+      FROM meta WHERE media_type = 'video')
+SELECT doc_id, (f * 30)::INT AS frame_idx,
+  ${XxhSql.signed("xor(hu::UBIGINT, ((f * 30) * 2654435761)::UBIGINT)::HUGEINT")} AS frame_hash
+FROM v, unnest(generate_series(0, ((n_frames - 1) // 30)::BIGINT)) AS u(f)"""
+  }
+
   /** q118's bigram-LM perplexity mirror, factored so q134's percentile gate
     * wraps it verbatim — any change to [[graft.ops.TextOps.lmScore]]'s op
     * order updates BOTH oracles here. */
@@ -2621,6 +2751,80 @@ FROM walk WHERE rn >= 1"""
          |SELECT f.doc_id, ${XxhSql.signed("f.acc")} AS rolling_fp, m.mn AS min_token_hash
          |FROM __fl f JOIN __mn m USING (doc_id)""".stripMargin
     },
+
+    // Byte-level reconstruction of the synthetic media table + closed-form
+    // metadata + the strided sampleHash fold — pins encoder AND header
+    // decoder against an independent recomputation (see MediaSql).
+    "q20_media_meta" -> MediaSql.q20Sql,
+
+    // Video frame fan-out over q20's mirror (stride 30, golden-ratio XOR).
+    "q21_frame_samples" -> MediaSql.q21Sql,
+
+    // PCM square-wave features have closed forms: every mono sample is
+    // ±amplitude so per-frame RMS = amplitude EXACTLY (sqrt of a perfect
+    // square); crossings in frame f = multiples of the half-period in
+    // (256f, 256f+255], i.e. an integer floor-difference; mean_zcr mirrors
+    // the engine's avg as a left fold over frames in order / frame count
+    // (all rows of a doc flow through one partial aggregate in frame
+    // order, so the double sum order is identical).
+    "q67_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         (1024 + (doc_id % 7) * 256) // 256 AS F,
+        |         2 + (doc_id % 14) AS h2,
+        |         (4000 + (doc_id % 16) * 500)::DOUBLE AS amp
+        |  FROM documents)
+        |SELECT doc_id, F::BIGINT AS n_frames,
+        |  round(amp, 6) AS mean_rms,
+        |  round(list_reduce(
+        |          [0.0::DOUBLE] || list_transform(generate_series(0, (F-1)::BIGINT),
+        |            f -> (((256*f + 255) // h2 - (256*f) // h2))::DOUBLE / 255.0),
+        |          (a, b) -> a + b) / F::DOUBLE, 6) AS mean_zcr
+        |FROM p""".stripMargin,
+
+    // The synthetic BMP pixel field (B=x, G=g0, R=y) gives every channel
+    // mean a closed form (integer sums are exact in doubles, and the final
+    // divisions land on exactly-representable halves); the 8x8 aHash pool
+    // is mirrored in the ENGINE'S EXACT FP ORDER — per cell a left fold of
+    // (x+y+g0)/3.0 in raster order, then the grand mean as a left fold over
+    // cells in k order — because near-tie cells (exact ties exist, e.g.
+    // 40x24 images) make the > comparison FP-order-sensitive.
+    "q71_image_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         32 + (doc_id % 5) * 8 AS w,
+        |         24 + (doc_id % 3) * 8 AS h,
+        |         (doc_id % 200)::BIGINT AS g0
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, g0, (w // 8) AS cw, (h // 8) AS ch,
+        |         unnest(generate_series(0, 63)) AS k
+        |  FROM p),
+        |cellv AS (
+        |  SELECT doc_id, w, h, g0, k,
+        |    list_reduce(
+        |      [0.0::DOUBLE] || list_transform(generate_series(0, (cw*ch - 1)::BIGINT),
+        |        t -> (((k % 8) * cw + (t % cw)) + ((k // 8) * ch + (t // cw)) + g0)::DOUBLE / 3.0),
+        |      (a, b) -> a + b) / (cw*ch)::DOUBLE AS cell
+        |  FROM cells),
+        |agg AS (
+        |  SELECT doc_id, w, h, g0, list(cell ORDER BY k) AS cl
+        |  FROM cellv GROUP BY 1, 2, 3, 4),
+        |fin AS (
+        |  SELECT doc_id, w, h, g0, cl,
+        |    list_reduce([0.0::DOUBLE] || cl, (a, b) -> a + b) / 64.0 AS grand
+        |  FROM agg)
+        |SELECT doc_id, w AS width, h AS height,
+        |  round((h - 1)::DOUBLE / 2.0 + 0.0, 6) AS mean_r,
+        |  round(g0::DOUBLE + 0.0, 6) AS mean_g,
+        |  round((w - 1)::DOUBLE / 2.0 + 0.0, 6) AS mean_b,
+        |  (CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END)::BIGINT AS ahash
+        |FROM (
+        |  SELECT doc_id, w, h, g0,
+        |    list_reduce([0::HUGEINT] || list_transform(generate_series(1, 64),
+        |      k -> CASE WHEN cl[k] > grand THEN (2::HUGEINT ^ (k-1))::HUGEINT ELSE 0::HUGEINT END),
+        |      (a, b) -> a + b) AS u
+        |  FROM fin)""".stripMargin,
 
     "q33_m4_downsample" ->
       """WITH b AS (

@@ -104,6 +104,20 @@ class MultimodalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("corpus guard: no opaque text payload begins with a real decoder's magic") {
+    // The q20/q21 DuckDB mirrors select their reconstruction branch by
+    // doc_id % 6, while the engine tries decodeBmp/decodePng/decodeWav and
+    // falls back to the stub. The two selections agree only while no text
+    // payload starts with 'BM' or 'RIFF'+'WAVE' (the PNG signature is
+    // non-UTF-8-text by construction). A testdata-generator change trips
+    // here before it trips the driver's hash gate.
+    val offenders = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") % 6 isin (2, 4, 5))
+      .where(col("text").startsWith("BM") || col("text").startsWith("RIFF"))
+      .count()
+    assert(offenders == 0L, s"$offenders opaque payloads collide with a decoder magic")
+  }
+
   test("audioFrameFeatures: closed-form RMS/ZCR on square-wave PCM, mono and stereo") {
     import spark.implicits._
     // period 8 (half = 4 divides the 256 frame): every sample is ±A so
