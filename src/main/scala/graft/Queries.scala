@@ -2974,6 +2974,24 @@ FROM v, unnest(generate_series(0, ((n_frames - 1) // 30)::BIGINT)) AS u(f)"""
         |  round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
         |FROM events GROUP BY 1,2,3""".stripMargin,
 
+    // EXACT-REGIME oracle for the GK-summary percentiles: with accuracy
+    // 1000, Spark's QuantileSummaries never compresses groups this small
+    // (every (user, day) holds <= ~30 values at both bench SFs), so
+    // percentile_approx returns EXACTLY the sorted group's element at
+    // 1-based rank ceil(p*n) — verified against all 4,006 sf0.01 and
+    // 40,083 sf0.1 groups. At true 100-TB group sizes the summary
+    // compresses and this mirror stops being exact — which is q44's
+    // POINT (the sketch is the scale path); the oracle pins the
+    // exact-regime contract like q119/q122's set-algebra oracles.
+    "q44_sketch_percentiles" ->
+      """WITH g AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |                  count(*)::BIGINT AS cnt, list(value ORDER BY value) AS vs
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, cnt,
+        |  vs[ceil(0.5 * cnt)::INT] AS p50_approx,
+        |  vs[ceil(0.95 * cnt)::INT] AS p95_approx
+        |FROM g""".stripMargin,
+
     // EWMA oracle as an EXACT FP MIRROR of the engine's segmented scan
     // (not the sequential recurrence, which reassociates differently and
     // flips round boundaries): recursive CTE `rec` = phase-1 chunk-prefix
