@@ -250,6 +250,11 @@ final case class DriftBuf(ts: Array[Long], vs: Array[Double],
 final case class PsiOut(url: String, period: Long, n: Long, m: Long,
     psi: Double)
 
+/** One closed-period EMD+KS row from [[StreamStage.emdKsDriftStream]] —
+  * same fields as the batch [[graft.ops.AnalyticsOps.emdKsDrift]]. */
+final case class EmdOut(url: String, period: Long, n: Long, m: Long,
+    emd: Double, ks: Double)
+
 /** One ranked-item event for [[StreamStage.rboDriftStream]]. */
 final case class RboEvent(item: String, ts: Long)
 
@@ -1409,6 +1414,108 @@ object StreamStage {
                 psi += (pr - qr) * math.log(pr / qr)
               }
               out += PsiOut(url, p, n, m, psi)
+            }
+            prevPeriod = p
+            prev = hist
+          }
+          val prevDead = prevPeriod == Long.MinValue ||
+            wm >= prevPeriod + 2 * periodMs
+          if (hold.isEmpty && open.isEmpty && prevDead) state.remove()
+          else {
+            val op = open.toArray
+            state.update(DriftBuf(hold.map(_._1), hold.map(_._2),
+              op.map(_._1._1), op.map(_._1._2), op.map(_._2),
+              prevPeriod, prev.keys.toArray, prev.values.toArray))
+            val wake = Seq(
+              hold.iterator.map(_._1).minOption,
+              open.keys.map(_._1).minOption.map(_ + periodMs),
+              if (prevPeriod == Long.MinValue) None
+              else Some(prevPeriod + 2 * periodMs)
+            ).flatten.min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+          }
+          out.result().iterator
+        })
+  }
+
+  /** STREAMING earth-mover + Kolmogorov-Smirnov drift — the unbounded twin
+    * of [[graft.ops.AnalyticsOps.emdKsDrift]] (q144), completing the
+    * continuous drift-monitor family (TV [[driftStream]], PSI
+    * [[psiDriftStream]], RBO [[rboDriftStream]]). Identical [[DriftBuf]]
+    * state machine; when a period closes whose immediate predecessor also
+    * closed, the batch op's cumulative-count identity runs over the
+    * ascending union of either side's bins: D(b) = |cumC(b)·m − cumQ(b)·n|
+    * (exact integers — BigInt here, decimal(19,0) in batch, equal until
+    * n·m overflows 10^19), EMD = binWidth·ΣD(b)·lead-gap/(n·m),
+    * KS = max D(b)/(n·m), each one fixed double division in the batch op's
+    * operand order, so outputs are BIT-identical to batch. Gap periods
+    * emit nothing; state dies once the watermark passes the last period a
+    * successor could pair with. */
+  def emdKsDriftStream(
+      points: Dataset[TiedPoint],
+      periodMs: Long,
+      binWidth: Double,
+      lateness: String = "10 minutes"): Dataset[EmdOut] = {
+    require(periodMs > 0 && binWidth > 0,
+      s"periodMs/binWidth must be positive, got $periodMs/$binWidth")
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    points.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .select(col("url"), col("ts"), col("value"), col("event_time"))
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[DriftBuf]) => {
+          val st = state.getOption.getOrElse(DriftBuf(
+            Array.emptyLongArray, Array.emptyDoubleArray,
+            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+            Long.MinValue, Array.emptyLongArray, Array.emptyLongArray))
+          val all = st.ts.zip(st.vs) ++ rows.map(r => (r._2, r._3))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = all.partition(_._1 <= wm)
+          val open = scala.collection.mutable.TreeMap
+            .empty[(Long, Long), Long]
+          for (i <- st.openP.indices)
+            open((st.openP(i), st.openBin(i))) = st.openC(i)
+          ready.foreach { case (t, v) =>
+            val p = t - math.floorMod(t, periodMs)
+            val bin = math.floor(v / binWidth).toLong
+            open((p, bin)) = open.getOrElse((p, bin), 0L) + 1L
+          }
+          var prevPeriod = st.prevPeriod
+          var prev = st.prevBin.zip(st.prevC).toMap
+          val out = Vector.newBuilder[EmdOut]
+          val closing = open.keys.map(_._1)
+            .filter(p => p + periodMs <= wm).toSeq.distinct.sorted
+          closing.foreach { p =>
+            val hist = open.range((p, Long.MinValue), (p, Long.MaxValue))
+              .map { case ((_, b), c) => b -> c }.toMap
+            open.filterInPlace { case ((pp, _), _) => pp != p }
+            if (prevPeriod == p - periodMs) {
+              val n = hist.values.sum
+              val m = prev.values.sum
+              val bins = (hist.keySet ++ prev.keySet).toArray.sorted
+              var cumC = 0L
+              var cumQ = 0L
+              var s = BigInt(0)
+              var dMax = BigInt(0)
+              var i = 0
+              while (i < bins.length) {
+                val b = bins(i)
+                cumC += hist.getOrElse(b, 0L)
+                cumQ += prev.getOrElse(b, 0L)
+                val d = (BigInt(cumC) * m - BigInt(cumQ) * n).abs
+                if (d > dMax) dMax = d
+                if (i + 1 < bins.length) s += d * (bins(i + 1) - b)
+                i += 1
+              }
+              val nm = n.toDouble * m.toDouble
+              out += EmdOut(url, p, n, m,
+                binWidth * s.toDouble / nm, dMax.toDouble / nm)
             }
             prevPeriod = p
             prev = hist

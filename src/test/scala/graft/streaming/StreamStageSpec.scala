@@ -626,6 +626,54 @@ class StreamStageSpec extends SparkTestBase {
         "same ascending-bin fold, same eps substitution)")
   }
 
+  test("streaming emd+ks drift equals batch on closed periods, skipping gap days") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(53)
+    val day = 86400000L
+    // url a: days 1..4 with a drifting distribution (mass moves FAR so the
+    // lead-gap products matter); url b: days 1, 3 (a GAP at day 2)
+    val all = (for (u <- Seq("a", "b"); d <- 1 to 4; i <- 0 until 50
+                    if !(u == "b" && (d == 2 || d == 4))) yield {
+      val v = (rng.nextInt(80) + d * d * 15).toDouble
+      TiedPoint(u, d * day + i * 600000L + rng.nextInt(1000), (d * 100 + i).toLong, v)
+    })
+    val batch = graft.ops.AnalyticsOps.emdKsDrift(
+        all.toDF("url", "tsl", "tie", "value"),
+        col("url"), (col("tsl") - pmod(col("tsl"), lit(day))), day,
+        col("value"), binWidth = 25.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(batch.keySet == Set(("a", 2L * day), ("a", 3L * day),
+      ("a", 4L * day)),
+      "a: days 2-4 vs predecessors; b: nothing across the gap " +
+        s"(got ${batch.keys})")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.emdKsDriftStream(mem.toDS(), day, 25.0,
+        lateness = "6 hours")
+      .writeStream.format("memory").queryName("emd_stream")
+      .outputMode("append").start()
+    val perturbed = all.map(p => (p, p.ts + (rng.nextInt(7) - 3) * 600000L))
+      .sortBy(_._2).map(_._1)
+    for (chunk <- perturbed.grouped(30)) {
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val far = all.map(_.ts).max + 365L * day
+    mem.addData(Seq(TiedPoint("sentinel", far, 0L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("sentinel", far + 1, 1L, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("emd_stream").as[EmdOut]
+      .filter(col("url") =!= "sentinel")
+      .collect().map(o => (o.url, o.period) -> ((o.n, o.m, o.emd, o.ks))).toMap
+    assert(streamed == batch,
+      s"stream $streamed vs batch $batch (must be BIT-identical: " +
+        "same integer cumulative identity, same division order)")
+  }
+
   test("streaming rbo drift equals batch on closed consecutive periods") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(47)
