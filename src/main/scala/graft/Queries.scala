@@ -170,6 +170,15 @@ object Queries {
       SimilarityOps.lshNearDupPairs(emb.union(clones), threshold = 0.95)
     }),
 
+    // --- SemDeDup-shaped end-to-end embedding dedup (oracle-backed vs the
+    // exact all-pairs cosine transitive closure, the q55 pattern): LSH
+    // pairs -> connected components -> canonical per component
+    "q151_embed_dedup" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select("vec_id", "embedding")
+      val clones = emb.select((col("vec_id") + lit(1000000000L)).as("vec_id"), col("embedding"))
+      SimilarityOps.embeddingDedupPipeline(emb.union(clones), threshold = 0.95)
+    }),
+
     "q19_ivf_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5)
@@ -2705,6 +2714,30 @@ FROM v, unnest(generate_series(0, ((n_frames - 1) // 30)::BIGINT)) AS u(f)"""
         |      CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |  FROM uni a, uni b WHERE a.vec_id < b.vec_id)
         |WHERE sim >= 0.95""".stripMargin,
+
+    // The q55 closure pattern over the EXACT all-pairs cosine graph: valid
+    // on this corpus for the same reason as q18's oracle (the only true
+    // cos >= 0.95 pairs are identical clones, where RHP recall is
+    // structural), and the UNION-recursive reachability mirrors
+    // connectedComponents' min-label semantics exactly.
+    "q151_embed_dedup" ->
+      """WITH RECURSIVE uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000 AS vec_id, embedding FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM uni a, uni b WHERE a.vec_id < b.vec_id
+        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) >= 0.95),
+        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach AS (
+        |  SELECT vec_id AS node, vec_id AS comp FROM uni
+        |  UNION
+        |  SELECT e.b AS node, r.comp FROM e JOIN reach r ON e.a = r.node)
+        |SELECT node AS vec_id, min(comp) AS canonical,
+        |  node = min(comp) AS keep
+        |FROM reach GROUP BY node""".stripMargin,
 
     // Full value oracle via the pure-SQL XXH64 mirror (XxhSql): per token
     // hash, bit i of the simhash is set iff sum over tokens of

@@ -96,6 +96,35 @@ object SimilarityOps {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** End-to-end EMBEDDING near-duplicate dedup (the SemDeDup shape,
+    * Abbas et al. 2023): RHP-LSH candidate pairs at cosine >= threshold →
+    * [[graft.ops.DedupOps.connectedComponents]] → one canonical vector per
+    * component (min vec_id). The embedding-side counterpart of the text
+    * [[graft.ops.DedupOps.dedupPipeline]] — run on document embeddings to
+    * drop SEMANTIC duplicates that share no shingles (translations,
+    * templated rewrites) which the MinHash pass cannot see; transitive
+    * closure merges chains a ≈ b ≈ c even when cos(a, c) itself is below
+    * the threshold, exactly like the text pipeline.
+    *
+    * Scale shape: inherits lshNearDupPairs' capped-bucket id-only joins
+    * (embeddings never ride the dedup exchange) and connectedComponents'
+    * O(log diameter) pointer-jumping rounds — no stage is O(n²) in
+    * vectors.
+    *
+    * Output: `(vec_id, canonical, keep)` — `keep` = true on the canonical
+    * row of each near-dup component. */
+  def embeddingDedupPipeline(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      nBits: Int = 32,
+      maxBucketSize: Int = 256): DataFrame = {
+    val pairs = lshNearDupPairs(corpus, threshold, nBits, maxBucketSize)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    DedupOps.connectedComponents(corpus.select(col("vec_id").as("node")), pairs)
+      .select(col("node").as("vec_id"), col("comp").as("canonical"),
+        (col("node") === col("comp")).as("keep"))
+  }
+
   /** Deterministic seed centroids: the `nCentroids` corpus vectors with the
     * smallest id-hash, as double rows. One tiny driver collect — the
     * centroid table is O(nCentroids × dim) and feeds a broadcast-embedded

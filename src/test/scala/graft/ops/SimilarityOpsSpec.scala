@@ -68,6 +68,34 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(full == exact, s"full-probe IVF diverged from brute force: ${full diff exact} / ${exact diff full}")
   }
 
+  test("embeddingDedupPipeline: clones collapse to the original; transitive chain merges below-threshold endpoints") {
+    // clones of the real corpus -> every component is {v, v + 10^9} with
+    // the original as canonical
+    val base = emb.select($"vec_id", $"embedding")
+    val clones = base.select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    val out = SimilarityOps.embeddingDedupPipeline(base.union(clones), threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val n = base.count()
+    assert(out.size == 2 * n)
+    for ((id, (canon, keep)) <- out) {
+      val expect = if (id >= 1000000000L) id - 1000000000L else id
+      assert(canon == expect, s"vec $id canonical $canon != $expect")
+      assert(keep == (id == expect), s"vec $id keep $keep")
+    }
+
+    // chain a-b-c at 12-degree steps: cos(a,b) = cos(b,c) = 0.978 >= 0.95
+    // but cos(a,c) = 0.914 < 0.95 — the transitive closure must still put
+    // all three in ONE component (the SemDeDup semantics the thresholded
+    // pair list alone does not give)
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val chain = Seq((1L, v(0)), (2L, v(12)), (3L, v(24))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.embeddingDedupPipeline(chain, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false))),
+      s"chain components: $got")
+  }
+
   test("quantizeInt8: exact codes on a hand case, error bounded by scale/254, zero-vector safe") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f)),
