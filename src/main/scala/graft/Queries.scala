@@ -2245,6 +2245,15 @@ FROM walk WHERE rn >= 1"""
     /** Unsigned HUGEINT in [0, 2^64) -> Java signed long. */
     def signed(e: String): String =
       s"(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $M ELSE ($e) END)::BIGINT"
+    /** Signed BIGINT -> unsigned HUGEINT in [0, 2^64) (signed's inverse). */
+    def unsigned(e: String): String =
+      s"(CASE WHEN ($e) < 0 THEN ($e) + $M ELSE ($e) END)::HUGEINT"
+    /** Unsigned byte value (0..255) of the i-th (1-based) byte of the hex
+      * dump column `hx` — the one hex decode every byte-level mirror
+      * shares (XxhSql's `__ba`, MediaSql's signed variant). */
+    val hexByteU: String =
+      "((strpos('0123456789ABCDEF', substr(hx, (2*i-1)::INT, 1)) - 1) * 16" +
+        " + (strpos('0123456789ABCDEF', substr(hx, (2*i)::INT, 1)) - 1))"
     /** CTE chain from `tokSource` (doc_id, pos, tok) to
       * `__xh(doc_id, pos, h)` with h = XXH64(utf8(tok), seed=42) unsigned.
       * Embed after a `WITH RECURSIVE` keyword. */
@@ -2254,9 +2263,8 @@ FROM walk WHERE rn >= 1"""
       val ctes = scala.collection.mutable.ArrayBuffer[String]()
       ctes += s"__tk AS ($tokSource)"
       ctes += "__bx AS (SELECT doc_id, pos, octet_length(encode(tok)) AS n, hex(encode(tok)) AS hx FROM __tk)"
-      ctes += """__ba AS (SELECT doc_id, pos, n::HUGEINT AS n, list_transform(range(1, n+1),
-                |    i -> ((strpos('0123456789ABCDEF', substr(hx, (2*i-1)::INT, 1)) - 1) * 16
-                |        + (strpos('0123456789ABCDEF', substr(hx, (2*i)::INT, 1)) - 1))::HUGEINT) AS B FROM __bx)""".stripMargin
+      ctes += s"""__ba AS (SELECT doc_id, pos, n::HUGEINT AS n, list_transform(range(1, n+1),
+                 |    i -> $hexByteU::HUGEINT) AS B FROM __bx)""".stripMargin
       // 32-byte 4-lane stripe loop (runs zero rounds for tokens < 32 bytes)
       ctes += s"""__rec AS (
                  |  SELECT doc_id, pos, B, n, 0::HUGEINT AS i,
@@ -2356,10 +2364,9 @@ FROM walk WHERE rn >= 1"""
     private def sgn(blist: String) =
       s"list_transform($blist, v -> (CASE WHEN v > 127 THEN v - 256 ELSE v END)::HUGEINT)"
     /** Java-signed byte value of the i-th (1-based) UTF-8 byte of the hex
-      * dump column `hx`. */
+      * dump column `hx` (shares [[XxhSql.hexByteU]]'s decode). */
     private val hexSignedByte = {
-      val u = "((strpos('0123456789ABCDEF', substr(hx, (2*i-1)::INT, 1)) - 1) * 16" +
-        " + (strpos('0123456789ABCDEF', substr(hx, (2*i)::INT, 1)) - 1))"
+      val u = XxhSql.hexByteU
       s"(CASE WHEN $u > 127 THEN $u - 256 ELSE $u END)::HUGEINT"
     }
     private val ihdrT = lit(73, 72, 68, 82)
@@ -2431,8 +2438,7 @@ FROM (SELECT * FROM realm UNION ALL SELECT * FROM stub)"""
     /** The q21 mirror: stub "video" rows fan out one row per sampled frame,
       * frame_hash = sample_hash XOR (frame_idx · 2654435761). */
     val q21Sql: String = s"""WITH meta AS ($q20Sql),
-v AS (SELECT doc_id, n_frames,
-        (CASE WHEN sample_hash < 0 THEN sample_hash + $M ELSE sample_hash END)::HUGEINT AS hu
+v AS (SELECT doc_id, n_frames, ${XxhSql.unsigned("sample_hash")} AS hu
       FROM meta WHERE media_type = 'video')
 SELECT doc_id, (f * 30)::INT AS frame_idx,
   ${XxhSql.signed("xor(hu::UBIGINT, ((f * 30) * 2654435761)::UBIGINT)::HUGEINT")} AS frame_hash

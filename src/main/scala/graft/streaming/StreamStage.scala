@@ -1270,6 +1270,44 @@ object StreamStage {
       periodMs: Long,
       binWidth: Double,
       lateness: String = "10 minutes"): Dataset[DriftOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    histDriftReplay(points, periodMs, binWidth, lateness) { (url, p, hist, prev) =>
+      val n = hist.values.sum
+      val m = prev.values.sum
+      val num = (hist.keySet ++ prev.keySet).iterator.map { b =>
+        math.abs(hist.getOrElse(b, 0L) * m - prev.getOrElse(b, 0L) * n)
+      }.sum
+      DriftOut(url, p, n, m, num.toDouble / (2.0 * n * m))
+    }
+  }
+
+  /** The SHARED state machine behind the histogram drift twins
+    * ([[driftStream]] TV, [[psiDriftStream]], [[emdKsDriftStream]] — one
+    * body, three ~10-line metric closures): watermark-buffered replay
+    * into per-(period, bin) counts; when a period closes whose IMMEDIATE
+    * predecessor also closed, `metric(url, period, hist, prev)` emits one
+    * row; gap periods emit nothing (like the batch pairs join); state is
+    * removed once the watermark passes the last period a successor could
+    * pair with.
+    *
+    * Beyond-lateness stragglers — rows whose period is already CLOSED
+    * (period <= the saved prevPeriod) — are DISCARDED at ingestion.
+    * Spark's stateful-op filter already drops input strictly older than
+    * the watermark before it reaches this function (spec-verified), so
+    * this guard is DEFENSE IN DEPTH: if such a row ever did get through,
+    * it would re-open its closed period while the key's state is alive,
+    * and the re-close would regress prevPeriod and overwrite the
+    * previous-histogram state with the straggler-only histogram,
+    * corrupting the next period's comparison (spec-pinned:
+    * "beyond-lateness straggler" in StreamStageSpec). */
+  private def histDriftReplay[T](
+      points: Dataset[TiedPoint],
+      periodMs: Long,
+      binWidth: Double,
+      lateness: String)(
+      metric: (String, Long, Map[Long, Long], Map[Long, Long]) => T)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     require(periodMs > 0 && binWidth > 0,
       s"periodMs/binWidth must be positive, got $periodMs/$binWidth")
     val spark = points.sparkSession
@@ -1297,27 +1335,24 @@ object StreamStage {
             open((st.openP(i), st.openBin(i))) = st.openC(i)
           ready.foreach { case (t, v) =>
             val p = t - math.floorMod(t, periodMs)
-            val bin = math.floor(v / binWidth).toLong
-            open((p, bin)) = open.getOrElse((p, bin), 0L) + 1L
+            // closed periods never re-open: prevPeriod is the LAST closed
+            // one and closing always advances ascending, so p <= prevPeriod
+            // identifies a beyond-lateness straggler -> dropped
+            if (p > st.prevPeriod) {
+              val bin = math.floor(v / binWidth).toLong
+              open((p, bin)) = open.getOrElse((p, bin), 0L) + 1L
+            }
           }
           var prevPeriod = st.prevPeriod
           var prev = st.prevBin.zip(st.prevC).toMap
-          val out = Vector.newBuilder[DriftOut]
+          val out = Vector.newBuilder[T]
           val closing = open.keys.map(_._1)
             .filter(p => p + periodMs <= wm).toSeq.distinct.sorted
           closing.foreach { p =>
             val hist = open.range((p, Long.MinValue), (p, Long.MaxValue))
               .map { case ((_, b), c) => b -> c }.toMap
             open.filterInPlace { case ((pp, _), _) => pp != p }
-            if (prevPeriod == p - periodMs) {
-              val n = hist.values.sum
-              val m = prev.values.sum
-              val num = (hist.keySet ++ prev.keySet).iterator.map { b =>
-                math.abs(hist.getOrElse(b, 0L) * m - prev.getOrElse(b, 0L) * n)
-              }.sum
-              out += DriftOut(url, p, n, m,
-                num.toDouble / (2.0 * n * m))
-            }
+            if (prevPeriod == p - periodMs) out += metric(url, p, hist, prev)
             prevPeriod = p
             prev = hist
           }
@@ -1362,80 +1397,22 @@ object StreamStage {
       binWidth: Double,
       eps: Double = 1e-4,
       lateness: String = "10 minutes"): Dataset[PsiOut] = {
-    require(periodMs > 0 && binWidth > 0,
-      s"periodMs/binWidth must be positive, got $periodMs/$binWidth")
     require(eps > 0, s"eps must be positive, got $eps")
     val spark = points.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    points.toDF()
-      .withColumn("event_time", timestamp_millis(col("ts")))
-      .withWatermark("event_time", lateness)
-      .select(col("url"), col("ts"), col("value"), col("event_time"))
-      .as[(String, Long, Double, java.sql.Timestamp)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
-         state: GroupState[DriftBuf]) => {
-          val st = state.getOption.getOrElse(DriftBuf(
-            Array.emptyLongArray, Array.emptyDoubleArray,
-            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
-            Long.MinValue, Array.emptyLongArray, Array.emptyLongArray))
-          val all = st.ts.zip(st.vs) ++ rows.map(r => (r._2, r._3))
-          val wm = state.getCurrentWatermarkMs()
-          val (ready, hold) = all.partition(_._1 <= wm)
-          val open = scala.collection.mutable.TreeMap
-            .empty[(Long, Long), Long]
-          for (i <- st.openP.indices)
-            open((st.openP(i), st.openBin(i))) = st.openC(i)
-          ready.foreach { case (t, v) =>
-            val p = t - math.floorMod(t, periodMs)
-            val bin = math.floor(v / binWidth).toLong
-            open((p, bin)) = open.getOrElse((p, bin), 0L) + 1L
-          }
-          var prevPeriod = st.prevPeriod
-          var prev = st.prevBin.zip(st.prevC).toMap
-          val out = Vector.newBuilder[PsiOut]
-          val closing = open.keys.map(_._1)
-            .filter(p => p + periodMs <= wm).toSeq.distinct.sorted
-          closing.foreach { p =>
-            val hist = open.range((p, Long.MinValue), (p, Long.MaxValue))
-              .map { case ((_, b), c) => b -> c }.toMap
-            open.filterInPlace { case ((pp, _), _) => pp != p }
-            if (prevPeriod == p - periodMs) {
-              val n = hist.values.sum
-              val m = prev.values.sum
-              var psi = 0.0
-              (hist.keySet ++ prev.keySet).toArray.sorted.foreach { b =>
-                val c = hist.getOrElse(b, 0L)
-                val q = prev.getOrElse(b, 0L)
-                val pr = if (c > 0L) c.toDouble / n.toDouble else eps
-                val qr = if (q > 0L) q.toDouble / m.toDouble else eps
-                psi += (pr - qr) * math.log(pr / qr)
-              }
-              out += PsiOut(url, p, n, m, psi)
-            }
-            prevPeriod = p
-            prev = hist
-          }
-          val prevDead = prevPeriod == Long.MinValue ||
-            wm >= prevPeriod + 2 * periodMs
-          if (hold.isEmpty && open.isEmpty && prevDead) state.remove()
-          else {
-            val op = open.toArray
-            state.update(DriftBuf(hold.map(_._1), hold.map(_._2),
-              op.map(_._1._1), op.map(_._1._2), op.map(_._2),
-              prevPeriod, prev.keys.toArray, prev.values.toArray))
-            val wake = Seq(
-              hold.iterator.map(_._1).minOption,
-              open.keys.map(_._1).minOption.map(_ + periodMs),
-              if (prevPeriod == Long.MinValue) None
-              else Some(prevPeriod + 2 * periodMs)
-            ).flatten.min
-            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
-          }
-          out.result().iterator
-        })
+    histDriftReplay(points, periodMs, binWidth, lateness) { (url, p, hist, prev) =>
+      val n = hist.values.sum
+      val m = prev.values.sum
+      var psi = 0.0
+      (hist.keySet ++ prev.keySet).toArray.sorted.foreach { b =>
+        val c = hist.getOrElse(b, 0L)
+        val q = prev.getOrElse(b, 0L)
+        val pr = if (c > 0L) c.toDouble / n.toDouble else eps
+        val qr = if (q > 0L) q.toDouble / m.toDouble else eps
+        psi += (pr - qr) * math.log(pr / qr)
+      }
+      PsiOut(url, p, n, m, psi)
+    }
   }
 
   /** STREAMING earth-mover + Kolmogorov-Smirnov drift — the unbounded twin
@@ -1456,88 +1433,29 @@ object StreamStage {
       periodMs: Long,
       binWidth: Double,
       lateness: String = "10 minutes"): Dataset[EmdOut] = {
-    require(periodMs > 0 && binWidth > 0,
-      s"periodMs/binWidth must be positive, got $periodMs/$binWidth")
     val spark = points.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    points.toDF()
-      .withColumn("event_time", timestamp_millis(col("ts")))
-      .withWatermark("event_time", lateness)
-      .select(col("url"), col("ts"), col("value"), col("event_time"))
-      .as[(String, Long, Double, java.sql.Timestamp)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (url: String, rows: Iterator[(String, Long, Double, java.sql.Timestamp)],
-         state: GroupState[DriftBuf]) => {
-          val st = state.getOption.getOrElse(DriftBuf(
-            Array.emptyLongArray, Array.emptyDoubleArray,
-            Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
-            Long.MinValue, Array.emptyLongArray, Array.emptyLongArray))
-          val all = st.ts.zip(st.vs) ++ rows.map(r => (r._2, r._3))
-          val wm = state.getCurrentWatermarkMs()
-          val (ready, hold) = all.partition(_._1 <= wm)
-          val open = scala.collection.mutable.TreeMap
-            .empty[(Long, Long), Long]
-          for (i <- st.openP.indices)
-            open((st.openP(i), st.openBin(i))) = st.openC(i)
-          ready.foreach { case (t, v) =>
-            val p = t - math.floorMod(t, periodMs)
-            val bin = math.floor(v / binWidth).toLong
-            open((p, bin)) = open.getOrElse((p, bin), 0L) + 1L
-          }
-          var prevPeriod = st.prevPeriod
-          var prev = st.prevBin.zip(st.prevC).toMap
-          val out = Vector.newBuilder[EmdOut]
-          val closing = open.keys.map(_._1)
-            .filter(p => p + periodMs <= wm).toSeq.distinct.sorted
-          closing.foreach { p =>
-            val hist = open.range((p, Long.MinValue), (p, Long.MaxValue))
-              .map { case ((_, b), c) => b -> c }.toMap
-            open.filterInPlace { case ((pp, _), _) => pp != p }
-            if (prevPeriod == p - periodMs) {
-              val n = hist.values.sum
-              val m = prev.values.sum
-              val bins = (hist.keySet ++ prev.keySet).toArray.sorted
-              var cumC = 0L
-              var cumQ = 0L
-              var s = BigInt(0)
-              var dMax = BigInt(0)
-              var i = 0
-              while (i < bins.length) {
-                val b = bins(i)
-                cumC += hist.getOrElse(b, 0L)
-                cumQ += prev.getOrElse(b, 0L)
-                val d = (BigInt(cumC) * m - BigInt(cumQ) * n).abs
-                if (d > dMax) dMax = d
-                if (i + 1 < bins.length) s += d * (bins(i + 1) - b)
-                i += 1
-              }
-              val nm = n.toDouble * m.toDouble
-              out += EmdOut(url, p, n, m,
-                binWidth * s.toDouble / nm, dMax.toDouble / nm)
-            }
-            prevPeriod = p
-            prev = hist
-          }
-          val prevDead = prevPeriod == Long.MinValue ||
-            wm >= prevPeriod + 2 * periodMs
-          if (hold.isEmpty && open.isEmpty && prevDead) state.remove()
-          else {
-            val op = open.toArray
-            state.update(DriftBuf(hold.map(_._1), hold.map(_._2),
-              op.map(_._1._1), op.map(_._1._2), op.map(_._2),
-              prevPeriod, prev.keys.toArray, prev.values.toArray))
-            val wake = Seq(
-              hold.iterator.map(_._1).minOption,
-              open.keys.map(_._1).minOption.map(_ + periodMs),
-              if (prevPeriod == Long.MinValue) None
-              else Some(prevPeriod + 2 * periodMs)
-            ).flatten.min
-            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
-          }
-          out.result().iterator
-        })
+    histDriftReplay(points, periodMs, binWidth, lateness) { (url, p, hist, prev) =>
+      val n = hist.values.sum
+      val m = prev.values.sum
+      val bins = (hist.keySet ++ prev.keySet).toArray.sorted
+      var cumC = 0L
+      var cumQ = 0L
+      var s = BigInt(0)
+      var dMax = BigInt(0)
+      var i = 0
+      while (i < bins.length) {
+        val b = bins(i)
+        cumC += hist.getOrElse(b, 0L)
+        cumQ += prev.getOrElse(b, 0L)
+        val d = (BigInt(cumC) * m - BigInt(cumQ) * n).abs
+        if (d > dMax) dMax = d
+        if (i + 1 < bins.length) s += d * (bins(i + 1) - b)
+        i += 1
+      }
+      val nm = n.toDouble * m.toDouble
+      EmdOut(url, p, n, m, binWidth * s.toDouble / nm, dMax.toDouble / nm)
+    }
   }
 
   /** STREAMING rank-biased-overlap drift — the unbounded twin of

@@ -206,4 +206,23 @@ class DedupOpsSpec extends SparkTestBase {
       s"$borderE embedding pair(s) in cos [0.9, 1) — identical-clone recall " +
         "no longer covers the q18 oracle; re-validate")
   }
+
+  test("corpus guard: no text contains a whitespace char where the three tokenizers diverge") {
+    // Three tokenizers must agree for the token-level oracles to be valid:
+    // the engine's Java-regex \s+ (TextOps.tokens -> q06-q08, q22, ...),
+    // the native SimHash64's Character.isWhitespace (q17), and the DuckDB
+    // mirrors' RE2 \s. They differ exactly on {\x0B, \x1C-\x1F} plus the
+    // Unicode space separators Character.isWhitespace accepts — so the
+    // oracles stay valid only while no document contains one. Checked at
+    // the fixture scale AND the driver's sf0.01 gate scale.
+    val divergent = "[\\x0B\\x1C-\\x1F\\u1680\\u2000-\\u200A\\u2028\\u2029\\u205F\\u3000]"
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val offenders = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(col("text").rlike(divergent))
+        .count()
+      assert(offenders == 0L,
+        s"$sf: $offenders doc(s) contain a divergent whitespace char — the " +
+          "q17/q22 (and token-stat) oracle tokenization mirrors are no longer exact")
+    }
+  }
 }

@@ -109,13 +109,17 @@ class MultimodalOpsSpec extends SparkTestBase {
     // doc_id % 6, while the engine tries decodeBmp/decodePng/decodeWav and
     // falls back to the stub. The two selections agree only while no text
     // payload starts with 'BM' or 'RIFF'+'WAVE' (the PNG signature is
-    // non-UTF-8-text by construction). A testdata-generator change trips
-    // here before it trips the driver's hash gate.
-    val offenders = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .where(col("doc_id") % 6 isin (2, 4, 5))
-      .where(col("text").startsWith("BM") || col("text").startsWith("RIFF"))
-      .count()
-    assert(offenders == 0L, s"$offenders opaque payloads collide with a decoder magic")
+    // non-UTF-8-text by construction). Checked at BOTH the fixture scale
+    // and the driver's sf0.01 gate scale, so a doc_id-dependent generator
+    // change beyond the sf0.001 id range still trips here before it trips
+    // the driver's hash gate as an opaque mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val offenders = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(col("doc_id") % 6 isin (2, 4, 5))
+        .where(col("text").startsWith("BM") || col("text").startsWith("RIFF"))
+        .count()
+      assert(offenders == 0L, s"$sf: $offenders opaque payloads collide with a decoder magic")
+    }
   }
 
   test("audioFrameFeatures: closed-form RMS/ZCR on square-wave PCM, mono and stereo") {

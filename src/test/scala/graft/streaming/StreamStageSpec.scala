@@ -626,6 +626,63 @@ class StreamStageSpec extends SparkTestBase {
         "same ascending-bin fold, same eps substitution)")
   }
 
+  test("drift twins drop a beyond-lateness straggler instead of re-opening its closed period") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(59)
+    val day = 86400000L
+    // days 1..4 for one url; a straggler into CLOSED day 1 arrives while
+    // the watermark sits inside day 3 (url a's state is still alive). It
+    // must influence NOTHING: Spark's own stateful-op filter drops input
+    // strictly older than the watermark (verified here — see the verify
+    // skill's boundary note), and histDriftReplay's p <= prevPeriod
+    // ingestion guard is the defense-in-depth for any path that resurfaces
+    // such a row (a closed period re-opening would re-close, REGRESS
+    // prevPeriod and overwrite the previous histogram with the
+    // straggler-only one, swallowing the next period's output). Bodies
+    // start 1h into each day so no legitimate row sits at the watermark
+    // boundary (the late filter is inclusive there).
+    val days = for (d <- 1 to 4; i <- 0 until 40) yield
+      TiedPoint("a", d * day + 3600000L + i * 600000L, (d * 100 + i).toLong,
+        (rng.nextInt(80) + d * 20).toDouble)
+    val batch = graft.ops.AnalyticsOps.psiDrift(
+        days.toDF("url", "tsl", "tie", "value"),
+        col("url"), (col("tsl") - pmod(col("tsl"), lit(day))), day,
+        col("value"), binWidth = 25.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+    assert(batch.keySet == Set(("a", 2L * day), ("a", 3L * day), ("a", 4L * day)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TiedPoint]
+    val q = StreamStage.psiDriftStream(mem.toDS(), day, 25.0,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("psi_straggler")
+      .outputMode("append").start()
+    // days 1-2, then a sentinel-url row pushing the watermark just past
+    // day 2's close (wm = 3d + 1ms; url a's state stays alive until 4d)
+    mem.addData(days.filter(_.ts < 3 * day))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("s", 3 * day + 600000L + 1, 999L, 50.0)))
+    q.processAllAvailable()
+    // the beyond-lateness straggler into url a's CLOSED day 1
+    mem.addData(Seq(TiedPoint("a", day + 5 * 3600000L, 998L, 50.0)))
+    q.processAllAvailable()
+    // days 3-4 body, then a sentinel closing them
+    mem.addData(days.filter(_.ts >= 3 * day))
+    q.processAllAvailable()
+    mem.addData(Seq(TiedPoint("s", 5 * day + 600000L + 1, 997L, 50.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("psi_straggler").as[PsiOut]
+      .filter(col("url") === "a")
+      .collect().map(o => (o.url, o.period) -> ((o.n, o.m, o.psi))).toMap
+    // the straggler influenced NOTHING: every closed period matches the
+    // straggler-free batch bit-for-bit — in particular day 3 exists (a
+    // prevPeriod regression would have silently swallowed it)
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming emd+ks drift equals batch on closed periods, skipping gap days") {
     import org.apache.spark.sql.functions._
     val rng = new scala.util.Random(53)
