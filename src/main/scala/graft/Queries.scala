@@ -179,6 +179,19 @@ object Queries {
       SimilarityOps.embeddingDedupPipeline(emb.union(clones), threshold = 0.95)
     }),
 
+    // --- cross-lingual nearest neighbours (oracle-backed, the q09 exact
+    // pattern + language predicate): bitext/translation candidate mining
+    "q152_crosslingual_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      SimilarityOps.crossLingualTopK(emb, documents(s, dir).select("doc_id", "lang"),
+        emb.filter(col("vec_id") < 8), 5)
+    }),
+
+    // --- per-source duplication report (oracle-backed vs the q55 closure
+    // grouped by source): the crawl-operator re-weighting table
+    "q153_dedup_report" -> ((s, dir) =>
+      DedupOps.dedupReport(documents(s, dir), col("source"))),
+
     "q19_ivf_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 8), 5)
@@ -2445,6 +2458,32 @@ SELECT doc_id, (f * 30)::INT AS frame_idx,
 FROM v, unnest(generate_series(0, ((n_frames - 1) // 30)::BIGINT)) AS u(f)"""
   }
 
+  /** The exact near-dup transitive closure (3-shingle Jaccard >= 0.8,
+    * length-ratio prefilter, UNION-recursive min-label reachability) as a
+    * WITH-RECURSIVE body ending in `reach(node, comp)` — shared by the q55
+    * pipeline mirror and q153's per-source report so the closure math
+    * lives once. */
+  private lazy val dedupClosureCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $tokExpr AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t) - 2),
+       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |  FROM toks),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+       |    AND CAST(least(len(a.s), len(b.s)) AS DOUBLE) /
+       |        greatest(len(a.s), len(b.s), 1) >= 0.8
+       |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.8),
+       |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS comp FROM toks
+       |  UNION
+       |  SELECT e.b AS node, r.comp FROM e JOIN reach r ON e.a = r.node)""".stripMargin
+
   /** q118's bigram-LM perplexity mirror, factored so q134's percentile gate
     * wraps it verbatim — any change to [[graft.ops.TextOps.lmScore]]'s op
     * order updates BOTH oracles here. */
@@ -2744,6 +2783,24 @@ FROM v, unnest(generate_series(0, ((n_frames - 1) // 30)::BIGINT)) AS u(f)"""
         |SELECT node AS vec_id, min(comp) AS canonical,
         |  node = min(comp) AS keep
         |FROM reach GROUP BY node""".stripMargin,
+
+    // The q09 exact all-pairs pattern with the language-mismatch
+    // predicate: every similarity is computed in full (no LSH), so the
+    // mirror is exact by construction like q09's.
+    "q152_crosslingual_topk" ->
+      """WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+        |e AS (SELECT m.vec_id, m.embedding, l.lang
+        |      FROM embeddings m JOIN lg l USING (vec_id))
+        |SELECT query_id, neighbor_id, neighbor_lang, sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         c.lang AS neighbor_lang,
+        |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |           CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |             CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        |  FROM e q, e c WHERE q.vec_id < 8 AND q.lang <> c.lang)
+        |WHERE rank <= 5""".stripMargin,
 
     // Full value oracle via the pure-SQL XXH64 mirror (XxhSql): per token
     // hash, bit i of the simhash is set iff sum over tokens of
@@ -3141,28 +3198,23 @@ FROM v, unnest(generate_series(0, ((n_frames - 1) // 30)::BIGINT)) AS u(f)"""
     // prefilter (J <= min/max sizes) skips hopeless intersects without
     // changing the >= 0.8 result set
     "q55_dedup_pipeline" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, $tokExpr AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(t) - 2),
-         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-         |  FROM toks),
-         |p AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-         |    AND CAST(least(len(a.s), len(b.s)) AS DOUBLE) /
-         |        greatest(len(a.s), len(b.s), 1) >= 0.8
-         |    AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |        greatest(len(list_distinct(a.s || b.s)), 1), 6) >= 0.8),
-         |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
-         |reach AS (
-         |  SELECT doc_id AS node, doc_id AS comp FROM toks
-         |  UNION
-         |  SELECT e.b AS node, r.comp FROM e JOIN reach r ON e.a = r.node)
+      s"""WITH RECURSIVE $dedupClosureCtes
          |SELECT node AS doc_id, min(comp) AS canonical,
          |  node = min(comp) AS keep
          |FROM reach GROUP BY node""".stripMargin,
+
+    // q55's closure verdicts grouped per source — the per-stratum
+    // duplication report; the engine runs dedupPipeline + an id-keyed
+    // join + one stratum-sized aggregate on top of the same math.
+    "q153_dedup_report" ->
+      s"""WITH RECURSIVE $dedupClosureCtes,
+         |verdict AS (
+         |  SELECT node AS doc_id, node = min(comp) AS keep
+         |  FROM reach GROUP BY node)
+         |SELECT d.source AS stratum, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN v.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+         |  round(CAST(sum(CASE WHEN v.keep THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM verdict v JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin,
 
     "q56_repetition_filter" ->
       s"""WITH toks AS (

@@ -235,6 +235,29 @@ object DedupOps {
         (col("node") === col("comp")).as("keep"))
   }
 
+  /** Per-stratum duplication REPORT over [[dedupPipeline]]'s verdicts —
+    * the "which source is rotting the corpus" table a crawl operator
+    * reads before re-weighting: per stratum, document count, near-dup
+    * non-canonical count, and the duplicate fraction. The pipeline's one
+    * doc-sized verdict table joins back to the (doc_id, stratum)
+    * projection on the id key, then one stratum-sized hash aggregate —
+    * nothing here adds a corpus-sized stage to the pipeline itself. */
+  def dedupReport(
+      documents: DataFrame,
+      stratumCol: org.apache.spark.sql.Column,
+      k: Int = 3,
+      nPerms: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 64): DataFrame =
+    dedupPipeline(documents, k, nPerms, bands, threshold, maxBucketSize)
+      .join(documents.select(col("doc_id"), stratumCol.as("stratum")), Seq("doc_id"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+
   /** Normalization-aware exact dedup: case-fold, trim, and collapse
     * whitespace runs BEFORE digesting, so trivially-reformatted copies
     * (the most common near-dup class in recrawled webtext) collapse to the

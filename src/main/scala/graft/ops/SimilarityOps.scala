@@ -42,6 +42,41 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Cross-lingual nearest neighbours — the BITEXT-MINING probe (the
+    * Artetxe & Schwenk 2019 margin-mining shape): for each query vector,
+    * the top-k most-similar vectors whose document LANGUAGE differs from
+    * the query's — translation/near-translation candidates the
+    * shingle-based dedup passes are blind to. `meta` supplies (doc_id,
+    * lang) with doc_id ≡ vec_id.
+    *
+    * Scale shape: [[bruteForceTopK]]'s discipline — the query side (plus
+    * its langs) is broadcast, the corpus side streams through one scored
+    * pass with the language predicate applied MAP-SIDE (no corpus
+    * shuffle); the rank window partitions per query over the top-k
+    * survivors. For an all-docs query side at 100 TB, bucket with
+    * [[rhpSignature]] first, exactly like the near-dup path. */
+  def crossLingualTopK(
+      corpus: DataFrame, // (vec_id, embedding)
+      meta: DataFrame, // (doc_id, lang)
+      queries: DataFrame, // (vec_id, embedding)
+      k: Int): DataFrame = {
+    val langOf = meta.select(col("doc_id").as("vec_id"), col("lang"))
+    val q = queries.join(langOf, "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("lang").as("q_lang"))
+    val c = corpus.join(langOf, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("lang").as("n_lang"))
+    val scored = c.join(broadcast(q), col("q_lang") =!= col("n_lang"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("n_lang").as("neighbor_lang"), col("sim"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (bit, dim):
     * a fixed hash mapped to [-1, 1). */
   private def plane(bit: Int, dim: Column): Column =

@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * windows, cartesian/unkeyed joins) so a new query can't silently ship a
   * shape that dies at 100×. Known-deliberate exceptions are listed inline. */
 object SortScan {
-  // q09/q19 broadcast a tiny query side into an NLJ by design (plan-pinned);
+  // q09/q19/q152 broadcast a tiny query side into an NLJ by design
+  // (plan-pinned; q152 adds the cross-language predicate to the same
+  // brute-force shape);
   // q29 is a bounded ≤60-doc oracle pin with an explicit theta join;
   // q37/q65/q112/q118/q131 crossJoin a broadcast 1-ROW anchor/stats aggregate
   // (the SinglePartition exchange under it is the global agg producing that
@@ -14,7 +16,8 @@ object SortScan {
   // q134/q140/q141 share the same 1-row (or topN-row: q137's top-200 grid)
   // broadcast-aggregate crossJoin shape
   private val allowedNlj =
-    Set("q09_topk_cosine", "q19_ivf_topk", "q29_jaccard_exact",
+    Set("q09_topk_cosine", "q19_ivf_topk", "q152_crosslingual_topk",
+      "q29_jaccard_exact",
       "q37_retention_expiry", "q65_bm25", "q112_staleness",
       "q118_lm_perplexity", "q131_keywords", "q134_quality_gate",
       "q137_source_divergence", "q140_pmi_collocations",

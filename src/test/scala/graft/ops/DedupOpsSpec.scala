@@ -133,6 +133,30 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got.count { case (_, _, keep) => !keep } > 0)
   }
 
+  test("dedupReport aggregates the pipeline verdicts per stratum") {
+    // the report is exactly the pipeline's keep flags joined to the
+    // stratum column and counted — recompute that from the pipeline
+    // output itself and require every source to appear
+    val verdicts = DedupOps.dedupPipeline(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val bySource = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._2)
+      .map { case (s, rows) =>
+        val n = rows.length.toLong
+        val d = rows.count(r => !verdicts(r._1)).toLong
+        s -> ((n, d))
+      }
+    val got = DedupOps.dedupReport(docs, col("source")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == bySource.keySet)
+    for ((s, (n, d)) <- bySource) {
+      assert(got(s)._1 == n && got(s)._2 == d, s"source $s: ${got(s)} vs ($n, $d)")
+      assert(got(s)._3 == BigDecimal(d.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"source $s rate")
+    }
+  }
+
   test("normalizedDedup collapses case/whitespace variants to one canonical doc") {
     val d = Seq(
       (1L, "Hello  World"),

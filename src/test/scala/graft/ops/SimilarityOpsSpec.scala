@@ -96,6 +96,24 @@ class SimilarityOpsSpec extends SparkTestBase {
       s"chain components: $got")
   }
 
+  test("crossLingualTopK: same-language neighbours are excluded even when most similar") {
+    // v1(en) is nearly identical to v2(en) but the top CROSS-lingual
+    // neighbour must be v3(de); v4(fr) ranks below it
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f)), // same lang as v1: excluded
+      (3L, Array(0.9f, 0.4f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val meta = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+      .toDF("doc_id", "lang")
+    val out = SimilarityOps.crossLingualTopK(vecs, meta, vecs.filter($"vec_id" === 1L), 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getInt(4)))
+    assert(out.toSeq == Seq((3L, "de", 1), (4L, "fr", 2)),
+      s"got ${out.toSeq} — v2 (same lang, sim ~1.0) must not appear")
+  }
+
   test("quantizeInt8: exact codes on a hand case, error bounded by scale/254, zero-vector safe") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f)),
