@@ -53,6 +53,14 @@ object Queries {
     tier match { case 0 => small; case 1 => mid; case _ => big }
   }
 
+  /** Output file count for a query-built rollup store (guide §6: size
+    * files toward 128 MB; floor 1). The store is an aggregate of the
+    * query's input, so the input footprint is a safe over-estimate — at
+    * bench scale this writes ONE file instead of one per shuffle
+    * partition (tiny-file churn on write AND read-back). */
+  private def storeFiles(dir: String): Int =
+    ops.Adaptive.outputFiles(ops.Adaptive.inputBytes(dir))
+
   private def rollupOut(df: DataFrame): DataFrame =
     df.select(col("url").as("user_id"),
       timestamp_millis(col("bucket_start")).cast("timestamp_ntz").as("bucket_start"),
@@ -62,7 +70,7 @@ object Queries {
 
   // ------------------------------------------------------------- queries
 
-  val all: Map[String, (SparkSession, String) => DataFrame] =
+  private val rawAll: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     // --- continuous aggregates / tiers (oracle-backed)
     "q01_rollup_1m" -> ((s, dir) =>
@@ -1304,6 +1312,7 @@ object Queries {
       val storePath = s"/tmp/graft_q98_rollup_${math.abs(dir.hashCode)}"
       hourAgg(events(s, dir))
         .withColumnRenamed("bucket", "bucket_start")
+        .coalesce(storeFiles(dir))
         .write.mode("overwrite").parquet(storePath)
       val stored = s.read.parquet(storePath)
       plans.RollupRewrite.servedFrom(s, "events.parquet", stored,
@@ -1357,7 +1366,7 @@ object Queries {
       val stored = Rollup.mergeUpserts(stored1, upserts,
         Seq("user_id", "bucket_start"))
       val path = s"/tmp/graft_q100_store_${math.abs(dir.hashCode)}"
-      stored.write.mode("overwrite").parquet(path)
+      stored.coalesce(storeFiles(dir)).write.mode("overwrite").parquet(path)
       val storeDf = s.read.parquet(path)
       val q = ev.groupBy(col("user_id"),
           date_trunc("hour", col("ts")).as("bucket"))
@@ -1423,6 +1432,7 @@ object Queries {
       ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket_start"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(12,2)")).as("vsum"))
+        .coalesce(storeFiles(dir))
         .write.mode("overwrite").parquet(storePath)
       val stored = s.read.parquet(storePath)
       val q = ev.groupBy(col("user_id"),
@@ -1941,6 +1951,7 @@ object Queries {
           sum(col("value").cast("decimal(12,2)")).as("vsum"))
       val storePath = s"/tmp/graft_q149_rollup_${math.abs(dir.hashCode)}"
       dayAgg(events(s, dir)).withColumnRenamed("bucket", "bucket_start")
+        .coalesce(storeFiles(dir))
         .write.mode("overwrite").parquet(storePath)
       val stored = s.read.parquet(storePath)
       plans.RollupRewrite.servedFromTiers(s, "events.parquet",
@@ -1963,6 +1974,7 @@ object Queries {
           sum(col("value").cast("decimal(12,2)")).as("vsum"))
       val storePath = s"/tmp/graft_q150_rollup_${math.abs(dir.hashCode)}"
       hourAgg(events(s, dir)).withColumnRenamed("bucket", "bucket_start")
+        .coalesce(storeFiles(dir))
         .write.mode("overwrite").parquet(storePath)
       val stored = s.read.parquet(storePath)
       plans.RollupRewrite.servedFrom(s, "events.parquet", stored,
@@ -1971,6 +1983,30 @@ object Queries {
           col("vsum").cast("double").as("vsum"))
     })
   )
+
+  /** Queries whose dominant stage is per-key KERNEL CPU (ClaSP/ClaSS
+    * segmentation, CLaP state detection, matrix-profile discords, DTW,
+    * FFT/ACF period search): their shuffles are tiny in bytes but
+    * heavy-tailed in per-key cost, so they keep the session default's
+    * 8×cores fan-out instead of the size-derived width — see
+    * [[graft.ops.Adaptive]]. */
+  private val cpuDenseQueries: Set[String] = Set(
+    "q13_epoch_rollup_1h", "q14_clasp_summary", "q23_crawl_pipeline_1d",
+    "q24_stream_summary", "q25_stream_cps", "q27_state_detection",
+    "q28_multivariate_cps", "q31_epoch_states", "q88_discords",
+    "q90_dtw_search", "q91_period_detect")
+
+  /** Every query derives its own shuffle width from its input footprint on
+    * entry (guide §2.2/§2.5; [[graft.ops.Adaptive]] has the measurements
+    * and the 100-TB derivation). Pure execution sizing — no query's result
+    * depends on partitioning. */
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    rawAll.map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        ops.Adaptive.tune(s, dir, cpuDense = cpuDenseQueries(name))
+        fn(s, dir)
+      }
+    }
 
   // ------------------------------------------------------------- oracles
 

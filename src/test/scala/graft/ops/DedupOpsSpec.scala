@@ -111,6 +111,19 @@ class DedupOpsSpec extends SparkTestBase {
     assert(out2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $out2")
   }
 
+  test("connectedComponents sum-convergence handles zero ids and late merges") {
+    // r6: convergence is detected via the monotone sum(comp) invariant
+    // instead of a label-diff join — pin it on a graph whose min label is 0
+    // (contributes nothing to the sum) and whose chain forces several
+    // rounds, so a premature "sum unchanged" would freeze wrong labels
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L to 40L).toDF("node")
+    val out = DedupOps.connectedComponents(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 41 && out.values.forall(_ == 0L),
+      s"chain with min id 0 must collapse to component 0 (got ${out.values.toSet})")
+  }
+
   test("dedupPipeline (LSH candidate path) equals exact-closure components") {
     // independent expected value: exact O(n²) string-shingle Jaccard pairs
     // at the same threshold, closed over the same component op — any LSH
