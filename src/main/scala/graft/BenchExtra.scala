@@ -77,6 +77,20 @@ object BenchExtra {
         }
         println(f"[aqe] TOTAL: $tot%8.2f s")
 
+      case "noaqe" =>
+        // measure AQE's own per-stage re-planning overhead at bench scale
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val filt = args.lift(1)
+        var tot = 0.0
+        for ((name, fn) <- queriesMatching(filt)) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          val dt = (System.nanoTime() - t0) / 1e9
+          tot += dt
+          println(f"[noaqe] $name%-28s $dt%8.3f s")
+        }
+        println(f"[noaqe] TOTAL: $tot%8.2f s")
+
       case "noop" =>
         val filt = args.lift(1)
         for ((name, fn) <- queriesMatching(filt)) {

@@ -522,7 +522,9 @@ object Queries {
         col("user_id"), date_trunc("day", col("ts")).as("day"),
         col("value"), 10.0)),
 
-    // --- sketch percentiles (rows-only; AnalyticsOpsSpec bounds the error
+    // --- sketch percentiles (oracle-backed since r5 in the exact small-n
+    // regime: rank ceil(p*n) of the sorted group while the summary stays
+    // uncompressed; AnalyticsOpsSpec bounds the compacted regime's error
     // vs the exact q39 values): GK-summary mergeable sketches are the
     // 100-TB path — bounded memory per group regardless of group size,
     // where q39's exact percentile must buffer whole groups

@@ -52,6 +52,19 @@ object Adaptive {
     * `spark.sql.adaptive.coalescePartitions.minPartitionSize` default). */
   val MinPartitionBytes: Long = 1024L * 1024
 
+  /** Input size below which AQE is disabled for the query. AQE's value —
+    * runtime skew-join splitting, join-strategy re-planning, partition
+    * coalescing — only materializes on shuffles big enough for size
+    * estimates to be wrong in ways that matter; under ~1 GB of input every
+    * stage's work is metadata-sized and AQE is pure per-stage re-planning
+    * overhead (measured back-to-back over all 153 queries at sf0.1:
+    * 150.9 s with AQE, 124.4 s without — ~17%). At or above the threshold
+    * AQE stays ON (the 100-TB posture). Override via
+    * SPARK_GRAFT_AQE_MIN_BYTES. */
+  val AqeMinInputBytes: Long =
+    sys.env.get("SPARK_GRAFT_AQE_MIN_BYTES").map(_.toLong)
+      .getOrElse(1024L * 1024 * 1024)
+
   private val dirBytesCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Total bytes under `dir` (recursive, local/posix path — the bench and
@@ -86,9 +99,12 @@ object Adaptive {
 
   /** Set the session shuffle width for the query being built. Called at
     * query-fn entry (before any plan is constructed or inner action runs). */
-  def tune(spark: SparkSession, dir: String, cpuDense: Boolean = false): Unit =
+  def tune(spark: SparkSession, dir: String, cpuDense: Boolean = false): Unit = {
     spark.conf.set("spark.sql.shuffle.partitions",
       shufflePartitions(spark, dir, cpuDense).toString)
+    spark.conf.set("spark.sql.adaptive.enabled",
+      (inputBytes(dir) >= AqeMinInputBytes).toString)
+  }
 
   /** Output file count for a materialized store of roughly `estBytes`
     * (guide §6: 128 MB–1 GB files; floor 1). The rewrite-store queries use

@@ -189,31 +189,47 @@ object DedupOps {
     // decimal(38,0): exact at any id/node scale (no long overflow).
     def compSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = compSum(labels)
+    // the initial convergence aggregate doubles as the label-table census:
+    // size the loop's exchanges from the REAL row count (the AQE-coalescing
+    // sizing the session has disabled), not the outer query's input-derived
+    // width — label/edge rows are ids, ~32 B each, so a million labels fit
+    // comfortably in one 128 MB-class partition. Floor 2 keeps the loop off
+    // literal single-partition plans; the outer conf is restored after the
+    // loop (checkpointed results keep their partitioning regardless).
+    val spark = labels.sparkSession
+    val init = labels.agg(
+      sum(col("comp").cast("decimal(38,0)")), count(lit(1))).head
+    if (init.getLong(1) == 0L) return labels // no nodes, no edges: empty result
+    var prevSum = init.getDecimal(0)
+    val outerParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(2L, init.getLong(1) / 4000000L).toString)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("comp"))
-      // the jump join's two sides both read the fold; its shuffle stage is
-      // computed once and re-read (exchange reuse), so no eager
-      // materialization is needed before the round's single checkpoint
-      val folded = labels.union(prop)
-        .groupBy("node").agg(min("comp").as("comp"))
-      // pointer jump: relabel through the label's own current label (the
-      // renamed copy keeps the self-join's attributes unambiguous)
-      val jump = folded.toDF("jn", "jc")
-      val next = folded
-        .join(jump, folded("comp") === jump("jn"), "left")
-        .select(folded("node"),
-          least(folded("comp"), coalesce(jump("jc"), folded("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val s = compSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      it += 1
-    }
+    try {
+      while (!converged && it < maxIter) {
+        val prop = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("comp"))
+        // the jump join's two sides both read the fold; its shuffle stage is
+        // computed once and re-read (exchange reuse), so no eager
+        // materialization is needed before the round's single checkpoint
+        val folded = labels.union(prop)
+          .groupBy("node").agg(min("comp").as("comp"))
+        // pointer jump: relabel through the label's own current label (the
+        // renamed copy keeps the self-join's attributes unambiguous)
+        val jump = folded.toDF("jn", "jc")
+        val next = folded
+          .join(jump, folded("comp") === jump("jn"), "left")
+          .select(folded("node"),
+            least(folded("comp"), coalesce(jump("jc"), folded("comp"))).as("comp"))
+          .localCheckpoint(true)
+        val s = compSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = next
+        it += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", outerParts)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
