@@ -174,10 +174,15 @@ object DedupOps {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint(true)
-    var labels = nodes.select(col("node"))
-      .union(edges.select(col("src").as("node")))
-      .distinct()
-      .select(col("node"), col("node").as("comp"))
+    // seed labels at min(node, min neighbour) — exactly the min-fold a
+    // first identity-labelled round would compute, so the loop starts one
+    // round ahead at the cost of folding the neighbour min into the same
+    // aggregate that already deduplicates the node universe. Same fixpoint
+    // (seed ≥ component-min pointwise, monotone descent unchanged).
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+      .union(edges.select(col("src").as("node"), col("src").as("comp")))
+      .union(edges.select(col("dst").as("node"), col("src").as("comp")))
+      .groupBy("node").agg(min("comp").as("comp"))
       .localCheckpoint(true)
     // Convergence via a MONOTONE invariant instead of a per-round
     // label-diff join: comp is non-increasing per node (min-fold and jump
