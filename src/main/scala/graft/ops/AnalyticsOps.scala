@@ -1441,7 +1441,18 @@ object AnalyticsOps {
     * them. Scale shape: reuses [[histogramDrift]]'s persisted cell table
     * (the event-sized aggregate runs once); the cumulative window is
     * partitioned per (key, period) over bin-count-sized frames; the final
-    * aggregate is cell-sized. */
+    * aggregate is cell-sized.
+    *
+    * RANGE BOUND (non-ANSI overflow semantics): the decimal(19,0)
+    * cumulants overflow — and silently null the row under Spark's
+    * non-ANSI mode — once cum·m (or cum·n) reaches 10^19, i.e. when a
+    * (key, period) pair's n·m product approaches 10^19 events². The
+    * streaming twin ([[graft.streaming.StreamStage]] emdKsDriftStream)
+    * folds the same cumulants in BigInt and stays exact past that point,
+    * so batch and stream agree bit-for-bit only below the bound. If
+    * per-period event counts can exceed ~3·10^9 per side, widen `big` to
+    * decimal(38,0) on the batch side (and re-generate the q144 mirror in
+    * the same commit — see verify-skill round-4 notes). */
   def emdKsDrift(
       events: DataFrame,
       keyCol: Column,

@@ -54,7 +54,14 @@ object SimilarityOps {
     * pass with the language predicate applied MAP-SIDE (no corpus
     * shuffle); the rank window partitions per query over the top-k
     * survivors. For an all-docs query side at 100 TB, bucket with
-    * [[rhpSignature]] first, exactly like the near-dup path. */
+    * [[rhpSignature]] first, exactly like the near-dup path.
+    *
+    * METADATA CONTRACT: both sides inner-join `meta` on vec_id ≡ doc_id,
+    * so a query (or corpus) vector with no (doc_id, lang) row is silently
+    * DROPPED — an empty result for a query can mean "no cross-lingual
+    * neighbours" or "query had no metadata". Callers needing to
+    * distinguish should anti-join their query set against `meta` first;
+    * the q152 corpus guarantees 1:1 vec↔doc coverage. */
   def crossLingualTopK(
       corpus: DataFrame, // (vec_id, embedding)
       meta: DataFrame, // (doc_id, lang)

@@ -45,6 +45,30 @@ class SimilarityOpsSpec extends SparkTestBase {
     assert(pairs.filter($"vec_b" === $"vec_a" + 100000 && $"sim" >= 0.999999).count() == 100)
   }
 
+  test("corpus guard: RHP-LSH chunk buckets stay under the q151/q18 cap") {
+    // q151's oracle is the exact all-pairs cosine closure, which is only
+    // valid while lshNearDupPairs never truncates a bucket
+    // (maxBucketSize = 256): a generator change that grows an LSH bucket
+    // past the cap would silently drop true pairs and surface as an opaque
+    // oracle mismatch. Pin it here as a NAMED guard instead, at the q151
+    // gate composition (corpus ∪ clones doubles every bucket — the worst
+    // case the oracle actually runs).
+    val base = emb.select($"vec_id", $"embedding")
+    val clones = base.select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    val union = base.union(clones)
+    val nBits = 32
+    val sig = SimilarityOps.rhpSignature($"embedding", nBits).as("sig")
+    val maxBucket = union.select($"vec_id", sig)
+      .select(explode(array((0 until nBits / 8).map(c =>
+        concat_ws(":", lit(c), shiftright($"sig", c * 8).bitwiseAND(lit(0xffL)))): _*))
+        .as("chunk"))
+      .groupBy("chunk").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxBucket <= 256,
+      s"LSH bucket of $maxBucket exceeds the 256 cap — q151's exact-closure " +
+        "oracle is no longer lossless; re-check the corpus generator")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force") {
     val queries = emb.filter($"vec_id" < 10)
     val exact = SimilarityOps.bruteForceTopK(emb, queries, 5).collect()
