@@ -101,6 +101,52 @@ object BenchExtra {
           println(f"[noop] $name%-28s $dt%8.3f s")
         }
 
+      case "nocodegen" =>
+        // measure whole-stage-codegen's compile cost on one-shot queries:
+        // each distinct query compiles its own Janino classes on first
+        // execution, which at metadata-sized inputs can exceed the
+        // interpreted execution cost
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val filt = args.lift(1)
+        var tot = 0.0
+        for ((name, fn) <- queriesMatching(filt)) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          val dt = (System.nanoTime() - t0) / 1e9
+          tot += dt
+          println(f"[nocodegen] $name%-28s $dt%8.3f s")
+        }
+        println(f"[nocodegen] TOTAL: $tot%8.2f s")
+
+      case "one" =>
+        // run one query `reps` times with a per-stage listener — isolates
+        // where a single query's wall time goes (scan vs exchange vs agg)
+        val qname = args(1)
+        val reps = args.lift(2).map(_.toInt).getOrElse(3)
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          private val sums = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          private val cpus = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            sums.merge(e.stageId, e.taskInfo.duration, (a, b) => a + b)
+            if (e.taskMetrics != null)
+              cpus.merge(e.stageId, e.taskMetrics.executorCpuTime, (a, b) => a + b)
+          }
+          override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            println(f"[one-stage] id=${si.stageId} tasks=${si.numTasks} " +
+              f"wall=${wall / 1e3}%.2fs taskSum=${sums.getOrDefault(si.stageId, 0L) / 1e3}%.2fs " +
+              f"cpuSum=${cpus.getOrDefault(si.stageId, 0L) / 1e9}%.2fs " +
+              f"name=${si.name.takeWhile(_ != '(').trim}")
+          }
+        })
+        val fn = SparkEntry.queries(qname)
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          println(f"[one] $qname rep $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+
       case "explain" =>
         val outDir = args(1)
         val filt = args.lift(2)

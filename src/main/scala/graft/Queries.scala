@@ -1989,9 +1989,9 @@ object Queries {
   /** Queries whose dominant stage is per-key KERNEL CPU (ClaSP/ClaSS
     * segmentation, CLaP state detection, matrix-profile discords, DTW,
     * FFT/ACF period search): their shuffles are tiny in bytes but
-    * heavy-tailed in per-key cost, so they keep the session default's
-    * 8×cores fan-out instead of the size-derived width — see
-    * [[graft.ops.Adaptive]]. */
+    * heavy-tailed in per-key cost, so their partition floor is the full
+    * core count with no byte cap, instead of the size-derived width — see
+    * [[graft.ops.Adaptive]] (and its DenseMult knob). */
   private val cpuDenseQueries: Set[String] = Set(
     "q13_epoch_rollup_1h", "q14_clasp_summary", "q23_crawl_pipeline_1d",
     "q24_stream_summary", "q25_stream_cps", "q27_state_detection",

@@ -21,8 +21,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   partitions = max(ceil(inputBytes / 128 MB),                 // target size
   *                    min(defaultParallelism, ceil(inputBytes / 1 MB)))
-  *   // cpuDense queries: floor = defaultParallelism × 8, no byte minimum
-  *   //   (their bytes understate cost by construction)
+  *   // cpuDense queries: floor = defaultParallelism × DenseMult, no byte
+  *   //   minimum (their bytes understate cost by construction)
   *
   * - The 128 MB target is the guide's 100 MB–1 GB post-shuffle partition
   *   size; at 100 TB it dominates (~800k partitions) and the floor is
@@ -33,10 +33,10 @@ import org.apache.spark.sql.SparkSession
   *   `minPartitionSize` default): partitions an order of magnitude smaller
   *   than that are pure scheduling overhead (measured below).
   * - CPU-dense queries (ClaSP/ClaSS kernel stages, DTW, matrix-profile
-  *   style per-key O(n²) work) keep the 8× fan-out the bench session
-  *   default encodes: their shuffles are small in bytes but heavy-tailed in
-  *   per-key CPU, so extra partitions let fast tasks drain around
-  *   stragglers regardless of byte counts.
+  *   style per-key O(n²) work) floor at the FULL defaultParallelism with
+  *   no byte minimum: their shuffles are small in bytes but heavy in
+  *   per-key CPU, so every core must get a slot regardless of byte counts
+  *   (the over-decomposition multiplier is [[DenseMult]], measured below).
   *
   * This is session-conf based (`spark.sql.shuffle.partitions` is read at
   * action time) — every query fn sets its own value on entry, so ordering
@@ -65,6 +65,19 @@ object Adaptive {
     sys.env.get("SPARK_GRAFT_AQE_MIN_BYTES").map(_.toLong)
       .getOrElse(1024L * 1024 * 1024)
 
+  /** Straggler-drain width multiplier for CPU-dense kernel queries.
+    * Default 1: the dense floor is the FULL defaultParallelism (every core
+    * gets a slot regardless of byte counts — unlike ordinary queries,
+    * whose floor is byte-capped). Measured over the 11 dense queries at
+    * sf0.1/local[32], back-to-back same-config sweeps: floor×8 = 15.6 s,
+    * ×2 = 13.6 s, ×1 = 12.5 s — the extra over-decomposition costs more
+    * in task scheduling than it saves in straggler drain at these key
+    * counts. Deployments with heavier per-key tails can raise
+    * SPARK_GRAFT_DENSE_MULT (the kernel PIPELINE keeps the bench
+    * session's own 8×cores conf either way). */
+  val DenseMult: Long =
+    sys.env.get("SPARK_GRAFT_DENSE_MULT").map(_.toLong).getOrElse(1L)
+
   private val dirBytesCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Total bytes under `dir` (recursive, local/posix path — the bench and
@@ -80,8 +93,8 @@ object Adaptive {
     })
 
   /** Shuffle width for a query over `dir`: size-derived with a
-    * parallelism floor; `cpuDense` widens the floor 8× for kernel-stage
-    * queries (see object doc). */
+    * parallelism floor; `cpuDense` lifts the floor's byte cap for
+    * kernel-stage queries (see object doc and [[DenseMult]]). */
   def shufflePartitions(spark: SparkSession, dir: String, cpuDense: Boolean): Int = {
     val bytes = math.max(1L, inputBytes(dir))
     val target = (bytes + TargetPartitionBytes - 1) / TargetPartitionBytes
@@ -89,8 +102,9 @@ object Adaptive {
       if (cpuDense)
         // kernel-stage shuffles: bytes understate cost by construction (the
         // per-key work is O(n²) ClaSP/CLaP/DTW CPU), so the byte-based
-        // minimum does NOT apply — keep the full 8× straggler-drain fan-out
-        spark.sparkContext.defaultParallelism.toLong * 8
+        // minimum does NOT apply — keep the straggler-drain fan-out
+        // ([[DenseMult]]; SPARK_GRAFT_DENSE_MULT overrides)
+        spark.sparkContext.defaultParallelism.toLong * DenseMult
       else
         math.min(spark.sparkContext.defaultParallelism.toLong,
           (bytes + MinPartitionBytes - 1) / MinPartitionBytes)
