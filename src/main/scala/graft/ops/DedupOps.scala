@@ -14,11 +14,25 @@ object DedupOps {
     * yields B² candidate pairs, so one hot key can dominate the whole job
     * (classic LSH skew). Capping trades bounded recall loss on pathological
     * buckets for a hard bound on join fan-out — pairs inside a dropped
-    * bucket usually still collide in another band. */
-  private[ops] def capBuckets(df: DataFrame, key: String, cap: Int): DataFrame = {
-    val sizes = df.groupBy(key).count().filter(col("count") <= cap).drop("count")
-    df.join(sizes, Seq(key), "left_semi")
-  }
+    * bucket usually still collide in another band.
+    *
+    * Implemented as a window count over one `key`-partitioned exchange
+    * (r6 optimization, guide §2.4) instead of the former groupBy-count +
+    * left-semi-join: the semi-join shape evaluated `df` TWICE (count build
+    * + probe), and because the capped table feeds a self-join downstream,
+    * the expensive signature scan below it ran up to 3× per LSH call. The
+    * window shape puts ONE Exchange(key) under the cap; both self-join
+    * sides canonicalize to the same exchange and Spark's ReuseExchange
+    * computes the signature scan once. Skew exposure is unchanged: the
+    * bucket-local candidate join already co-locates each bucket on one
+    * partition, and oversized buckets are dropped right after counting.
+    * The isNotNull filter reproduces the semi-join's null-key drop. */
+  private[ops] def capBuckets(df: DataFrame, key: String, cap: Int): DataFrame =
+    df.filter(col(key).isNotNull)
+      .withColumn("_bucket_n",
+        count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("_bucket_n") <= cap)
+      .drop("_bucket_n")
 
   /** Exact dedup: first doc_id wins per byte-identical text. At scale this
     * is one hash-shuffle on a 64-bit digest, never on the full text. */
@@ -168,9 +182,19 @@ object DedupOps {
     // keys on src, and localCheckpoint preserves physical partitioning, so
     // the edge side of that join never re-shuffles after round 0 (the
     // distinct()'s (src, dst) partitioning would otherwise force one edge
-    // exchange EVERY round — r6 plan diff: 2 exchanges/round → 1)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // exchange EVERY round — r6 plan diff: 2 exchanges/round → 1).
+    // Symmetrize with ONE explode instead of union(select(a,b),
+    // select(b,a)): the union shape evaluated the whole `pairs` subtree —
+    // for the dedup pipelines that is the LSH candidate join plus the
+    // exact-verification pass — TWICE, once per branch (the swapped
+    // projections canonicalize differently, so no exchange reuse above
+    // the pairs plan's last exchange). The explode emits both directions
+    // from a single evaluation; distinct() then dedupes exactly as before.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .repartition(col("src"))
       .localCheckpoint(true)
