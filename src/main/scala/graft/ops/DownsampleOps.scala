@@ -95,11 +95,18 @@ object DownsampleOps {
     * with url_a < url_b (the input key's native ordering). */
   def saxMotifPairs(words: DataFrame, maxBucket: Int = 50): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val sized = words.groupBy("frame", "word")
-      .agg(count(lit(1)).as("__n"))
+    // window count over one (frame, word)-keyed exchange instead of the
+    // former groupBy-count + inner-join membership (r6, guide §2.4): the
+    // join shape evaluated the SAX word table — a per-frame quantile
+    // discretization over the events — three times (count build + one per
+    // self-join side); with the window, both self-join sides canonicalize
+    // to the same exchange and ReuseExchange computes the word table once.
+    // The isNotNull filters reproduce the inner join's null-key drop.
+    val member = words
+      .filter(col("frame").isNotNull && col("word").isNotNull)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("frame", "word")))
       .filter(col("__n") >= 2 && col("__n") <= maxBucket)
-      .select("frame", "word")
-    val member = words.join(sized, Seq("frame", "word"))
       .select(col("frame"), col("word"), col("key"))
     val a = member.select(col("frame"), col("word"), col("key").as("url_a"))
     val b = member.select(col("frame"), col("word"), col("key").as("url_b"))
