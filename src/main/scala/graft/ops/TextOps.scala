@@ -329,9 +329,20 @@ object TextOps {
       labeled: DataFrame,
       goldCol: Column,
       predCol: Column): DataFrame = {
+    // materialize the (gold, pred) cells eagerly (r6, guide §2.4): the
+    // four downstream branches (byGold/byPred/tp + the classes union)
+    // each acquire branch-specific pushed-down predicates (isnotnull on
+    // their join key, gold = pred for tp), which make the subtrees
+    // canonicalize differently — so WITHOUT the checkpoint the
+    // corpus-sized scan+aggregate ran once per branch (~5×; exchange
+    // reuse cannot fire across differing pushdowns). The cells table is
+    // |gold classes| × |pred classes| rows — checkpointing it is free at
+    // any corpus scale and makes the "everything after is
+    // class-count-sized" contract hold at runtime.
     val pairs = labeled
       .groupBy(goldCol.as("gold"), predCol.as("pred"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val byGold = pairs.groupBy(col("gold").as("cls"))
       .agg(sum("n").as("support"))
     val byPred = pairs.groupBy(col("pred").as("cls"))
