@@ -1346,15 +1346,24 @@ object Queries {
     // via mergeUpserts; the materialized store is then SERVED through the
     // Catalyst continuous-aggregate rewrite, min/max included.
     "q100_ca_lifecycle" -> ((s, dir) => {
-      def hourAgg(df: DataFrame) = df
+      val ev = events(s, dir)
+      // ONE parity-keyed hour aggregate feeds both lifecycle halves (r6,
+      // guide §2.4): the old per-half hourAgg(filter(parity)) shapes were
+      // re-evaluated by the upsert join AND by mergeUpserts' two upsert
+      // references — ~5 event-sized scans per run. The parity aggregate is
+      // exact under regrouping (long counts, decimal sums, min/max), and
+      // the checkpoint is (user × hour × 2)-sized, so stored1/delta become
+      // free filters. Values are bit-identical (q100 oracle hash-pinned).
+      val parts = ev
         .groupBy(col("user_id"),
-          date_trunc("hour", col("ts")).as("bucket_start"))
+          date_trunc("hour", col("ts")).as("bucket_start"),
+          pmod(col("event_id"), lit(2)).as("par"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(12,2)")).as("vsum"),
           min("value").as("vmin"), max("value").as("vmax"))
-      val ev = events(s, dir)
-      val stored1 = hourAgg(ev.filter(pmod(col("event_id"), lit(2)) === 0))
-      val delta = hourAgg(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+        .localCheckpoint(true)
+      val stored1 = parts.filter(col("par") === 0).drop("par")
+      val delta = parts.filter(col("par") === 1).drop("par")
       val upserts = delta.as("d")
         .join(stored1.as("p"), Seq("user_id", "bucket_start"), "left")
         .select(col("user_id"), col("bucket_start"),
