@@ -330,13 +330,19 @@ object DedupOps {
     * scan), then one digest-keyed shuffle; the `rn = 1`-style min is a
     * per-digest aggregate joined back by digest, and groups are tiny
     * (duplicate cardinality), so no window over the corpus is needed. */
-  def normalizedDedup(documents: DataFrame): DataFrame = {
-    val digested = documents.select(col("doc_id"), normDigest.as("digest"))
-    val canon = digested.groupBy("digest").agg(min("doc_id").as("canonical"))
-    digested.join(canon, Seq("digest"))
+  def normalizedDedup(documents: DataFrame): DataFrame =
+    // window min over one digest-keyed exchange (r6, guide §2.4) instead
+    // of the former groupBy-min + join-back, whose two references each
+    // re-ran the normalize+md5 scan over the full text. Same shape as
+    // q05's exact dedup (digest computed map-side; text never rides the
+    // exchange). The isNotNull filter reproduces the old inner join's
+    // null-digest drop.
+    documents.select(col("doc_id"), normDigest.as("digest"))
+      .filter(col("digest").isNotNull)
+      .withColumn("canonical",
+        min("doc_id").over(Window.partitionBy("digest")))
       .select(col("doc_id"), col("digest"), col("canonical"),
         (col("doc_id") === col("canonical")).as("keep"))
-  }
 
   /** Normalized digest of a text column — collapse BEFORE trim: trim()
     * strips spaces only, so edge tabs/newlines must first be folded into
