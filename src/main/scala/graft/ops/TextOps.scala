@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a large-scale training-data pipeline, all
   * expressed with codegen'd built-in functions (no UDFs in the hot path).
@@ -636,12 +637,23 @@ object TextOps {
             element_at(col("t"), i + 2)).as("g")))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.t1").as("t1"),
         col("s.g").as("g"))
+    // unigram counts are vocab-sized — checkpoint them so the vocabulary
+    // scalar and the context join read ONE tokenize+explode pass instead
+    // of re-running it per reference (the left join pushes isnotnull(t1)
+    // into its copy, so the two subtrees cannot share an exchange) (r6,
+    // guide §2.4)
     val uni = docToks.select(explode(col("t")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val vocab = uni.agg(count(lit(1)).as("v"))
     val terms = grams
-      .join(grams.filter(col("g").isNotNull)
-        .groupBy("g").agg(count(lit(1)).as("c2")), Seq("g"), "left")
+      // bigram count via a window over the gram-keyed exchange instead of
+      // the former groupBy+join-back, which re-evaluated the corpus-sized
+      // gram stream a second time. For null-g rows (gram-less docs) the
+      // window count is computed over the null partition but never read —
+      // the term expression is NULL for them exactly as the old left
+      // join's missing match was.
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("g")))
       .join(uni.withColumnRenamed("tok", "t1"), Seq("t1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("pos"),
