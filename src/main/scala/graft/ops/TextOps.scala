@@ -812,6 +812,12 @@ object TextOps {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      // the bigram-type count table is the LM artifact every downstream
+      // table derives from — checkpoint it so ctx/cont/types and the
+      // final smoothing chain read ONE corpus explode+aggregate instead
+      // of re-running it per reference (their differing pushed-down
+      // predicates defeat exchange sharing) (r6, guide §2.4)
+      .localCheckpoint(true)
     val ctx = big.groupBy("w1").agg(
       sum("c_xy").as("c_w1"), count(lit(1)).as("n_follow"))
     val cont = big.groupBy("w2").agg(count(lit(1)).as("n_precede"))
