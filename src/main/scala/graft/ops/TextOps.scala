@@ -71,9 +71,13 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n"))
-    val scored = tf.join(df_, "term")
+    // df via a window over the term partition instead of the former
+    // groupBy+join-back, which re-ran the corpus-sized explode+aggregate
+    // behind `tf` for both references (r6, guide §2.4); values identical
+    // (integer count per term)
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") *
         (log((col("n").cast("double") + lit(1.0))
@@ -174,6 +178,10 @@ object TextOps {
       .orderBy(col("cc").desc, col("tok")).limit(topN)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cc").desc, col("tok"))))
+      // topN rows, but its three references (membership broadcast, grid
+      // broadcast, corpus total) each re-ran the corpus-sized token
+      // aggregate behind it — checkpoint so it computes once (r6, §2.4)
+      .localCheckpoint(true)
     val grpCounts = toks
       .join(broadcast(top.select("tok", "rank")), Seq("tok"))
       .groupBy("grp", "rank").agg(count(lit(1)).as("gc"))
@@ -704,18 +712,26 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-    val stats = pairs.groupBy("token")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    // df/cf as windows over the SAME token partition the posting rank
+    // already uses (r6, guide §2.4): the former stats/postings pair each
+    // re-ran the corpus-sized explode+aggregate behind `pairs` and joined
+    // back; all three window aggregates now share one token-keyed
+    // exchange and one evaluation, and the final per-token aggregate
+    // reuses that partitioning (no further exchange). Values identical:
+    // integer df/cf, same per-token doc_id ranking, and the df filter
+    // keeps exactly the tokens the old inner join kept.
+    val wTok = Window.partitionBy("token")
+    val w = wTok.orderBy(col("doc_id"))
+    pairs
+      .withColumn("df", count(lit(1)).over(wTok))
+      .withColumn("cf", sum("tf").over(wTok))
       .filter(col("df") >= minDf)
-    val w = Window.partitionBy("token").orderBy(col("doc_id"))
-    val postings = pairs
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= postingCap)
-      .groupBy("token")
+      .groupBy("token", "df", "cf")
       .agg(concat_ws(",",
         transform(sort_array(collect_list(col("doc_id"))),
           d => d.cast("string"))).as("postings"))
-    stats.join(postings, "token")
       .select(col("token"), col("df"), col("cf"), col("postings"))
   }
 
@@ -749,6 +765,9 @@ object TextOps {
     val base = documents.select(toks.as("t"))
     val uni = base.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      // vocab-sized; checkpointed so the w1 and w2 attach joins read one
+      // tokenize+explode pass instead of two (r6, guide §2.4)
+      .localCheckpoint(true)
     val nBig = greatest(size(col("t")) - 1, lit(0))
     val totals = base.agg(
       sum(size(col("t")).cast("long")).as("nu"),
