@@ -746,25 +746,33 @@ object AnalyticsOps {
       valueCol: Column,
       k: Double): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // single-pass shape (r6, guide §2.4): the old median/MAD tables were
+    // rank-filtered copies joined back onto the data, and each join
+    // reference re-ran the event scan (~4 passes). Both medians are now
+    // window aggregates over the SAME (key, bucket) partition the ranks
+    // already use — max(when(rn = target)) picks the identical
+    // lower-median element — so the whole computation runs on one scan
+    // and one exchange. The isNotNull filter reproduces the old inner
+    // joins' null-key drop.
     val o = events.select(keyCol.as("key"), bucketCol.as("bucket"),
       tieCol.as("tie"), valueCol.cast("double").as("value"),
       (valueCol.cast("decimal(12,2)") * lit(100)).cast("long").as("__vc"))
+      .filter(col("key").isNotNull && col("bucket").isNotNull)
     val wp = Window.partitionBy("key", "bucket")
     val wv = wp.orderBy("__vc", "tie")
-    val med = o
+    val dev = o
       .withColumn("__rn", row_number().over(wv))
       .withColumn("__n", count(lit(1)).over(wp))
-      .filter(col("__rn") === floor((col("__n") + 1) / 2))
-      .select(col("key"), col("bucket"), col("__vc").as("__med"))
-    val dev = o.join(med, Seq("key", "bucket"))
+      .withColumn("__med",
+        max(when(col("__rn") === floor((col("__n") + 1) / 2),
+          col("__vc"))).over(wp))
       .withColumn("__dev", abs(col("__vc") - col("__med")))
     val wd = wp.orderBy("__dev", "tie")
-    val mad = dev
-      .withColumn("__rn", row_number().over(wd))
-      .withColumn("__n", count(lit(1)).over(wp))
-      .filter(col("__rn") === floor((col("__n") + 1) / 2))
-      .select(col("key"), col("bucket"), col("__dev").as("__mad"))
-    dev.join(mad, Seq("key", "bucket"))
+    dev
+      .withColumn("__rd", row_number().over(wd))
+      .withColumn("__mad",
+        max(when(col("__rd") === floor((col("__n") + 1) / 2),
+          col("__dev"))).over(wp))
       .select(col("key"), col("bucket"), col("tie"), col("value"),
         (col("__med").cast("double") / lit(100.0)).as("median"),
         (col("__mad").cast("double") / lit(100.0)).as("mad"),
@@ -1631,6 +1639,10 @@ object AnalyticsOps {
       .groupBy(keyCol.as("key"))
       .agg((min(day) / lit(86400000L)).cast("long").as("f"),
         (max(day) / lit(86400000L)).cast("long").as("l"))
+      // key-count-sized; checkpointed so the anchor aggregate and the
+      // lifetime classification read one event-sized pass, not two
+      // (r6, guide §2.4)
+      .localCheckpoint(true)
     val anchor = spans.agg(count(lit(1)).as("total"),
       max(col("l")).as("max_day"))
     val evts = spans.crossJoin(broadcast(anchor))
