@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Behavioral event analytics: ordered-funnel completion and cohort
   * retention — the two queries every event warehouse answers daily, shaped
@@ -37,8 +38,15 @@ object FunnelOps {
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val base = events.select(userCol.as("user"), tsCol.as("ts"),
       typeCol.as("etype"))
+    // each fold step references the accumulated funnel table twice (the
+    // step's survivor join + the outer left join), so without the
+    // checkpoints the whole prefix of event scans re-ran per step —
+    // 10 scans for a 3-step funnel instead of one per step (r6, guide
+    // §2.4). The accumulator is user-count-sized, so the eager
+    // checkpoints are cheap at any event scale.
     val first = base.filter(col("etype") === steps.head)
       .groupBy("user").agg(min(col("ts")).as("ts_1"))
+      .localCheckpoint(true)
     val completed = steps.zipWithIndex.tail.foldLeft(first) {
       case (acc, (step, i)) =>
         val prevTs = s"ts_$i"
@@ -48,6 +56,7 @@ object FunnelOps {
           .filter(col("ts") > col(prevTs))
           .groupBy("user").agg(min(col("ts")).as(stepTs))
         acc.join(next.select("user", stepTs), Seq("user"), "left")
+          .localCheckpoint(true)
     }
     val depth = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
       acc + when(col(s"ts_${i + 1}").isNotNull, 1).otherwise(0)
@@ -79,9 +88,15 @@ object FunnelOps {
     val base = events.select(userCol.as("user"),
       floor(unix_millis(tsCol.cast("timestamp")) / lit(periodMs))
         .cast("long").as("period"))
-    val cohorts = base.groupBy("user").agg(min(col("period")).as("cohort"))
-    val activity = base.distinct()
-    activity.join(cohorts, Seq("user"))
+    // cohort = min period per user, computed as a window over the
+    // distinct activity table instead of a separate aggregate joined
+    // back — the join's two references each re-ran the event scan (r6,
+    // guide §2.4). min over distinct periods equals min over raw events,
+    // so values are identical; the isNotNull filter reproduces the old
+    // inner join's null-user drop.
+    base.filter(col("user").isNotNull)
+      .distinct()
+      .withColumn("cohort", min("period").over(Window.partitionBy("user")))
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("active_users"))
   }
