@@ -120,6 +120,9 @@ object TextOps {
       .select(groupCol.as("grp"), explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+      // vocab-sized; checkpointed so the vocabulary count and the rank
+      // window read one corpus tokenize+explode pass, not two (r6, §2.4)
+      .localCheckpoint(true)
     val vocab = tf.groupBy("grp").agg(count(lit(1)).as("vocab_size"))
     val w = Window.partitionBy("grp").orderBy(col("c").desc, col("tok"))
     val ranked = tf.withColumn("rnk", row_number().over(w))
@@ -249,13 +252,21 @@ object TextOps {
         shiftright(docIdCol.cast("long"), chunkShift).as("chunk"),
         explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val firstChunk = toks.groupBy("grp", "tok")
+    // ONE corpus tokenize+explode pass (r6, guide §2.4): first-seen and
+    // per-chunk totals both derive from the (grp, tok, chunk) count
+    // aggregate, which is vocab×chunk-sized and checkpointed; the four
+    // downstream references previously each re-ran the corpus explode.
+    // sum(c) per (grp, chunk) equals the old direct token count exactly.
+    val pairs = toks.groupBy("grp", "tok", "chunk")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val firstChunk = pairs.groupBy("grp", "tok")
       .agg(min("chunk").as("first_chunk"))
     val newPerChunk = firstChunk
       .groupBy(col("grp"), col("first_chunk").as("chunk"))
       .agg(count(lit(1)).as("new_toks"))
-    val tokPerChunk = toks.groupBy("grp", "chunk")
-      .agg(count(lit(1)).as("n_toks"))
+    val tokPerChunk = pairs.groupBy("grp", "chunk")
+      .agg(sum("c").as("n_toks"))
     // every chunk with a first-seen token also has tokens, so left join
     val w = Window.partitionBy("grp").orderBy("chunk")
     val cum = tokPerChunk
