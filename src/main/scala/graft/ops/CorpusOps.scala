@@ -45,7 +45,14 @@ object CorpusOps {
     import graft.functions.functions.hashed_shingles
     val grams = documents.select(col("doc_id"),
       explode(hashed_shingles(col("text"), k)).as("g"))
-    val evalGrams = grams.join(evalIds, Seq("doc_id")).select("g").distinct()
+    // restrict to eval docs BEFORE shingling (r6, guide §2.3 project
+    // early): the old grams ⋈ evalIds shape computed shingles for the
+    // whole corpus and then kept the eval slice — the join cannot be
+    // pushed below the explode. Same gram set, one benchmark-sized
+    // shingle pass instead of a corpus-sized one.
+    val evalGrams = documents.join(evalIds, Seq("doc_id"))
+      .select(explode(hashed_shingles(col("text"), k)).as("g"))
+      .distinct()
     val contaminated = grams.join(broadcast(evalGrams), Seq("g"))
       .select("doc_id").distinct()
     documents.select("doc_id")
