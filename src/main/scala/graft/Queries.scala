@@ -1361,6 +1361,12 @@ object Queries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(12,2)")).as("vsum"),
           min("value").as("vmin"), max("value").as("vmax"))
+        // repartition on the UPSERT JOIN's key before checkpointing: the
+        // aggregate's (user, bucket, par) partitioning would not satisfy
+        // the joins on (user, bucket), forcing them to re-exchange both
+        // checkpointed sides; localCheckpoint preserves this partitioning
+        // so the upsert join and mergeUpserts' anti-join run exchange-free
+        .repartition(col("user_id"), col("bucket_start"))
         .localCheckpoint(true)
       val stored1 = parts.filter(col("par") === 0).drop("par")
       val delta = parts.filter(col("par") === 1).drop("par")
