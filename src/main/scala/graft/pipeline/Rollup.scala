@@ -578,13 +578,18 @@ object Rollup {
       agg: DataFrame, // columns: key, bucket (timestamp), mean (double)
       bucketSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = agg.groupBy("key")
+    // the span build and the fill join both reference `agg`, and each
+    // reference re-ran the caller's event-sized aggregate behind it;
+    // checkpoint the (key × bucket)-sized frame so it computes once
+    // (r6, guide §2.4 — same in the linear/nearest variants)
+    val aggM = agg.localCheckpoint(true)
+    val spans = aggM.groupBy("key")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
       .select(col("key"), explode(
         sequence(col("b0"), col("b1"), expr(s"interval $bucketSeconds seconds"))).as("bucket"))
     val w = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spans.join(agg, Seq("key", "bucket"), "left")
+    spans.join(aggM, Seq("key", "bucket"), "left")
       .withColumn("gap_filled", col("mean").isNull)
       .withColumn("mean", last("mean", ignoreNulls = true).over(w))
   }
@@ -602,7 +607,8 @@ object Rollup {
       agg: DataFrame, // columns: key, bucket (timestamp), mean (double)
       bucketSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = agg.groupBy("key")
+    val aggM = agg.localCheckpoint(true) // see gapFillLocf
+    val spans = aggM.groupBy("key")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
       .select(col("key"), explode(
         sequence(col("b0"), col("b1"), expr(s"interval $bucketSeconds seconds"))).as("bucket"))
@@ -611,7 +617,7 @@ object Rollup {
     val wNext = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsTs = when(col("raw").isNotNull, col("bucket"))
-    val joined = spans.join(agg.withColumnRenamed("mean", "raw"), Seq("key", "bucket"), "left")
+    val joined = spans.join(aggM.withColumnRenamed("mean", "raw"), Seq("key", "bucket"), "left")
       .withColumn("prev_v", last("raw", ignoreNulls = true).over(wPrev))
       .withColumn("prev_t", last(obsTs, ignoreNulls = true).over(wPrev))
       .withColumn("next_v", first("raw", ignoreNulls = true).over(wNext))
@@ -643,7 +649,8 @@ object Rollup {
       agg: DataFrame, // columns: key, bucket (timestamp), mean (double)
       bucketSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = agg.groupBy("key")
+    val aggM = agg.localCheckpoint(true) // see gapFillLocf
+    val spans = aggM.groupBy("key")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
       .select(col("key"), explode(
         sequence(col("b0"), col("b1"), expr(s"interval $bucketSeconds seconds"))).as("bucket"))
@@ -652,7 +659,7 @@ object Rollup {
     val wNext = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsTs = when(col("raw").isNotNull, col("bucket"))
-    val joined = spans.join(agg.withColumnRenamed("mean", "raw"), Seq("key", "bucket"), "left")
+    val joined = spans.join(aggM.withColumnRenamed("mean", "raw"), Seq("key", "bucket"), "left")
       .withColumn("prev_v", last("raw", ignoreNulls = true).over(wPrev))
       .withColumn("prev_t", last(obsTs, ignoreNulls = true).over(wPrev))
       .withColumn("next_v", first("raw", ignoreNulls = true).over(wNext))
