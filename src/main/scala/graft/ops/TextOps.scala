@@ -723,26 +723,26 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-    // df/cf as windows over the SAME token partition the posting rank
-    // already uses (r6, guide §2.4): the former stats/postings pair each
-    // re-ran the corpus-sized explode+aggregate behind `pairs` and joined
-    // back; all three window aggregates now share one token-keyed
-    // exchange and one evaluation, and the final per-token aggregate
-    // reuses that partitioning (no further exchange). Values identical:
-    // integer df/cf, same per-token doc_id ranking, and the df filter
-    // keeps exactly the tokens the old inner join kept.
-    val wTok = Window.partitionBy("token")
-    val w = wTok.orderBy(col("doc_id"))
-    pairs
-      .withColumn("df", count(lit(1)).over(wTok))
-      .withColumn("cf", sum("tf").over(wTok))
+    // NOTE (r6): deliberately KEPT as two branches over `pairs` rather
+    // than fusing df/cf into windows on the posting exchange — the stats
+    // branch partial-aggregates map-side (one row per token per
+    // partition crosses) and the posting branch prunes to `postingCap`
+    // rows per token BELOW the shuffle via WindowGroupLimit
+    // (PlanSpec-pinned), so the fused single-exchange shape would ship
+    // the entire (token, doc) table at 100 TB where this one ships
+    // near-nothing. The price is a second pruned scan — the right trade.
+    val stats = pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .filter(col("df") >= minDf)
+    val w = Window.partitionBy("token").orderBy(col("doc_id"))
+    val postings = pairs
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= postingCap)
-      .groupBy("token", "df", "cf")
+      .groupBy("token")
       .agg(concat_ws(",",
         transform(sort_array(collect_list(col("doc_id"))),
           d => d.cast("string"))).as("postings"))
+    stats.join(postings, "token")
       .select(col("token"), col("df"), col("cf"), col("postings"))
   }
 
