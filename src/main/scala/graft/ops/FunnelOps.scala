@@ -39,14 +39,14 @@ object FunnelOps {
     val base = events.select(userCol.as("user"), tsCol.as("ts"),
       typeCol.as("etype"))
     // each fold step references the accumulated funnel table twice (the
-    // step's survivor join + the outer left join), so without the
-    // checkpoints the whole prefix of event scans re-ran per step —
-    // 10 scans for a 3-step funnel instead of one per step (r6, guide
-    // §2.4). The accumulator is user-count-sized, so the eager
-    // checkpoints are cheap at any event scale.
+    // step's survivor join + the outer left join), so without sharing
+    // the whole prefix of event scans re-ran per step — 10 scans for a
+    // 3-step funnel instead of one per step (r6, guide §2.4). The
+    // accumulator is user-count-sized; lazy persist shares one
+    // computation per step without adding eager job boundaries.
     val first = base.filter(col("etype") === steps.head)
       .groupBy("user").agg(min(col("ts")).as("ts_1"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val completed = steps.zipWithIndex.tail.foldLeft(first) {
       case (acc, (step, i)) =>
         val prevTs = s"ts_$i"
@@ -56,7 +56,7 @@ object FunnelOps {
           .filter(col("ts") > col(prevTs))
           .groupBy("user").agg(min(col("ts")).as(stepTs))
         acc.join(next.select("user", stepTs), Seq("user"), "left")
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val depth = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
       acc + when(col(s"ts_${i + 1}").isNotNull, 1).otherwise(0)

@@ -259,7 +259,7 @@ object TextOps {
     // sum(c) per (grp, chunk) equals the old direct token count exactly.
     val pairs = toks.groupBy("grp", "tok", "chunk")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstChunk = pairs.groupBy("grp", "tok")
       .agg(min("chunk").as("first_chunk"))
     val newPerChunk = firstChunk
@@ -776,9 +776,9 @@ object TextOps {
     val base = documents.select(toks.as("t"))
     val uni = base.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      // vocab-sized; checkpointed so the w1 and w2 attach joins read one
-      // tokenize+explode pass instead of two (r6, guide §2.4)
-      .localCheckpoint(true)
+      // vocab-sized; persisted (lazy) so the w1 and w2 attach joins share
+      // one tokenize+explode pass inside the action (r6, guide §2.4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBig = greatest(size(col("t")) - 1, lit(0))
     val totals = base.agg(
       sum(size(col("t")).cast("long")).as("nu"),

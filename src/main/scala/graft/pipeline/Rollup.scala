@@ -580,9 +580,11 @@ object Rollup {
     import org.apache.spark.sql.expressions.Window
     // the span build and the fill join both reference `agg`, and each
     // reference re-ran the caller's event-sized aggregate behind it;
-    // checkpoint the (key × bucket)-sized frame so it computes once
-    // (r6, guide §2.4 — same in the linear/nearest variants)
-    val aggM = agg.localCheckpoint(true)
+    // persist the (key × bucket)-sized frame so both references share
+    // ONE computation inside the action (lazy — no extra job boundary,
+    // the shiftJoinedCells pattern; r6, guide §2.4 — same in the
+    // linear/nearest variants)
+    val aggM = agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = aggM.groupBy("key")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
       .select(col("key"), explode(
@@ -607,7 +609,7 @@ object Rollup {
       agg: DataFrame, // columns: key, bucket (timestamp), mean (double)
       bucketSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val aggM = agg.localCheckpoint(true) // see gapFillLocf
+    val aggM = agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // see gapFillLocf
     val spans = aggM.groupBy("key")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
       .select(col("key"), explode(
@@ -649,7 +651,7 @@ object Rollup {
       agg: DataFrame, // columns: key, bucket (timestamp), mean (double)
       bucketSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val aggM = agg.localCheckpoint(true) // see gapFillLocf
+    val aggM = agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // see gapFillLocf
     val spans = aggM.groupBy("key")
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
       .select(col("key"), explode(
