@@ -1838,20 +1838,25 @@ object AnalyticsOps {
         ((col("__vb") - col("__va")).cast("double") / lit(100.0) /
           ((col("__tb") - col("__ta")).cast("double") / lit(slopeUnitMs.toDouble)))
           .as("__slope"))
-    val sAgg = pairs.groupBy("key").agg(sum("__sgn").as("s"))
     val wp = Window.partitionBy("key")
     // (ta, tb) identifies a pair uniquely (ts unique per key; a pair lives
-    // in at most one season), so the rank order is total and portable
+    // in at most one season), so the rank order is total and portable.
+    // S rides the SAME key window as the Sen rank (r6, guide §2.4): the
+    // old separate groupBy for S re-ran the whole pair self-join — the
+    // query's dominant cost — a second time. A key with any pair always
+    // has a rank-selected row (floor((np+1)/2) >= 1), so carrying the
+    // exact long sum on that row covers exactly the keys the old S
+    // aggregate produced; keys with no pairs fall to the same coalesce.
     val sen = pairs
+      .withColumn("__s", sum("__sgn").over(wp))
       .withColumn("__rn",
         row_number().over(wp.orderBy(col("__slope"), col("__ta"), col("__tb"))))
       .withColumn("__np", count(lit(1)).over(wp))
       .filter(col("__rn") === floor((col("__np") + 1) / 2))
-      .select(col("key"), col("__slope").as("sen_slope"))
+      .select(col("key"), col("__slope").as("sen_slope"), col("__s"))
     stats
-      .join(sAgg, Seq("key"), "left")
       .join(sen, Seq("key"), "left")
-      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("s", coalesce(col("__s"), lit(0L)))
       .withColumn("var_s", col("__varint").cast("double") / lit(18.0))
       .withColumn("z",
         when(col("var_s") === 0.0, lit(null).cast("double"))
